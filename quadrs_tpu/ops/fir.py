@@ -1,0 +1,123 @@
+"""FIR low-pass taps and decimating convolution kernels.
+
+Tap math mirrors the reference exactly in f32 (``src/filter.rs:86-105``):
+Blackman-windowed sinc, normalized to unit sum.  The decimating
+convolution evaluates the reference's indexing
+
+    y[i] = sum_{j=0}^{N-1} x[i*D + N/2 + j] * h[j]
+
+(``convoluted[N + i*D]`` of ``src/filter.rs:78-80`` expressed directly).
+Out-of-block taps contribute zero — callers pre-mask the block at its
+valid extent, matching ``complex_convolve``'s bounds-skip
+(``src/filter.rs:116``).
+
+Two device implementations:
+
+* ``direct`` — gather overlapping frames, one ``(B*n_out, N) @ (N,)``
+  dot.  Correct for any size; memory grows with ``N/D`` overlap.
+* ``polyphase`` — decompose ``h`` into ``M = ceil(N/D)`` phase
+  subfilters; one ``(…, D) @ (D, M)`` MXU matmul computes every phase
+  product, then ``M`` shifted adds assemble outputs.  Work is exactly
+  ``N/D`` MACs per input sample with no frame blowup: the TPU-shaped
+  layout for heavy decimation.
+
+Both run in f32 with ``Precision.HIGHEST`` so MXU passes don't drop to
+bf16 on the conformance path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PI32 = np.float32(np.pi)
+
+
+def lowpass_taps(cutoff: float, size: int) -> np.ndarray:
+    """Blackman-windowed sinc taps, f32, unit-sum normalized.
+
+    ``cutoff`` is frequency / sample_rate (``src/filter.rs:126-128``);
+    formulas and op order follow ``src/filter.rs:86-105`` in f32.
+    """
+    if size < 2:
+        raise ValueError("filter size must be at least 2")
+    c = np.float32(cutoff)
+    i = np.arange(size, dtype=np.float32)
+    sz = np.float32(size)
+
+    x = np.float32(2.0) * c * (i - (sz - np.float32(1.0)) / np.float32(2.0))
+    xpi = x * _PI32
+    sinc = np.where(xpi == 0, np.float32(1.0), np.sin(xpi) / xpi)
+
+    t = np.float32(2.0) * _PI32 * i / (sz - np.float32(1.0))
+    window = (
+        np.float32(0.42)
+        - np.float32(0.5) * np.cos(t)
+        + np.float32(0.08) * np.cos(np.float32(2.0) * t)
+    )
+
+    taps = (sinc * window).astype(np.float32)
+    return (taps / taps.sum(dtype=np.float32)).astype(np.float32)
+
+
+def _real_dot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST)
+
+
+def fir_decimate(
+    x: jnp.ndarray,
+    taps: np.ndarray,
+    decimate: int,
+    n_out: int,
+    *,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Decimating FIR over a batch of blocks.
+
+    ``x``: (B, n_in) complex64 with ``n_in = n_out*decimate + len(taps)``;
+    entries past each block's valid extent must already be zero.
+    Returns (B, n_out) complex64.
+    """
+    taps = np.asarray(taps, dtype=np.float32)
+    size = len(taps)
+    d = int(decimate)
+
+    # Drop the group-delay prefix; make sure the block covers the last
+    # frame (the reference zero-pads there via its bounds-skip).
+    needed = (n_out - 1) * d + size
+    x = x[:, size // 2 :]
+    if x.shape[1] < needed:
+        x = jnp.pad(x, ((0, 0), (0, needed - x.shape[1])))
+
+    if impl == "auto":
+        m = -(-size // d)
+        impl = "polyphase" if d >= 4 and m <= 64 else "direct"
+
+    if impl == "direct":
+        idx = np.arange(n_out)[:, None] * d + np.arange(size)[None, :]
+        frames = x[:, idx]  # (B, n_out, size)
+        h = jnp.asarray(taps)
+        return (
+            _real_dot(frames.real, h) + 1j * _real_dot(frames.imag, h)
+        ).astype(jnp.complex64)
+
+    if impl == "polyphase":
+        m = -(-size // d)
+        h = np.zeros(m * d, dtype=np.float32)
+        h[:size] = taps
+        hp = jnp.asarray(h.reshape(m, d).T)  # (d, m)
+        t = -(-x.shape[1] // d)
+        if x.shape[1] < t * d:
+            x = jnp.pad(x, ((0, 0), (0, t * d - x.shape[1])))
+        xp = x.reshape(x.shape[0], t, d)
+        # (B, t, m): phase products for every (block position, subfilter)
+        c = (
+            _real_dot(xp.real, hp) + 1j * _real_dot(xp.imag, hp)
+        ).astype(jnp.complex64)
+        out = c[:, 0:n_out, 0]
+        for k in range(1, m):
+            out = out + c[:, k : k + n_out, k]
+        return out
+
+    raise ValueError(f"unknown fir impl: {impl}")

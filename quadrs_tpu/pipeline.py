@@ -1,0 +1,126 @@
+"""The operation model: chainable pipeline commands and their dispatch.
+
+Mirror of the reference's ``Operation`` enum and ``exec`` fold
+(``src/lib.rs:25-176``): ``From``/``Gen`` create the stream accumulator,
+``Shift``/``LowPass`` wrap it lazily, and the sinks (``SparkFft``,
+``Bucket``, ``Write``) consume it but pass it through unchanged so
+multiple sinks can be chained.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from quadrs_tpu.formats import FileDetails
+from quadrs_tpu.sources import SampleSource, ToneGen
+from quadrs_tpu.stream import LowPass, Shift, Stream
+
+
+class Operation:
+    """Base class for pipeline operations (reference ``src/lib.rs:25-59``)."""
+
+
+@dataclass
+class From(Operation):
+    details: FileDetails
+    filename: str
+
+
+@dataclass
+class ShiftOp(Operation):
+    frequency: int
+
+
+@dataclass
+class LowPassOp(Operation):
+    size: int
+    decimate: int
+    frequency: int
+
+
+@dataclass
+class SparkFftOp(Operation):
+    width: int = 128
+    stride: int | None = None
+    min: float | None = None
+    max: float | None = None
+
+
+@dataclass
+class BucketOp(Operation):
+    fft_width: int = 128
+    stride: int | None = None
+    levels: int = 2
+
+
+@dataclass
+class WriteOp(Operation):
+    overwrite: bool
+    prefix: str
+
+
+@dataclass
+class GenOp(Operation):
+    seconds: float
+    sample_rate: int
+    cos: Sequence[int] = field(default_factory=list)
+
+
+def exec_operation(
+    op: Operation,
+    stream: Stream | None,
+    emit: Callable[[str], None] = print,
+    write_dir: str | None = None,
+) -> Stream | None:
+    """Execute one operation against the accumulator (``src/lib.rs:82-176``)."""
+    from quadrs_tpu import sinks
+
+    if isinstance(op, From):
+        return SampleSource.from_file(op.filename, op.details)
+
+    if isinstance(op, GenOp):
+        return ToneGen(op.cos, op.sample_rate, op.seconds)
+
+    if isinstance(op, ShiftOp):
+        if stream is None:
+            raise ValueError("shift requires an input")
+        return Shift(stream, op.frequency, stream.sample_rate)
+
+    if isinstance(op, LowPassOp):
+        if stream is None:
+            raise ValueError("lowpass requires an input")
+        return LowPass(stream, op.frequency, op.decimate, op.size)
+
+    if isinstance(op, SparkFftOp):
+        if stream is None:
+            raise ValueError("sparkfft requires an input")
+        sinks.spark_fft(stream, op.width, op.stride, op.min, op.max, out=emit)
+        return stream
+
+    if isinstance(op, BucketOp):
+        if stream is None:
+            raise ValueError("bucket -by freq requires an input")
+        levels = sinks.freq_levels(stream, op.fft_width, op.stride, op.levels)
+        emit("".join(str(v) for v in levels.vals))
+        return stream
+
+    if isinstance(op, WriteOp):
+        if stream is None:
+            raise ValueError("write requires an input")
+        sinks.do_write(stream, op.overwrite, op.prefix, directory=write_dir)
+        return stream
+
+    raise ValueError(f"unknown operation: {op!r}")
+
+
+def run_pipeline(
+    ops: Sequence[Operation],
+    emit: Callable[[str], None] = print,
+    write_dir: str | None = None,
+) -> Stream | None:
+    """Fold operations left to right (``src/bin/quadrs.rs:48-57``)."""
+    stream: Stream | None = None
+    for op in ops:
+        stream = exec_operation(op, stream, emit=emit, write_dir=write_dir)
+    return stream

@@ -1,0 +1,250 @@
+"""Sinks and analyses: terminal spectrogram, frequency bucketer, writer,
+and the GUI-grade windowed STFT.
+
+Each sink pulls windows through a batched jitted program (decode + mix +
+FIR + FFT fused by XLA) and performs only presentation on the host.
+Pull sizes mirror the reference sinks exactly, because the reference's
+per-read convolution truncation makes output depend on how sinks pull
+(see :mod:`quadrs_tpu.stream`): sparkfft pulls ``width`` samples per
+window (``src/fft.rs:27-30``), the writer pulls ``0x1000``-sample chunks
+(``src/lib.rs:199-210``), bucket pulls ``width`` at ``reading*stride``
+(``src/fft.rs:89-91``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+import numpy as np
+
+from quadrs_tpu.formats import encode_cf32
+from quadrs_tpu.ops.stft import blackman_harris_window, stft_norms
+from quadrs_tpu.runtime import Executor
+from quadrs_tpu.stream import Stream
+
+# The 9 display levels: blank below min, full block at/above max,
+# seven partial blocks between (src/fft.rs:34-36).
+SPARK_GLYPHS = np.array([" ", "▁", "▂", "▃", "▄", "▅", "▆", "▇", "█"])
+
+DEFAULT_SPARK_MIN = 0.08  # src/fft.rs:22
+DEFAULT_SPARK_MAX = 1.0  # src/fft.rs:23
+WRITE_CHUNK = 0x1000  # src/lib.rs:201
+
+
+def _window_batches(offsets: np.ndarray, width: int) -> tuple[int, list[np.ndarray]]:
+    batch = max(1, min(len(offsets), (1 << 20) // max(width, 1)))
+    return batch, [offsets[i : i + batch] for i in range(0, len(offsets), batch)]
+
+
+def glyph_rows(norms: np.ndarray, lo: float, hi: float) -> list[str]:
+    """Map magnitude rows to sparkline strings (``src/fft.rs:45-61``).
+
+    ``< lo`` is blank, ``>= hi`` is the full block, otherwise the value
+    truncates into one of seven partial blocks.
+    """
+    distinction = np.float32((np.float32(hi) - np.float32(lo)) / np.float32(7.0))
+    mid = ((norms - np.float32(lo)) / distinction).astype(np.int64)
+    idx = 1 + np.clip(mid, 0, 6)
+    idx = np.where(norms < np.float32(lo), 0, idx)
+    idx = np.where(norms >= np.float32(hi), 8, idx)
+    return ["".join(row) for row in SPARK_GLYPHS[idx]]
+
+
+def spark_fft(
+    stream: Stream,
+    width: int = 128,
+    stride: int | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+    out: Callable[[str], None] | None = None,
+) -> list[str] | None:
+    """Terminal Unicode spectrogram (reference ``src/fft.rs:12-69``).
+
+    Strided rectangular-window STFT; each row is the fftshifted
+    magnitudes quantized onto nine glyph levels, framed by ``│``.
+    If ``out`` is None the rows are returned; otherwise each line
+    (including the header) is passed to ``out`` as produced.
+    """
+    stride = width if stride is None else stride
+    lo = DEFAULT_SPARK_MIN if lo is None else lo
+    hi = DEFAULT_SPARK_MAX if hi is None else hi
+
+    collected: list[str] | None = [] if out is None else None
+
+    def emit(line: str) -> None:
+        if collected is not None:
+            collected.append(line)
+        else:
+            out(line)
+
+    emit(f"sparkfft sample_rate={stream.sample_rate}")
+
+    if stream.length <= width:
+        # reference src/fft.rs:28 underflows here; we refuse cleanly
+        if stream.length < width:
+            raise ValueError("input shorter than fft width")
+        return collected
+
+    offsets = np.arange(0, stream.length - width, stride, dtype=np.int64)
+    batch, batches = _window_batches(offsets, width)
+    ex = Executor(stream, width, batch=batch, post=stft_norms)
+    for offs in batches:
+        norms, valid = ex.run(offs)
+        if not np.all(valid == width):
+            bad = offs[valid != width][0]
+            raise RuntimeError(
+                f"read-exact messed up: {width} (wanted) != "
+                f"{int(valid[valid != width][0])} (read) at {int(bad)}"
+            )
+        for line in glyph_rows(norms, lo, hi):
+            emit(f"│{line}│")
+    return collected
+
+
+@dataclass
+class Levels:
+    vals: list[int]
+
+
+def freq_levels(
+    stream: Stream,
+    fft_width: int = 128,
+    stride: int | None = None,
+    levels: int = 2,
+) -> Levels:
+    """Two-level frequency discriminator (reference ``src/fft.rs:77-101``):
+    per strided window, compare total magnitude in the lower vs upper
+    half of the (unshifted) spectrum and emit 1 if lower >= upper."""
+    if levels != 2:
+        raise ValueError("only supporting two levels for now")
+    stride = fft_width if stride is None else stride
+
+    total = (stream.length - fft_width) // stride
+    offsets = np.arange(total, dtype=np.int64) * stride
+    if total <= 0:
+        return Levels(vals=[])
+
+    def post(x):
+        norms = stft_norms(x, shift=False)
+        half = fft_width // 2
+        return norms[:, :half].sum(axis=1), norms[:, half:].sum(axis=1)
+
+    batch, batches = _window_batches(offsets, fft_width)
+    ex = Executor(stream, fft_width, batch=batch, post=post)
+    vals: list[int] = []
+    for offs in batches:
+        (first, second), valid = ex.run(offs)
+        if not np.all(valid == fft_width):
+            raise RuntimeError("read-exact messed up in bucket")
+        vals.extend(int(v) for v in np.where(first < second, 0, 1))
+    return Levels(vals=vals)
+
+
+def do_write(stream: Stream, overwrite: bool, prefix: str, directory: str | None = None) -> str:
+    """Write the stream as ``{prefix}.sr{rate}.cf32`` (``src/lib.rs:178-213``).
+
+    Pulls 0x1000-sample chunks; raises on a zero-length read like the
+    reference's short-read assert.  With ``overwrite`` the reference
+    opens with create-but-no-truncate, so a pre-existing longer file
+    keeps its tail — reproduced here.
+    """
+    if prefix == "-":
+        raise NotImplementedError("stdout writing is unimplemented in the reference")
+
+    filename = f"{prefix}.sr{stream.sample_rate}.cf32"
+    if directory is not None:
+        filename = os.path.join(directory, filename)
+
+    if overwrite:
+        # OpenOptions::create + write: positions at 0, does not truncate.
+        fh = open(filename, "r+b" if os.path.exists(filename) else "wb")
+    else:
+        fh = open(filename, "xb")  # create_new
+
+    ex = Executor(stream, WRITE_CHUNK, batch=1)
+    with fh:
+        off = 0
+        while off < stream.length:
+            samples, valid = ex.run(np.asarray([off], dtype=np.int64))
+            read = int(valid[0])
+            if read == 0:
+                raise RuntimeError(f"short read at offset {off} of {stream.length}")
+            fh.write(encode_cf32(samples[0][:read]))
+            off += read
+    return filename
+
+
+@dataclass
+class FftResult:
+    """Flat magnitude rows, the GUI waterfall's data (``src/ffts.rs:86-108``)."""
+
+    norms: np.ndarray  # (output_len, fft_width) f32, fftshifted
+    fft_width: int
+
+    def get(self, index: int) -> np.ndarray:
+        if not 0 <= index < self.output_len:
+            raise IndexError(f"index out of bounds: {index}")
+        return self.norms[index]
+
+    @property
+    def output_len(self) -> int:
+        return self.norms.shape[0]
+
+    def max(self) -> float:
+        return float(np.max(self.norms, initial=0.0))
+
+    def min(self) -> float:
+        return float(np.min(self.norms, initial=np.inf))
+
+
+def take_fft(
+    stream: Stream,
+    slice_: tuple[int, int] | None,
+    width: int,
+    output_len: int,
+    windowing: str = "blackman-harris",
+) -> FftResult:
+    """Evenly-spaced windowed STFT (reference ``src/ffts.rs:18-85``).
+
+    Picks ``output_len`` window positions across the visible span
+    (``step = visible/output_len``, rounded half-away-from-zero like
+    Rust's ``f64::round``), optionally Blackman-Harris windowed.
+    """
+    if slice_ is not None:
+        start, end = slice_
+    else:
+        start, end = 0, stream.length - width
+
+    if not end > start:
+        raise ValueError(f"Invalid slice: end ({end}) must be greater than start ({start})")
+    if not end < stream.length:
+        raise ValueError(f"Slice end ({end}) exceeds sample length ({stream.length})")
+    visible = end - start
+    if not visible > output_len:
+        raise ValueError(
+            f"Visible samples ({visible}) must be greater than output length ({output_len})"
+        )
+
+    step = visible / output_len
+    # f64::round: half away from zero (np.round would go half-even)
+    offsets = start + np.floor(step * np.arange(output_len, dtype=np.float64) + 0.5).astype(
+        np.int64
+    )
+
+    window = None
+    if windowing in ("blackman-harris", "blackmanharris"):
+        window = blackman_harris_window(width)
+    elif windowing != "rectangular":
+        raise ValueError(f"unknown windowing: {windowing}")
+
+    batch, batches = _window_batches(offsets, width)
+    ex = Executor(stream, width, batch=batch, post=lambda x: stft_norms(x, window=window))
+    rows: list[np.ndarray] = []
+    for offs in batches:
+        norms, valid = ex.run(offs)
+        if not np.all(valid == width):
+            raise RuntimeError("read-exact messed up in take_fft")
+        rows.append(norms)
+    return FftResult(norms=np.concatenate(rows, axis=0), fft_width=width)

@@ -1,0 +1,149 @@
+"""Stream sources: file-backed captures and the multi-tone generator.
+
+``SampleSource`` is the counterpart of the reference's ``SampleFile``
+(``src/samples.rs:44-94``): length is derived from the byte length over
+the pair width, reads decode on demand, and trailing partial pairs are
+truncated.  Here the raw bytes are staged to the device in their native
+narrow dtype and decoded *on chip* (see :mod:`quadrs_tpu.formats`).
+
+``ToneGen`` is the counterpart of ``Gen`` (``src/gen.rs``): sample ``m``
+is ``sum_f e^(j*2π*f*m/sr)``, evaluated with exact host-side phase
+reduction and f32 trig on device.  Like the reference (``src/gen.rs:35``),
+it fills every requested buffer completely — reads never come up short,
+even past the nominal length.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from quadrs_tpu.formats import FileDetails, FileFormat, decode_to_complex64
+from quadrs_tpu.stream import Plan, Stream, TAU
+from quadrs_tpu.utils.sniff import guess_details
+
+
+class SampleSource(Stream):
+    """A raw IQ capture, staged lazily and decoded on device."""
+
+    has_staging = True
+
+    def __init__(self, data: np.ndarray, fmt: FileFormat, sample_rate: int):
+        """``data``: 1-D uint8 byte buffer (memmap or array) of the capture."""
+        if sample_rate <= 0:
+            raise ValueError("sample rate must be positive")
+        self._bytes = data
+        self.format = fmt
+        self.sample_rate = int(sample_rate)
+        # reference src/samples.rs:64-66
+        self.length = len(data) // fmt.pair_bytes
+
+    @classmethod
+    def from_file(cls, path: str, details: FileDetails | None = None) -> "SampleSource":
+        if details is None:
+            details = guess_details(str(path))
+        data = np.memmap(path, dtype=np.uint8, mode="r")
+        return cls(data, details.format, details.sample_rate)
+
+    # -- staging ----------------------------------------------------------
+    def stage(self, lo: int, hi: int) -> np.ndarray:
+        """Materialize components for samples [lo, hi) in native dtype."""
+        lo = max(0, min(lo, self.length))
+        hi = max(lo, min(hi, self.length))
+        pair = self.format.pair_bytes
+        chunk = np.asarray(self._bytes[lo * pair : hi * pair])
+        return chunk.view(self.format.raw_dtype)
+
+    # -- Stream interface -------------------------------------------------
+    def span(self, off: int, n: int) -> tuple[int, int]:
+        return off, n
+
+    def plan(self, offs: np.ndarray, n: int, base: int) -> Plan:
+        offs = np.asarray(offs, dtype=np.int64)
+        valid = np.clip(self.length - offs, 0, n)
+        prep = {
+            "off_rel": (offs - base).astype(np.int32),
+            "valid": valid.astype(np.int32),
+        }
+        return Plan(prep=prep, valid=valid)
+
+    def read_batch(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
+        buf = ctx["buf"]  # (2 * staged,) native dtype
+        idx = 2 * prep["off_rel"][:, None] + jnp.arange(2 * n, dtype=jnp.int32)[None, :]
+        raw = jnp.take(buf, idx, mode="clip")
+        samples = decode_to_complex64(raw, self.format, xp=jnp)
+        mask = jnp.arange(n, dtype=jnp.int32)[None, :] < prep["valid"][:, None]
+        return jnp.where(mask, samples, 0)
+
+
+class ToneGen(Stream):
+    """Multi-tone complex exponential generator (``src/gen.rs``)."""
+
+    has_staging = False
+
+    def __init__(self, cos: Sequence[int], sample_rate: int, seconds: float):
+        # reference src/gen.rs:17-27
+        if not cos:
+            raise ValueError("cos cannot be empty")
+        if sample_rate == 0:
+            raise ValueError("sample rate may not be zero")
+        if not seconds > 0.0:
+            raise ValueError("seconds may not be <= 0")
+        self.cos = [int(f) for f in cos]
+        self.sample_rate = int(sample_rate)
+        self.seconds = float(seconds)
+        # reference src/gen.rs:31-33 (f64 multiply, truncate)
+        self.length = int(self.seconds * float(self.sample_rate))
+        self._f_mod = [f % self.sample_rate for f in self.cos]
+        self._period = [
+            self.sample_rate // math.gcd(abs(f) if f else self.sample_rate, self.sample_rate)
+            for f in self.cos
+        ]
+
+    def span(self, off: int, n: int) -> tuple[int, int]:
+        return 0, 0
+
+    def _theta0(self, offs: np.ndarray) -> np.ndarray:
+        cols = []
+        for f_mod, period in zip(self._f_mod, self._period):
+            o = np.asarray(offs, dtype=np.int64) % period
+            frac = (o * f_mod) % self.sample_rate
+            cols.append(frac.astype(np.float64) * (TAU / self.sample_rate))
+        return np.stack(cols, axis=1).astype(np.float32)  # (B, F)
+
+    def _delta(self, n: int) -> np.ndarray:
+        rows = []
+        for f_mod, period in zip(self._f_mod, self._period):
+            i = np.arange(n, dtype=np.int64) % period
+            frac = (i * f_mod) % self.sample_rate
+            rows.append(frac.astype(np.float64) * (TAU / self.sample_rate))
+        return np.stack(rows, axis=0).astype(np.float32)  # (F, n)
+
+    def plan(self, offs: np.ndarray, n: int, base: int) -> Plan:
+        offs = np.asarray(offs, dtype=np.int64)
+        # Gen always fills the whole buffer (src/gen.rs:35-47).
+        valid = np.full(len(offs), n, dtype=np.int64)
+        return Plan(prep={"theta0": self._theta0(offs)}, valid=valid)
+
+    def read_batch(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
+        delta = jnp.asarray(self._delta(n))  # (F, n) trace-time constant
+        theta = prep["theta0"][:, :, None] + delta[None, :, :]  # (B, F, n)
+        tones = jnp.cos(theta) + 1j * jnp.sin(theta)
+        return jnp.sum(tones.astype(jnp.complex64), axis=1)
+
+
+def open_capture(
+    path: str,
+    sample_rate: str | int | None = None,
+    fmt: str | None = None,
+) -> SampleSource:
+    """Open a capture with filename sniffing and optional overrides."""
+    details = guess_details(
+        str(path),
+        override_sample_rate=None if sample_rate is None else str(sample_rate),
+        override_format=fmt,
+    )
+    return SampleSource.from_file(path, details)

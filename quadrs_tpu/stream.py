@@ -1,0 +1,220 @@
+"""The lazy stream graph — TPU-native counterpart of the reference's
+``Samples`` trait (``src/samples.rs:11-28``).
+
+The reference models DSP as pull-based random access: every stage
+implements ``len() / sample_rate() / read_at(off, buf)`` and computes on
+demand, recursing down the wrapper stack.  A literal port (per-sample
+Python, or per-window device dispatch) would be hostile to XLA, so the
+same *semantics* are split across two phases:
+
+* **plan (host)** — given a batch of absolute window offsets, each node
+  resolves everything offset-dependent with exact Python/numpy integer
+  arithmetic: source spans, valid sample counts (the reference's
+  short-read semantics), and NCO phase fractions ``(f*off) mod sr``
+  (reduced exactly, so f32 trig stays accurate at any absolute offset —
+  the reference gets this from f64 phase, ``src/shift.rs:49``).
+
+* **read_batch (device)** — a pure traced function computing a whole
+  ``(B, n)`` batch of windows in one XLA program.  Stages compose by
+  ordinary function calls, so XLA fuses decode + mix + FIR + FFT into a
+  single program with the matmuls/convolutions on the MXU.
+
+Valid-count invariant: every node's output beyond its *source-derived*
+valid count is exactly zero (sources mask), while transform stages that
+shrink validity (LowPass) leave entries in ``[valid, n)`` unspecified;
+consumers mask by the host-side valid counts.  This reproduces the
+reference's truncated-convolution edge behavior bit-for-bit: the Rust
+``complex_convolve`` skips out-of-buffer taps (``src/filter.rs:116``),
+which is identical to convolving a zero-padded block.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+TAU = 2.0 * math.pi
+
+
+@dataclass
+class Plan:
+    """Host-side plan for one batch of windows."""
+
+    prep: Any  # pytree of numpy arrays, shipped to device
+    valid: np.ndarray  # (B,) int64 — how many leading samples are real
+
+
+class Stream:
+    """A node in the lazy stream graph.
+
+    Attributes mirror the reference trait: ``length`` (samples) and
+    ``sample_rate`` (Hz).  ``length`` may over-report just like the
+    reference's ``LowPass::len`` does (``src/filter.rs:45-48``); reads
+    report the true valid count.
+    """
+
+    length: int
+    sample_rate: int
+
+    # -- host planning ----------------------------------------------------
+    def span(self, off: int, n: int) -> tuple[int, int]:
+        """Map an output span to the (offset, count) needed from the root
+        source, composing through all stages."""
+        raise NotImplementedError
+
+    def plan(self, offs: np.ndarray, n: int, base: int) -> Plan:
+        """Vectorized host planning for window offsets ``offs`` (int64,
+        shape (B,)) of static length ``n``.  ``base`` is the absolute
+        root-source sample offset at which the staged buffer begins."""
+        raise NotImplementedError
+
+    # -- device compute ---------------------------------------------------
+    def read_batch(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
+        """Traced compute of the batch: returns ``(B, n)`` complex64."""
+        raise NotImplementedError
+
+    # -- graph helpers ----------------------------------------------------
+    def root(self) -> "Stream":
+        node = self
+        while hasattr(node, "inner"):
+            node = node.inner
+        return node
+
+    # -- convenience ------------------------------------------------------
+    def read_at(self, off: int, n: int) -> tuple[np.ndarray, int]:
+        """Single-window convenience read (mirrors ``Samples::read_at``).
+
+        Returns ``(samples[:n] complex64, valid)``.  Used by tests and
+        small sinks; heavy sinks use :class:`quadrs_tpu.runtime.Executor`
+        directly for batching.
+        """
+        from quadrs_tpu.runtime import Executor
+
+        ex = Executor(self, n)
+        out, valid = ex.run(np.asarray([off], dtype=np.int64))
+        return np.asarray(out[0]), int(valid[0])
+
+
+class Shift(Stream):
+    """NCO frequency shifter (reference ``src/shift.rs``).
+
+    Multiplies sample ``m`` (absolute index) by ``e^{j·2π·f·m/sr}``.
+    The angle is reduced exactly on the host: ``(f·m) mod sr`` in integer
+    arithmetic, then one f32 ``cos``/``sin`` on device — phase-coherent
+    random access at any offset, like the reference's absolute-index f64
+    phase (``src/shift.rs:46-53``) but without 64-bit floats on the TPU.
+    """
+
+    def __init__(self, inner: Stream, frequency: int, sample_rate: int | None = None):
+        sample_rate = inner.sample_rate if sample_rate is None else sample_rate
+        # reference src/shift.rs:20-24
+        if not abs(frequency) < sample_rate // 2:
+            raise ValueError("frequency must be under half the sample rate")
+        if sample_rate <= 0:
+            raise ValueError("sample rate must be positive")
+        self.inner = inner
+        self.frequency = int(frequency)
+        self.sample_rate = int(sample_rate)
+        self.length = inner.length
+        # Exact phase bookkeeping: angle(m) = TAU * ((f*m) mod sr) / sr.
+        g = math.gcd(abs(self.frequency), self.sample_rate)
+        self._period = self.sample_rate // g  # offs may be reduced mod this
+        self._f_mod = self.frequency % self.sample_rate
+
+    def span(self, off: int, n: int) -> tuple[int, int]:
+        return self.inner.span(off, n)
+
+    def _theta0(self, offs: np.ndarray) -> np.ndarray:
+        offs = np.asarray(offs, dtype=np.int64) % self._period
+        frac = (offs * self._f_mod) % self.sample_rate
+        return (frac.astype(np.float64) * (TAU / self.sample_rate)).astype(np.float32)
+
+    def _delta(self, n: int) -> np.ndarray:
+        i = np.arange(n, dtype=np.int64) % self._period
+        frac = (i * self._f_mod) % self.sample_rate
+        return (frac.astype(np.float64) * (TAU / self.sample_rate)).astype(np.float32)
+
+    def plan(self, offs: np.ndarray, n: int, base: int) -> Plan:
+        inner = self.inner.plan(offs, n, base)
+        prep = {"inner": inner.prep, "theta0": self._theta0(offs)}
+        return Plan(prep=prep, valid=inner.valid)
+
+    def read_batch(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
+        x = self.inner.read_batch(ctx, prep["inner"], n)
+        delta = jnp.asarray(self._delta(n))  # trace-time constant
+        theta = prep["theta0"][:, None] + delta[None, :]
+        phasor = jnp.cos(theta) + 1j * jnp.sin(theta)
+        return x * phasor.astype(jnp.complex64)
+
+
+class LowPass(Stream):
+    """Windowed-sinc FIR low-pass + decimator (reference ``src/filter.rs``).
+
+    Taps are a Blackman-windowed sinc normalized to unit sum
+    (``src/filter.rs:86-105``), computed in f32 exactly as the reference.
+    A read of ``n`` output samples at offset ``off`` pulls
+    ``n*decimate + taps`` raw samples at ``off*decimate`` and evaluates
+
+        y[i] = sum_j x[i*D + taps/2 + j] * h[j]
+
+    — the reference's ``convoluted[taps + i*decimate]`` pick with its
+    group delay baked in (``src/filter.rs:68-80``).  Out-of-buffer taps
+    read zeros, reproducing the reference's per-read truncation at block
+    boundaries (``src/filter.rs:116``): outputs near the end of each
+    pulled block are computed against a zero-padded tail even when more
+    data exists in the stream, and sinks' pull sizes determine where
+    those boundaries fall.
+    """
+
+    def __init__(
+        self,
+        inner: Stream,
+        frequency: int,
+        decimate: int,
+        size: int,
+        *,
+        fir_impl: str = "auto",
+    ):
+        from quadrs_tpu.ops.fir import lowpass_taps
+
+        if decimate <= 0:
+            raise ValueError("decimate must be positive")
+        self.inner = inner
+        self.decimate = int(decimate)
+        self.frequency = int(frequency)
+        self.size = int(size)
+        self.fir_impl = fir_impl
+        self.sample_rate = inner.sample_rate // self.decimate
+        # reference src/filter.rs:45-48
+        if inner.length < self.size:
+            raise ValueError("input shorter than the filter")
+        self.length = 1 + (inner.length - self.size) // self.decimate
+        cutoff = self.frequency / inner.sample_rate  # src/filter.rs:126-128
+        self.taps = lowpass_taps(cutoff, self.size)
+
+    def span(self, off: int, n: int) -> tuple[int, int]:
+        return self.inner.span(off * self.decimate, n * self.decimate + self.size)
+
+    def plan(self, offs: np.ndarray, n: int, base: int) -> Plan:
+        offs = np.asarray(offs, dtype=np.int64)
+        n_in = n * self.decimate + self.size
+        inner = self.inner.plan(offs * self.decimate, n_in, base)
+        valid_in = inner.valid
+        valid_out = np.maximum(valid_in - self.size, 0) // self.decimate
+        prep = {"inner": inner.prep, "valid_in": valid_in.astype(np.int32)}
+        return Plan(prep=prep, valid=valid_out)
+
+    def read_batch(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
+        from quadrs_tpu.ops.fir import fir_decimate
+
+        n_in = n * self.decimate + self.size
+        x = self.inner.read_batch(ctx, prep["inner"], n_in)
+        # Zero anything past this read's valid extent so the convolution
+        # sees the same truncated block the reference does.
+        mask = jnp.arange(n_in, dtype=jnp.int32)[None, :] < prep["valid_in"][:, None]
+        x = jnp.where(mask, x, 0)
+        return fir_decimate(x, self.taps, self.decimate, n, impl=self.fir_impl)

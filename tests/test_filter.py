@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+
+from oracle import OracleArray, OracleLowPass, oracle_lowpass_taps
+from quadrs_tpu.formats import FileFormat
+from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
+from quadrs_tpu.sources import SampleSource
+from quadrs_tpu.stream import LowPass
+
+import jax.numpy as jnp
+
+
+def _capture(n=8192, sr=48_000, seed=5):
+    rng = np.random.default_rng(seed)
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    src = SampleSource(
+        np.ascontiguousarray(data).view(np.uint8), FileFormat.COMPLEX_FLOAT32, sr
+    )
+    return src, OracleArray(data, sr)
+
+
+def test_taps_formula():
+    taps = lowpass_taps(0.1, 40)
+    assert taps.dtype == np.float32
+    np.testing.assert_allclose(taps.sum(), 1.0, atol=1e-6)
+    # symmetric for even sizes
+    np.testing.assert_allclose(taps, taps[::-1], atol=1e-7)
+    # matches the independently transcribed formula bit-for-bit
+    assert taps.tobytes() == oracle_lowpass_taps(0.1, 40).tobytes()
+    assert lowpass_taps(200_000 / 21_000_000, 400).tobytes() == oracle_lowpass_taps(
+        200_000 / 21_000_000, 400
+    ).tobytes()
+
+
+def test_length_and_rate_formulas():
+    src, _ = _capture(n=8192)
+    lp = LowPass(src, 2000, 8, 40)
+    # reference src/filter.rs:45-52
+    assert lp.length == 1 + (8192 - 40) // 8
+    assert lp.sample_rate == 48_000 // 8
+
+
+@pytest.mark.parametrize("impl", ["direct", "polyphase"])
+def test_lowpass_matches_oracle(impl):
+    src, osrc = _capture()
+    lp = LowPass(src, 2000, 8, 40, fir_impl=impl)
+    olp = OracleLowPass(osrc, 2000, 8, 40)
+    got, valid = lp.read_at(0, 64)
+    want = olp.read_at(0, 64)
+    assert valid == len(want) == 64
+    np.testing.assert_allclose(got[:valid], want, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["direct", "polyphase"])
+def test_lowpass_offset_reads(impl):
+    src, osrc = _capture()
+    lp = LowPass(src, 1500, 4, 64, fir_impl=impl)
+    olp = OracleLowPass(osrc, 1500, 4, 64)
+    got, valid = lp.read_at(100, 128)
+    want = olp.read_at(100, 128)
+    assert valid == len(want)
+    np.testing.assert_allclose(got[:valid], want, atol=1e-5)
+
+
+def test_lowpass_truncated_tail_semantics():
+    """Near EOF the read comes up short and the last outputs convolve a
+    zero-padded block — the reference's exact behavior."""
+    src, osrc = _capture(n=1000)
+    lp = LowPass(src, 2000, 8, 40)
+    olp = OracleLowPass(osrc, 2000, 8, 40)
+    # claimed length 1 + (1000-40)/8 = 121, but a read of 121 pulls
+    # 121*8+40 = 1008 raw > 1000 so valid = (1000-40)/8 = 120
+    got, valid = lp.read_at(0, 121)
+    want = olp.read_at(0, 121)
+    assert valid == len(want) == 120
+    np.testing.assert_allclose(got[:valid], want, atol=1e-5)
+
+
+def test_lowpass_block_boundary_truncation():
+    """Outputs near the end of *each pull* see zeros past the block even
+    when the stream continues: pulling 32 then 32 differs from pulling 64
+    in the overlap region exactly as the reference's per-read convolve."""
+    src, osrc = _capture(n=4096)
+    lp = LowPass(src, 2000, 8, 64)
+    olp = OracleLowPass(osrc, 2000, 8, 64)
+    a_got, a_valid = lp.read_at(0, 32)
+    b_got, b_valid = lp.read_at(32, 32)
+    np.testing.assert_allclose(a_got[:a_valid], olp.read_at(0, 32), atol=1e-5)
+    np.testing.assert_allclose(b_got[:b_valid], olp.read_at(32, 32), atol=1e-5)
+
+
+def test_lowpass_rejects_short_input():
+    src, _ = _capture(n=30)
+    with pytest.raises(ValueError):
+        LowPass(src, 2000, 8, 40)
+
+
+def test_fir_decimate_impls_agree():
+    rng = np.random.default_rng(7)
+    n_out, d, size = 50, 8, 40
+    n_in = n_out * d + size
+    x = (rng.normal(size=(3, n_in)) + 1j * rng.normal(size=(3, n_in))).astype(
+        np.complex64
+    )
+    taps = lowpass_taps(0.05, size)
+    a = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="direct"))
+    b = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="polyphase"))
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -1,0 +1,118 @@
+import numpy as np
+import pytest
+
+from oracle import OracleGen, oracle_freq_levels
+from quadrs_tpu import sinks
+from quadrs_tpu.formats import FileFormat, decode_bytes
+from quadrs_tpu.ops.stft import blackman_harris_window
+from quadrs_tpu.sources import SampleSource, ToneGen
+
+
+def test_bucket_two_tone_symbols():
+    # A tone below DC lands in the upper (shifted) half ... use the raw
+    # (unshifted) halves exactly as the reference does.
+    g = ToneGen([30], 400, 1.0)  # positive freq -> first half of spectrum
+    levels = sinks.freq_levels(g, fft_width=64, stride=64)
+    assert set(levels.vals) == {1}
+
+    g = ToneGen([-30], 400, 1.0)  # negative freq -> second half
+    levels = sinks.freq_levels(g, fft_width=64, stride=64)
+    assert set(levels.vals) == {0}
+
+
+def test_bucket_matches_oracle():
+    g = ToneGen([30, -110], 400, 2.0)
+    o = OracleGen([30, -110], 400, 2.0)
+    got = sinks.freq_levels(g, fft_width=32, stride=24)
+    assert got.vals == oracle_freq_levels(o, 32, 24)
+
+
+def test_bucket_window_count():
+    g = ToneGen([30], 400, 1.0)
+    got = sinks.freq_levels(g, fft_width=64, stride=48)
+    assert len(got.vals) == (400 - 64) // 48
+
+
+def test_bucket_rejects_other_levels():
+    g = ToneGen([30], 400, 1.0)
+    with pytest.raises(ValueError):
+        sinks.freq_levels(g, 64, 64, levels=3)
+
+
+def test_write_roundtrip(tmp_path):
+    g = ToneGen([20], 400, 1.0)
+    path = sinks.do_write(g, False, "tone", directory=str(tmp_path))
+    assert path.endswith("tone.sr400.cf32")
+    raw = np.fromfile(path, dtype=np.uint8)
+    data = decode_bytes(raw, FileFormat.COMPLEX_FLOAT32)
+    # reference writer pulls 0x1000 chunks and Gen always fills, so the
+    # output is padded up to a chunk multiple (src/lib.rs:199-210)
+    assert len(data) == 0x1000
+    want, _ = g.read_at(0, 0x1000)
+    assert data.tobytes() == np.asarray(want).tobytes()
+
+
+def test_write_no_clobber(tmp_path):
+    g = ToneGen([20], 400, 0.1)
+    sinks.do_write(g, False, "x", directory=str(tmp_path))
+    with pytest.raises(FileExistsError):
+        sinks.do_write(g, False, "x", directory=str(tmp_path))
+    sinks.do_write(g, True, "x", directory=str(tmp_path))  # overwrite ok
+
+
+def test_write_stdout_unimplemented():
+    g = ToneGen([20], 400, 0.1)
+    with pytest.raises(NotImplementedError):
+        sinks.do_write(g, False, "-")
+
+
+def test_write_roundtrip_through_source(tmp_path):
+    g = ToneGen([20, 60], 400, 1.0)
+    path = sinks.do_write(g, False, str(tmp_path / "rt"), directory=None)
+    src = SampleSource.from_file(path)
+    assert src.sample_rate == 400
+    got, valid = src.read_at(0, 256)
+    want, _ = g.read_at(0, 256)
+    assert np.asarray(got).tobytes() == np.asarray(want).tobytes()
+
+
+def test_blackman_harris_window_formula():
+    w = blackman_harris_window(512)
+    i = np.arange(512, dtype=np.float64)
+    x = 2 * np.pi * i / 511
+    want = 0.35875 - 0.48829 * np.cos(x) + 0.14128 * np.cos(2 * x) - 0.01168 * np.cos(3 * x)
+    np.testing.assert_allclose(w, want, atol=1e-6)
+
+
+def test_take_fft_shapes_and_extents():
+    g = ToneGen([40], 4000, 1.0)
+    res = sinks.take_fft(g, None, width=128, output_len=16)
+    assert res.output_len == 16
+    assert res.get(0).shape == (128,)
+    with pytest.raises(IndexError):
+        res.get(16)
+    assert res.min() >= 0.0
+    assert res.max() > res.min()
+
+
+def test_take_fft_window_positions():
+    """step = visible/output_len with Rust round-half-away-from-zero."""
+    g = ToneGen([40], 4000, 1.0)
+    with pytest.raises(ValueError):
+        sinks.take_fft(g, (100, 100), 64, 16)
+    with pytest.raises(ValueError):
+        sinks.take_fft(g, (0, 4000), 64, 16)  # end must be < len
+    with pytest.raises(ValueError):
+        sinks.take_fft(g, (0, 10), 64, 16)  # visible must exceed output_len
+
+
+def test_take_fft_matches_manual_stft():
+    g = ToneGen([40], 4000, 0.5)  # len 2000
+    res = sinks.take_fft(g, (0, 1000), width=64, output_len=10, windowing="rectangular")
+    step = 1000 / 10
+    for row in range(10):
+        off = int(np.floor(step * row + 0.5))
+        win, _ = g.read_at(off, 64)
+        spec = np.fft.fft(np.asarray(win).astype(np.complex128))
+        spec = np.concatenate([spec[32:], spec[:32]])
+        np.testing.assert_allclose(res.get(row), np.abs(spec), atol=1e-3)
