@@ -1,0 +1,245 @@
+"""The chainable CLI grammar, mirroring the reference parser exactly.
+
+Grammar (``src/args.rs``): a sequence of subcommands, each followed by
+``-flag value`` pairs and then positional arguments:
+
+    from [-sr R] [-format F] FILE  shift [-]FREQ  lowpass [-power P]
+    [-decimate D] FREQ  sparkfft [-width W] [-stride S] [-range LO:HI]
+    bucket [-width W] [-stride S] -by freq COUNT  write [-overwrite B]
+    PREFIX  gen [-cos F]* [-len SECS] RATE  ui  eui [FILE]
+
+Parsing rules preserved from ``read_just_args`` (``src/args.rs:404-445``):
+flags are collected until the first non-flag token; a ``-``-prefixed
+token whose *third* character is a digit is treated as a negative-number
+positional rather than a flag (so ``-500`` is a shift frequency but
+``-5k`` would be read as a flag named ``5k`` — the reference's quirk,
+kept); duplicate flags are rejected except for the repeatable
+``gen -cos`` (``src/args.rs:447-454``); numbers take SI suffixes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Sequence
+
+from quadrs_tpu import pipeline as ops
+from quadrs_tpu.utils.si import parse_bool, parse_si_float, parse_si_int, parse_si_uint
+from quadrs_tpu.utils.sniff import guess_details
+
+
+class Command:
+    pass
+
+
+@dataclass
+class Octagon(Command):
+    """A pipeline operation command (the reference's naming, src/args.rs:14)."""
+
+    op: ops.Operation
+
+
+@dataclass
+class Ui(Command):
+    pass
+
+
+@dataclass
+class Eui(Command):
+    filename: Path | None
+
+
+class _Args:
+    """Peekable iterator over argv tokens."""
+
+    def __init__(self, tokens: Sequence[str]):
+        self._it: Iterator[str] = iter(tokens)
+        self._peeked: str | None = None
+        self._done = False
+
+    def peek(self) -> str | None:
+        if self._peeked is None and not self._done:
+            try:
+                self._peeked = next(self._it)
+            except StopIteration:
+                self._done = True
+        return self._peeked
+
+    def next(self) -> str | None:
+        tok = self.peek()
+        self._peeked = None
+        return tok
+
+
+def _read_just_args(args: _Args) -> dict[str, list[str]]:
+    """Collect ``-flag value`` pairs (``src/args.rs:404-445``)."""
+    ret: dict[str, list[str]] = {}
+    while True:
+        opt = args.peek()
+        if opt is None or opt == "" or not opt.startswith("-"):
+            break
+        # a minus followed by something whose third char is a digit is a
+        # negative number positional, not a flag
+        if len(opt) >= 3 and opt[2].isdigit():
+            break
+        args.next()
+        arg = args.next()
+        if arg is None:
+            raise ValueError(f"{opt} requires an argument")
+        if arg == "":
+            raise ValueError(f"{opt} requires a non-empty argument")
+        ret.setdefault(opt[1:], []).append(arg)
+    return ret
+
+
+def _no_duplicates(map_: dict[str, list[str]]) -> dict[str, str]:
+    ret = {}
+    for k, v in map_.items():
+        if len(v) != 1:
+            raise ValueError(f"'-{k}' specified more than once: {v}")
+        ret[k] = v[0]
+    return ret
+
+
+def _ensure_empty(map_: dict, cmd: str) -> None:
+    if map_:
+        raise ValueError(f"invalid flags for {cmd}: {sorted(map_)}")
+
+
+def parse(tokens: Sequence[str]) -> list[Command]:
+    """Parse argv into commands (``src/args.rs:19-45``)."""
+    args = _Args(tokens)
+    matched: list[Command] = []
+    while True:
+        cmd = args.next()
+        if cmd is None:
+            break
+        raw_map = _read_just_args(args)
+        parser = _PARSERS.get(cmd)
+        if parser is None:
+            raise ValueError(f"unrecognised command: {cmd!r}")
+        try:
+            matched.append(parser(args, raw_map))
+        except ValueError as e:
+            raise ValueError(f"processing command {cmd!r}: {e}") from e
+    return matched
+
+
+def _parse_from(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    filename = args.next()
+    if filename is None:
+        raise ValueError("'from' requires a filename argument")
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    _ensure_empty(map_, "from")
+    details = guess_details(filename, sr, fmt)
+    return Octagon(ops.From(details=details, filename=filename))
+
+
+def _parse_shift(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    _ensure_empty(map_, "shift")
+    freq = args.next()
+    if freq is None:
+        raise ValueError("'shift' requires a frequency argument")
+    return Octagon(ops.ShiftOp(frequency=parse_si_int(freq)))
+
+
+def _parse_lowpass(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    freq = args.next()
+    if freq is None:
+        raise ValueError("'lowpass' requires a frequency argument")
+    frequency = parse_si_uint(freq)
+    power = map_.pop("power", None)
+    size = 2 * parse_si_uint(power) if power is not None else 40
+    decimate = parse_si_uint(map_.pop("decimate", "8"))
+    _ensure_empty(map_, "lowpass")
+    return Octagon(ops.LowPassOp(size=size, decimate=decimate, frequency=frequency))
+
+
+def _parse_sparkfft(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    width = int(parse_si_uint(map_.pop("width", "128")))
+    stride = parse_si_uint(map_.pop("stride", str(width)))
+    min_ = max_ = None
+    rng = map_.pop("range", None)
+    if rng is not None:
+        if ":" not in rng:
+            raise ValueError(f"range argument must contain a ':': '{rng}'")
+        lo, hi = rng.split(":", 1)
+        min_, max_ = float(lo), float(hi)
+    _ensure_empty(map_, "sparkfft")
+    return Octagon(ops.SparkFftOp(width=width, stride=stride, min=min_, max=max_))
+
+
+def _parse_bucket(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    levels = args.next()
+    if levels is None:
+        raise ValueError("bucket usage: bucket -by freq [number-of-buckets]")
+    levels = int(levels)  # plain integer, no SI suffix (src/args.rs:225-228)
+    width = int(parse_si_uint(map_.pop("width", "128")))
+    stride = parse_si_uint(map_.pop("stride", str(width)))
+    by = map_.pop("by", None)
+    if by != "freq":
+        raise ValueError(f"must bucket -by freq, not {by!r}")
+    _ensure_empty(map_, "bucket")
+    return Octagon(ops.BucketOp(fft_width=width, stride=stride, levels=levels))
+
+
+def _parse_write(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    overwrite = parse_bool(map_.pop("overwrite", "false"))
+    _ensure_empty(map_, "write")
+    prefix = args.next()
+    if prefix is None:
+        raise ValueError("'write' requires a filename prefix argument")
+    return Octagon(ops.WriteOp(overwrite=overwrite, prefix=prefix))
+
+
+def _parse_gen(args: _Args, raw_map) -> Command:
+    # gen keeps the repeatable -cos (src/args.rs:35,273-307)
+    map_ = dict(raw_map)
+    cos_vals = map_.pop("cos", None)
+    if cos_vals is None:
+        raise ValueError("gen requires at least one operation")
+    cos = [parse_si_int(v) for v in cos_vals]
+    len_vals = map_.pop("len", None)
+    if len_vals is None:
+        seconds = 1.0
+    elif len(len_vals) == 1:
+        seconds = parse_si_float(len_vals[0])
+    else:
+        raise ValueError("len requires exactly one value")
+    _ensure_empty(map_, "gen")
+    rate = args.next()
+    if rate is None:
+        raise ValueError("sample rate argument required")
+    sample_rate = parse_si_uint(rate)
+    return Octagon(ops.GenOp(seconds=seconds, sample_rate=sample_rate, cos=cos))
+
+
+def _parse_ui(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    _ensure_empty(map_, "ui")
+    return Ui()
+
+
+def _parse_eui(args: _Args, raw_map) -> Command:
+    filename = args.next()
+    return Eui(filename=None if filename is None else Path(filename))
+
+
+_PARSERS = {
+    "from": _parse_from,
+    "shift": _parse_shift,
+    "lowpass": _parse_lowpass,
+    "sparkfft": _parse_sparkfft,
+    "bucket": _parse_bucket,
+    "write": _parse_write,
+    "gen": _parse_gen,
+    "ui": _parse_ui,
+    "eui": _parse_eui,
+}

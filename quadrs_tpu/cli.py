@@ -1,0 +1,81 @@
+"""Command-line entry point: ``quadjax`` / ``python -m quadrs_tpu``.
+
+Mirrors ``src/bin/quadrs.rs``: parse argv into commands, print usage on
+error or when empty, then fold the commands over the stream accumulator.
+The ``ui``/``eui`` commands render waterfall images to files instead of
+opening OpenGL windows (a TPU host has no display; the renderers
+reproduce the reference GUIs' colormaps — see :mod:`quadrs_tpu.viz`).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from quadrs_tpu import args as argmod
+from quadrs_tpu.pipeline import exec_operation
+
+USAGE = """\
+usage: {us} \\
+    from [-sr SAMPLE_RATE] [-format cf32|cs8|cu8|cs16] FILENAME.sr32k.cf32 \\
+   shift [-]FREQUENCY \\
+ lowpass [-power 20] [-decimate 8] FREQUENCY \\
+sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
+  bucket [-width 128] [-stride =width] [-by freq] COUNT \\
+   write [-overwrite no] FILENAME_PREFIX \\
+     gen [-cos FREQUENCY]* [-len 1 (second)] SAMPLE_RATE \\
+      ui [renders waterfall to ui.png] \\
+     eui [FILENAME] [renders waterfall to eui.png] \\
+
+
+Formats:
+
+ * cf32: complex (little endian) floats, 32-bit (GNU-Radio, gqrx)
+ *  cs8: complex      signed (integers),  8-bit (HackRF)
+ *  cu8: complex    unsigned (integers),  8-bit (RTL-SDR)
+ * cs16: complex      signed (integers), 16-bit (Fancy)
+"""
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    us = "quadjax"
+
+    try:
+        commands = argmod.parse(argv)
+    except ValueError as e:
+        print(USAGE.format(us=us))
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+    if not commands:
+        print(USAGE.format(us=us))
+        print("Error: no commands provided", file=sys.stderr)
+        return 1
+
+    stream = None
+    try:
+        for command in commands:
+            if isinstance(command, argmod.Octagon):
+                stream = exec_operation(command.op, stream)
+            elif isinstance(command, argmod.Ui):
+                from quadrs_tpu.viz.waterfall import ui_render_file
+
+                if stream is None:
+                    print("Error: ui requires an input", file=sys.stderr)
+                    return 1
+                path = ui_render_file(stream)
+                print(f"wrote {path}")
+                stream = None  # the reference's ui takes the samples (samples.take())
+            elif isinstance(command, argmod.Eui):
+                from quadrs_tpu.viz.waterfall import eui_render_file
+
+                path = eui_render_file(command.filename)
+                print(f"wrote {path}")
+    except (ValueError, RuntimeError, OSError, NotImplementedError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

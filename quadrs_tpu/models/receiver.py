@@ -1,0 +1,158 @@
+"""The flagship fused pipeline: decode -> NCO mix -> FIR decimate -> STFT.
+
+This is the production counterpart of the chained CLI pipeline
+(``from -> shift -> lowpass -> sparkfft``): one jit-compiled step that
+takes a raw capture chunk in its native narrow dtype and produces the
+spectrogram magnitudes, with every stage fused by XLA — the decode and
+mix are elementwise VPU work folded into the FIR/DFT matmuls on the MXU.
+
+Two execution modes:
+
+* :func:`PipelineModel.step_windows` — per-window semantics matching the
+  reference's pull model bit-for-bit at block boundaries (used by the
+  conformance executor and ``entry()``).
+
+* :func:`PipelineModel.step_stream` — contiguous streaming over a long
+  chunk: the FIR runs once over the chunk (no per-window overlap
+  recompute) and the decimated output reshapes into STFT windows.  This
+  is the throughput mode ``bench.py`` measures and the sharded
+  multi-chip path distributes (see :mod:`quadrs_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrs_tpu.formats import FileFormat, decode_to_complex64
+from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
+from quadrs_tpu.ops.stft import stft_norms
+from quadrs_tpu.stream import TAU
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """The BASELINE north-star chain: shift -> lowpass(decimate) -> STFT."""
+
+    sample_rate: int = 21_000_000
+    shift_freq: int = 280_000
+    lp_freq: int = 200_000
+    decimate: int = 32
+    taps: int = 400
+    fft_width: int = 64
+    fmt: FileFormat = FileFormat.COMPLEX_FLOAT32
+
+    @property
+    def window_raw(self) -> int:
+        """Raw samples per STFT window in per-window mode."""
+        return self.fft_width * self.decimate + self.taps
+
+
+class PipelineModel:
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.taps = lowpass_taps(cfg.lp_freq / cfg.sample_rate, cfg.taps)
+        g = math.gcd(abs(cfg.shift_freq), cfg.sample_rate)
+        self._period = cfg.sample_rate // g
+        self._f_mod = cfg.shift_freq % cfg.sample_rate
+
+    # -- host-side exact phase planning (same math as stream.Shift) -------
+    def theta0(self, offs: np.ndarray) -> np.ndarray:
+        offs = np.asarray(offs, dtype=np.int64) % self._period
+        frac = (offs * self._f_mod) % self.cfg.sample_rate
+        return (frac.astype(np.float64) * (TAU / self.cfg.sample_rate)).astype(
+            np.float32
+        )
+
+    def delta(self, n: int) -> np.ndarray:
+        i = np.arange(n, dtype=np.int64) % self._period
+        frac = (i * self._f_mod) % self.cfg.sample_rate
+        return (frac.astype(np.float64) * (TAU / self.cfg.sample_rate)).astype(
+            np.float32
+        )
+
+    # -- device steps -----------------------------------------------------
+    def _mix(self, x: jnp.ndarray, theta0: jnp.ndarray, n: int) -> jnp.ndarray:
+        delta = jnp.asarray(self.delta(n))
+        theta = theta0[..., None] + delta
+        return x * (jnp.cos(theta) + 1j * jnp.sin(theta)).astype(jnp.complex64)
+
+    _MIX_TILE = 4096
+
+    def _mix_stream(self, x: jnp.ndarray, theta0: jnp.ndarray) -> jnp.ndarray:
+        """NCO mix over a long contiguous chunk without an O(chunk) angle
+        table: index i = q*K + r decomposes the exact angle into
+        ``theta0 + thetaQ[q] + thetaR[r]`` (each term individually
+        mod-reduced on the host, so f32 trig stays accurate at any chunk
+        length)."""
+        k = self._MIX_TILE
+        n = x.shape[-1]
+        rows = -(-n // k)
+        pad = rows * k - n
+        if pad:
+            x = jnp.pad(x, (0, pad))
+        sr = self.cfg.sample_rate
+        q = (np.arange(rows, dtype=np.int64) * ((self._f_mod * k) % sr)) % sr
+        r = (np.arange(k, dtype=np.int64) * self._f_mod) % sr
+        theta_q = jnp.asarray((q.astype(np.float64) * (TAU / sr)).astype(np.float32))
+        theta_r = jnp.asarray((r.astype(np.float64) * (TAU / sr)).astype(np.float32))
+        theta = theta0 + theta_q[:, None] + theta_r[None, :]
+        mixed = x.reshape(rows, k) * (
+            jnp.cos(theta) + 1j * jnp.sin(theta)
+        ).astype(jnp.complex64)
+        return mixed.reshape(rows * k)[:n]
+
+    def step_windows(self, raw: jnp.ndarray, theta0: jnp.ndarray) -> jnp.ndarray:
+        """Per-window mode: ``raw`` is (B, 2*window_raw) native components
+        (one block per STFT window), ``theta0`` (B,) exact window phases.
+        Returns (B, fft_width) f32 spectrogram rows."""
+        cfg = self.cfg
+        n_in = cfg.window_raw
+        x = decode_to_complex64(raw, cfg.fmt, xp=jnp)
+        x = self._mix(x, theta0, n_in)
+        y = fir_decimate(x, self.taps, cfg.decimate, cfg.fft_width)
+        return stft_norms(y)
+
+    def step_stream(self, raw: jnp.ndarray, theta0: jnp.ndarray) -> jnp.ndarray:
+        """Streaming mode: ``raw`` is (2*n_chunk,) native components of a
+        contiguous chunk (including ``taps`` halo at its end), ``theta0``
+        a scalar phase for the chunk start.  The FIR runs once across the
+        chunk; the decimated stream reshapes into adjacent STFT windows
+        (stride == width, the sparkfft default).  Returns
+        (n_windows, fft_width) f32."""
+        cfg = self.cfg
+        n_in = raw.shape[-1] // 2
+        x = decode_to_complex64(raw, cfg.fmt, xp=jnp)
+        x = self._mix_stream(x, theta0)
+        n_dec = (n_in - cfg.taps) // cfg.decimate
+        n_windows = n_dec // cfg.fft_width
+        y = fir_decimate(x[None, :], self.taps, cfg.decimate, n_dec)[0]
+        return stft_norms(y[: n_windows * cfg.fft_width].reshape(n_windows, cfg.fft_width))
+
+    @cached_property
+    def jit_step_windows(self):
+        return jax.jit(self.step_windows)
+
+    @cached_property
+    def jit_step_stream(self):
+        return jax.jit(self.step_stream)
+
+    # -- convenience ------------------------------------------------------
+    def chunk_bytes(self, n_samples: int) -> int:
+        return n_samples * self.cfg.fmt.pair_bytes
+
+    def synth_raw(self, n_samples: int, seed: int = 0) -> np.ndarray:
+        """Synthetic capture components in the configured native dtype."""
+        rng = np.random.default_rng(seed)
+        if self.cfg.fmt is FileFormat.COMPLEX_FLOAT32:
+            return rng.normal(scale=0.3, size=2 * n_samples).astype(np.float32)
+        if self.cfg.fmt is FileFormat.COMPLEX_INT8:
+            return rng.integers(-127, 128, 2 * n_samples, dtype=np.int64).astype(np.int8)
+        if self.cfg.fmt is FileFormat.COMPLEX_UINT8:
+            return rng.integers(0, 256, 2 * n_samples, dtype=np.int64).astype(np.uint8)
+        return rng.integers(-32768, 32768, 2 * n_samples, dtype=np.int64).astype(np.int16)

@@ -23,6 +23,46 @@ def _round_up_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+class _Planes:
+    """Marker pytree node: a complex array split into f32 planes.
+
+    Device->host transfer of complex64 is not implemented on some TPU
+    runtimes (the axon tunnel), so compiled programs return (re, im)
+    f32 planes and the host repacks them bit-exactly.
+    """
+
+    def __init__(self, re, im):
+        self.re = re
+        self.im = im
+
+
+jax.tree_util.register_pytree_node(
+    _Planes, lambda p: ((p.re, p.im), None), lambda _, c: _Planes(*c)
+)
+
+
+def _split_complex(tree):
+    return jax.tree_util.tree_map(
+        lambda a: _Planes(jnp.real(a), jnp.imag(a))
+        if jnp.issubdtype(a.dtype, jnp.complexfloating)
+        else a,
+        tree,
+    )
+
+
+def _join_complex(tree):
+    from quadrs_tpu.formats import pack_complex
+
+    is_planes = lambda x: isinstance(x, _Planes)
+    return jax.tree_util.tree_map(
+        lambda a: pack_complex(np.asarray(a.re), np.asarray(a.im), xp=np)
+        if is_planes(a)
+        else np.asarray(a),
+        tree,
+        is_leaf=is_planes,
+    )
+
+
 class Executor:
     def __init__(
         self,
@@ -41,7 +81,9 @@ class Executor:
 
         def call(buf, prep):
             out = stream.read_batch({"buf": buf}, prep, self.n)
-            return post(out) if post is not None else out
+            if post is not None:
+                out = post(out)
+            return _split_complex(out)
 
         self._fn = jax.jit(call)
 
@@ -79,6 +121,6 @@ class Executor:
             base = 0
 
         plan = self.stream.plan(padded, self.n, base)
-        out = self._fn(staged, plan.prep)
-        out = jax.tree_util.tree_map(lambda a: np.asarray(a[:b_real]), out)
+        out = _join_complex(self._fn(staged, plan.prep))
+        out = jax.tree_util.tree_map(lambda a: a[:b_real], out)
         return out, plan.valid[:b_real]

@@ -1,0 +1,121 @@
+import numpy as np
+import pytest
+
+from quadrs_tpu import args as argmod
+from quadrs_tpu import pipeline as ops
+from quadrs_tpu.formats import FileFormat
+
+
+def _ops(tokens):
+    return [c.op for c in argmod.parse(tokens) if isinstance(c, argmod.Octagon)]
+
+
+def test_parse_readme_fsk_pipeline():
+    got = _ops(
+        "from /tmp/fsk-example.sr21M.fc32 shift 280k "
+        "lowpass -power 200 -decimate 32 200k sparkfft -width 64 -stride 16".split()
+    )
+    frm, shift, lp, fft = got
+    assert frm.details.sample_rate == 21_000_000
+    assert frm.details.format is FileFormat.COMPLEX_FLOAT32
+    assert shift.frequency == 280_000
+    assert lp.size == 400 and lp.decimate == 32 and lp.frequency == 200_000
+    assert fft.width == 64 and fft.stride == 16
+
+
+def test_parse_readme_ook_pipeline():
+    got = _ops(
+        "from /x/cupboard-superdec.sr400.cf32 sparkfft -width 4 -stride 2 "
+        "-range 0.001:0.01".split()
+    )
+    frm, fft = got
+    assert frm.details.sample_rate == 400
+    assert fft.width == 4 and fft.stride == 2
+    assert fft.min == pytest.approx(0.001) and fft.max == pytest.approx(0.01)
+
+
+def test_defaults():
+    (lp,) = _ops("lowpass 2k".split())
+    assert lp.size == 40 and lp.decimate == 8  # src/args.rs:160-171
+    (fft,) = _ops(["sparkfft"])
+    assert fft.width == 128 and fft.stride == 128 and fft.min is None
+    (b,) = _ops("bucket -by freq 2".split())
+    assert b.fft_width == 128 and b.stride == 128 and b.levels == 2
+    (w,) = _ops("write out".split())
+    assert w.overwrite is False and w.prefix == "out"
+    (g,) = _ops("gen -cos 10 400".split())
+    assert g.seconds == 1.0 and g.sample_rate == 400 and list(g.cos) == [10]
+
+
+def test_negative_number_positional():
+    # "-500" third char is a digit -> positional, not a flag
+    (s,) = _ops("shift -500".split())
+    assert s.frequency == -500
+
+
+def test_gen_repeatable_cos():
+    (g,) = _ops("gen -cos 10 -cos -20k -len 2 48k".split())
+    assert list(g.cos) == [10, -20_000]
+    assert g.seconds == 2.0
+    assert g.sample_rate == 48_000
+
+
+def test_duplicate_flags_rejected():
+    with pytest.raises(ValueError):
+        argmod.parse("lowpass -decimate 2 -decimate 4 100".split())
+
+
+def test_bucket_requires_by_freq():
+    with pytest.raises(ValueError):
+        argmod.parse("bucket 2".split())
+    with pytest.raises(ValueError):
+        argmod.parse("bucket -by time 2".split())
+
+
+def test_unknown_command():
+    with pytest.raises(ValueError):
+        argmod.parse(["frobnicate"])
+
+
+def test_missing_flag_value():
+    with pytest.raises(ValueError):
+        argmod.parse("sparkfft -width".split())
+
+
+def test_ui_eui_commands():
+    cmds = argmod.parse(["ui"])
+    assert isinstance(cmds[0], argmod.Ui)
+    cmds = argmod.parse(["eui", "file.sr400.cf32"])
+    assert isinstance(cmds[0], argmod.Eui)
+    assert cmds[0].filename is not None
+
+
+def test_cli_end_to_end_gen_write_sparkfft(tmp_path, monkeypatch, capsys):
+    from quadrs_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main("gen -cos 20 -len 0.5 4k write tone".split())
+    assert rc == 0
+    assert (tmp_path / "tone.sr4000.cf32").exists()
+
+    rc = main(f"from {tmp_path}/tone.sr4000.cf32 sparkfft -width 64".split())
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sparkfft sample_rate=4000" in out
+    assert out.count("│") > 10
+
+
+def test_cli_usage_on_empty(capsys):
+    from quadrs_tpu.cli import main
+
+    assert main([]) == 1
+    out = capsys.readouterr().out
+    assert "usage:" in out
+    assert "cf32" in out
+
+
+def test_cli_usage_on_error(capsys):
+    from quadrs_tpu.cli import main
+
+    assert main(["nonsense"]) == 1
+    assert "usage:" in capsys.readouterr().out

@@ -1,0 +1,133 @@
+import jax
+import numpy as np
+import pytest
+
+from quadrs_tpu.formats import FileFormat, decode_bytes
+from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+from quadrs_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_stream_step,
+    plan_shard_phases,
+    shard_chunk,
+)
+
+CFG = PipelineConfig(
+    sample_rate=1_000_000,
+    shift_freq=12_500,
+    lp_freq=50_000,
+    decimate=8,
+    taps=64,
+    fft_width=32,
+    fmt=FileFormat.COMPLEX_INT8,
+)
+
+
+def _reference_stream(model, raw, n_windows):
+    """Decode+mix+fir+stft via plain numpy/f64 for cross-checking."""
+    cfg = model.cfg
+    x = decode_bytes(raw.view(np.uint8), cfg.fmt).astype(np.complex128)
+    n = len(x)
+    m = np.arange(n, dtype=np.float64)
+    x = x * np.exp(2j * np.pi * cfg.shift_freq * m / cfg.sample_rate)
+    h = model.taps.astype(np.float64)
+    n_dec = (n - cfg.taps) // cfg.decimate
+    x = np.concatenate([x, np.zeros(cfg.taps, dtype=np.complex128)])
+    y = np.empty(n_dec, dtype=np.complex128)
+    for i in range(n_dec):
+        lo = i * cfg.decimate + cfg.taps // 2
+        y[i] = np.dot(x[lo : lo + cfg.taps], h)
+    wins = y[: n_windows * cfg.fft_width].reshape(n_windows, cfg.fft_width)
+    spec = np.fft.fft(wins)
+    spec = np.concatenate([spec[:, cfg.fft_width // 2 :], spec[:, : cfg.fft_width // 2]], axis=1)
+    return np.abs(spec).astype(np.float32)
+
+
+def test_stream_step_matches_reference_math():
+    model = PipelineModel(CFG)
+    n_local = CFG.decimate * CFG.fft_width * 4
+    raw = model.synth_raw(n_local + CFG.taps)
+    got = np.asarray(model.jit_step_stream(raw, np.float32(0.0)))
+    want = _reference_stream(model, raw, got.shape[0])
+    assert got.shape == (4, CFG.fft_width)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4 * want.max())
+
+
+def test_window_mode_matches_stream_graph_path():
+    """step_windows must reproduce the conformance stream-graph pull
+    (SampleSource -> Shift -> LowPass -> stft), including the reference's
+    per-window zero-padded convolution tails."""
+    from quadrs_tpu.ops.stft import stft_norms
+    from quadrs_tpu.runtime import Executor
+    from quadrs_tpu.sources import SampleSource
+    from quadrs_tpu.stream import LowPass, Shift
+
+    model = PipelineModel(CFG)
+    n_windows = 4
+    stride_raw = CFG.fft_width * CFG.decimate
+    total = stride_raw * n_windows + CFG.window_raw  # plenty of data
+    raw = model.synth_raw(total)
+
+    blocks = np.stack(
+        [
+            raw[2 * i * stride_raw : 2 * (i * stride_raw + CFG.window_raw)]
+            for i in range(n_windows)
+        ]
+    )
+    theta0 = model.theta0(np.arange(n_windows, dtype=np.int64) * stride_raw)
+    a = np.asarray(model.jit_step_windows(blocks, theta0))
+
+    src = SampleSource(raw.view(np.uint8), CFG.fmt, CFG.sample_rate)
+    chain = LowPass(
+        Shift(src, CFG.shift_freq, CFG.sample_rate),
+        CFG.lp_freq,
+        CFG.decimate,
+        CFG.taps,
+    )
+    ex = Executor(chain, CFG.fft_width, batch=n_windows, post=stft_norms)
+    b, valid = ex.run(np.arange(n_windows, dtype=np.int64) * CFG.fft_width)
+    assert np.all(valid == CFG.fft_width)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5 * b.max())
+
+
+def test_sharded_step_matches_single_device():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    model = PipelineModel(CFG)
+    n_time, n_stream = 4, 2
+    n_local = CFG.decimate * CFG.fft_width * 2
+    total = n_time * n_local
+
+    raws = np.stack([model.synth_raw(total + CFG.taps, seed=s) for s in range(n_stream)])
+    mesh = make_mesh(n_time, n_stream)
+    step = make_sharded_stream_step(model, mesh)
+
+    sharded_in = raws[:, : 2 * total]
+    theta0 = plan_shard_phases(model, n_local, n_time, n_stream)
+    out = np.asarray(step(shard_chunk(sharded_in, mesh), shard_chunk(theta0, mesh)))
+
+    # reference: the unsharded streaming step per stream
+    want = np.stack(
+        [np.asarray(model.jit_step_stream(raws[s], np.float32(0.0))) for s in range(n_stream)]
+    )
+    n_windows = out.shape[1]
+    # drop the final windows of the last shard (circular halo wrap)
+    wrap = -(-CFG.taps // (CFG.decimate * CFG.fft_width))
+    keep = n_windows - wrap
+    np.testing.assert_allclose(
+        out[:, :keep], want[:, :keep], rtol=3e-4, atol=3e-4 * want.max()
+    )
+
+
+def test_graft_entry():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = np.asarray(jax.jit(fn)(*args))
+    assert out.shape == (4, 32)
+    assert np.isfinite(out).all()
+    mod.dryrun_multichip(len(jax.devices()))

@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+
+from quadrs_tpu.sources import ToneGen
+from quadrs_tpu.viz.waterfall import (
+    EuiParams,
+    UiParams,
+    _hsv_to_rgb_u8,
+    eui_render,
+    eui_render_file,
+    ui_render,
+    ui_render_file,
+)
+
+
+def test_hsv_colormap_reference_points():
+    # scaled=1 (strong): hue 0 (red), value 1 -> pure red
+    rgb = _hsv_to_rgb_u8(np.array([1.0]))
+    assert tuple(rgb[0]) == (255, 0, 0)
+    # scaled=0 (silent): value 0 -> black
+    rgb = _hsv_to_rgb_u8(np.array([0.0]))
+    assert tuple(rgb[0]) == (0, 0, 0)
+    # mid value: hue 0.5*0.8*360 = 144deg (green-ish), v=0.5
+    rgb = _hsv_to_rgb_u8(np.array([0.5]))
+    r, g, b = rgb[0]
+    assert g > r and g > b
+
+
+def test_ui_render_shapes_and_content():
+    g = ToneGen([100], 4000, 0.5)  # 2000 samples
+    img, lo, hi = ui_render(g, UiParams(width=100, height=80, fft_width=8, stretch=2))
+    assert img.shape == (80, 100, 3)
+    assert hi > lo >= 0.0
+    # stride-1 default blacks out every column (src/ui/mod.rs:374-376:
+    # scan_pos==0 every window when stride==1) -> image all black
+    assert img.sum() == 0
+
+    img, _, _ = ui_render(g, UiParams(width=100, height=80, fft_width=8, stretch=2, stride=5))
+    assert img.sum() > 0  # non-separator columns carry color
+
+
+def test_ui_render_validation():
+    g = ToneGen([100], 4000, 0.5)
+    with pytest.raises(ValueError):
+        ui_render(g, UiParams(width=8, height=80, fft_width=8))
+    with pytest.raises(ValueError):
+        ui_render(g, UiParams(stretch=0))
+
+
+def test_ui_render_file(tmp_path):
+    from PIL import Image
+
+    g = ToneGen([100, -300], 4000, 0.5)
+    out = ui_render_file(g, tmp_path / "ui.png", UiParams(width=64, height=48, stride=3))
+    img = np.asarray(Image.open(out))
+    assert img.shape == (48, 64, 3)
+
+
+def test_eui_render_blue_channel(tmp_path):
+    from PIL import Image
+
+    from quadrs_tpu import sinks
+
+    g = ToneGen([500, -1200], 48_000, 1.0)
+    path = sinks.do_write(g, False, str(tmp_path / "x"))
+    out = eui_render_file(path, tmp_path / "eui.png", EuiParams(0.0, 80.0, 64, 128))
+    img = np.asarray(Image.open(out))
+    assert img.shape == (128, 64, 3)
+    assert img[:, :, 2].sum() > 0  # blue energy present
+    assert img[:, :, 0].sum() == 0 and img[:, :, 1].sum() == 0  # blue-only map
+
+
+def test_eui_requires_filename():
+    with pytest.raises(ValueError):
+        eui_render_file(None)
