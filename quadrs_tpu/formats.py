@@ -171,6 +171,26 @@ def view_raw(buf: np.ndarray, fmt: FileFormat) -> np.ndarray:
     return buf[: n * pair].view(fmt.raw_dtype)
 
 
+def decode_plane(raw, fmt: FileFormat, xp=jnp):
+    """Decode one already-deinterleaved component plane to f32.
+
+    Same bit-exact formulas as :func:`decode_to_complex64`, applied to a
+    contiguous plane.  This is the on-chip decode path: TPU HBM hates
+    stride-2 access (measured ~30x slowdown), so captures are staged as
+    ``(2, n)`` planes — deinterleaved once on the host (or by the native
+    loader during the disk read) — and all device access is contiguous.
+    """
+    return _decode_components(raw, fmt, xp)
+
+
+def planes_from_bytes(buf: np.ndarray, fmt: FileFormat) -> np.ndarray:
+    """Host-side deinterleave: uint8 capture bytes -> (2, n) native-dtype
+    planes (one memory pass, contiguous output)."""
+    comps = view_raw(np.asarray(buf), fmt)
+    n = len(comps) // 2
+    return np.ascontiguousarray(comps[: 2 * n].reshape(n, 2).T)
+
+
 def encode_cf32(samples: np.ndarray) -> bytes:
     """Encode complex64 samples as little-endian interleaved f32 pairs.
 

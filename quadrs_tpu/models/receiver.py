@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from quadrs_tpu.formats import FileFormat, decode_to_complex64
+from quadrs_tpu.formats import FileFormat, decode_plane, pack_complex
 from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
 from quadrs_tpu.ops.stft import stft_norms
 from quadrs_tpu.stream import TAU
@@ -107,28 +107,37 @@ class PipelineModel:
         ).astype(jnp.complex64)
         return mixed.reshape(rows * k)[:n]
 
+    def _decode(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """(…, 2, n) native-dtype planes -> (…, n) complex64, on chip.
+
+        Planar layout is load-bearing: stride-2 deinterleave in HBM costs
+        ~30x the whole rest of the chain (measured on v5e), so the host /
+        native loader deinterleaves once and the device reads contiguous
+        planes.
+        """
+        re = decode_plane(raw[..., 0, :], self.cfg.fmt, xp=jnp)
+        im = decode_plane(raw[..., 1, :], self.cfg.fmt, xp=jnp)
+        return pack_complex(re, im, xp=jnp)
+
     def step_windows(self, raw: jnp.ndarray, theta0: jnp.ndarray) -> jnp.ndarray:
-        """Per-window mode: ``raw`` is (B, 2*window_raw) native components
-        (one block per STFT window), ``theta0`` (B,) exact window phases.
-        Returns (B, fft_width) f32 spectrogram rows."""
+        """Per-window mode: ``raw`` is (B, 2, window_raw) native-dtype
+        planes (one block per STFT window), ``theta0`` (B,) exact window
+        phases.  Returns (B, fft_width) f32 spectrogram rows."""
         cfg = self.cfg
-        n_in = cfg.window_raw
-        x = decode_to_complex64(raw, cfg.fmt, xp=jnp)
-        x = self._mix(x, theta0, n_in)
+        x = self._mix(self._decode(raw), theta0, cfg.window_raw)
         y = fir_decimate(x, self.taps, cfg.decimate, cfg.fft_width)
         return stft_norms(y)
 
     def step_stream(self, raw: jnp.ndarray, theta0: jnp.ndarray) -> jnp.ndarray:
-        """Streaming mode: ``raw`` is (2*n_chunk,) native components of a
-        contiguous chunk (including ``taps`` halo at its end), ``theta0``
-        a scalar phase for the chunk start.  The FIR runs once across the
-        chunk; the decimated stream reshapes into adjacent STFT windows
-        (stride == width, the sparkfft default).  Returns
+        """Streaming mode: ``raw`` is (2, n_chunk) native-dtype planes of
+        a contiguous chunk (including ``taps`` halo at its end),
+        ``theta0`` a scalar phase for the chunk start.  The FIR runs once
+        across the chunk; the decimated stream reshapes into adjacent
+        STFT windows (stride == width, the sparkfft default).  Returns
         (n_windows, fft_width) f32."""
         cfg = self.cfg
-        n_in = raw.shape[-1] // 2
-        x = decode_to_complex64(raw, cfg.fmt, xp=jnp)
-        x = self._mix_stream(x, theta0)
+        n_in = raw.shape[-1]
+        x = self._mix_stream(self._decode(raw), theta0)
         n_dec = (n_in - cfg.taps) // cfg.decimate
         n_windows = n_dec // cfg.fft_width
         y = fir_decimate(x[None, :], self.taps, cfg.decimate, n_dec)[0]
@@ -147,12 +156,13 @@ class PipelineModel:
         return n_samples * self.cfg.fmt.pair_bytes
 
     def synth_raw(self, n_samples: int, seed: int = 0) -> np.ndarray:
-        """Synthetic capture components in the configured native dtype."""
+        """Synthetic capture as (2, n_samples) native-dtype planes."""
         rng = np.random.default_rng(seed)
+        shape = (2, n_samples)
         if self.cfg.fmt is FileFormat.COMPLEX_FLOAT32:
-            return rng.normal(scale=0.3, size=2 * n_samples).astype(np.float32)
+            return rng.normal(scale=0.3, size=shape).astype(np.float32)
         if self.cfg.fmt is FileFormat.COMPLEX_INT8:
-            return rng.integers(-127, 128, 2 * n_samples, dtype=np.int64).astype(np.int8)
+            return rng.integers(-127, 128, shape, dtype=np.int64).astype(np.int8)
         if self.cfg.fmt is FileFormat.COMPLEX_UINT8:
-            return rng.integers(0, 256, 2 * n_samples, dtype=np.int64).astype(np.uint8)
-        return rng.integers(-32768, 32768, 2 * n_samples, dtype=np.int64).astype(np.int16)
+            return rng.integers(0, 256, shape, dtype=np.int64).astype(np.uint8)
+        return rng.integers(-32768, 32768, shape, dtype=np.int64).astype(np.int16)

@@ -39,10 +39,11 @@ def make_mesh(n_time: int, n_stream: int = 1, devices=None) -> Mesh:
 def make_sharded_stream_step(model: PipelineModel, mesh: Mesh):
     """Build the jitted multi-chip streaming step.
 
-    Takes ``raw`` of shape (S, 2*n_local*T) components sharded
-    ``P('stream', 'time')`` and per-shard phases ``theta0`` of shape
-    (S, T) sharded the same way; returns (S, windows, fft_width) f32
-    spectrogram rows with the window axis sharded over 'time'.
+    Takes ``raw`` of shape (S, 2, n_local*T) native-dtype planes with
+    the time axis sharded (``P('stream', None, 'time')``) and per-shard
+    phases ``theta0`` of shape (S, T) sharded ``P('stream', 'time')``;
+    returns (S, windows, fft_width) f32 spectrogram rows with the window
+    axis sharded over 'time'.
 
     The last time-shard's halo wraps circularly; its final
     ``ceil(taps/(decimate*width))`` windows are computed from wrapped
@@ -53,23 +54,22 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh):
     # + taps-1]; beyond the local n_local samples that needs
     # taps/2 + taps - D neighbors' samples
     halo_samps = max(cfg.taps, cfg.taps + cfg.taps // 2 - cfg.decimate)
-    halo_comps = 2 * halo_samps
     if cfg.taps // (2 * cfg.decimate) >= cfg.fft_width:
         raise ValueError("fft window shorter than the FIR group delay span")
     n_time = mesh.shape["time"]
 
     def local_step(raw_local, theta0_local):
-        # raw_local: (S_l, 2*n_local); theta0_local: (S_l, 1)
+        # raw_local: (S_l, 2, n_local) planes; theta0_local: (S_l, 1)
         perm = [(i, (i - 1) % n_time) for i in range(n_time)]
-        head = raw_local[:, :halo_comps]
+        head = raw_local[:, :, :halo_samps]
         halo = jax.lax.ppermute(head, "time", perm)
-        block = jnp.concatenate([raw_local, halo], axis=1)
+        block = jnp.concatenate([raw_local, halo], axis=2)
         return jax.vmap(model.step_stream)(block, theta0_local[:, 0])
 
     step = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("stream", "time"), P("stream", "time")),
+        in_specs=(P("stream", None, "time"), P("stream", "time")),
         out_specs=P("stream", "time", None),
     )
     return jax.jit(step)
@@ -83,5 +83,7 @@ def plan_shard_phases(model: PipelineModel, n_local: int, n_time: int, n_stream:
 
 
 def shard_chunk(raw: np.ndarray, mesh: Mesh) -> jax.Array:
-    """Place a host chunk (S, C) onto the mesh sharded (stream, time)."""
-    return jax.device_put(raw, NamedSharding(mesh, P("stream", "time")))
+    """Place a host array onto the mesh: plane chunks (S, 2, C) shard as
+    (stream, -, time); 2-D arrays like the phase table as (stream, time)."""
+    spec = P("stream", None, "time") if raw.ndim == 3 else P("stream", "time")
+    return jax.device_put(raw, NamedSharding(mesh, spec))

@@ -109,15 +109,13 @@ class Executor:
             s_off, s_n = self.stream.span(int(padded.max()), self.n)
             lo = max(0, min(lo, self.source.length))
             hi = max(lo, min(s_off + s_n, self.source.length))
-            staged = self.source.stage(lo, hi)
-            cap = _round_up_pow2(len(staged))
-            if len(staged) < cap:
-                staged = np.concatenate(
-                    [staged, np.zeros(cap - len(staged), dtype=staged.dtype)]
-                )
+            staged = self.source.stage(lo, hi)  # (2, n) planes
+            cap = _round_up_pow2(staged.shape[-1])
+            if staged.shape[-1] < cap:
+                staged = np.pad(staged, ((0, 0), (0, cap - staged.shape[-1])))
             base = lo
         else:
-            staged = np.zeros(2, dtype=np.float32)
+            staged = np.zeros((2, 2), dtype=np.float32)
             base = 0
 
         plan = self.stream.plan(padded, self.n, base)

@@ -21,7 +21,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from quadrs_tpu.formats import FileDetails, FileFormat, decode_to_complex64
+from quadrs_tpu.formats import FileDetails, FileFormat, decode_plane, pack_complex
 from quadrs_tpu.stream import Plan, Stream, TAU
 from quadrs_tpu.utils.sniff import guess_details
 
@@ -50,12 +50,18 @@ class SampleSource(Stream):
 
     # -- staging ----------------------------------------------------------
     def stage(self, lo: int, hi: int) -> np.ndarray:
-        """Materialize components for samples [lo, hi) in native dtype."""
+        """Materialize samples [lo, hi) as (2, hi-lo) native-dtype planes.
+
+        Deinterleaving happens here, on the host, in one pass: TPU HBM
+        is ~30x slower at stride-2 access than contiguous, so the device
+        only ever sees contiguous per-component planes.
+        """
+        from quadrs_tpu.formats import planes_from_bytes
+
         lo = max(0, min(lo, self.length))
         hi = max(lo, min(hi, self.length))
         pair = self.format.pair_bytes
-        chunk = np.asarray(self._bytes[lo * pair : hi * pair])
-        return chunk.view(self.format.raw_dtype)
+        return planes_from_bytes(self._bytes[lo * pair : hi * pair], self.format)
 
     # -- Stream interface -------------------------------------------------
     def span(self, off: int, n: int) -> tuple[int, int]:
@@ -71,10 +77,11 @@ class SampleSource(Stream):
         return Plan(prep=prep, valid=valid)
 
     def read_batch(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
-        buf = ctx["buf"]  # (2 * staged,) native dtype
-        idx = 2 * prep["off_rel"][:, None] + jnp.arange(2 * n, dtype=jnp.int32)[None, :]
-        raw = jnp.take(buf, idx, mode="clip")
-        samples = decode_to_complex64(raw, self.format, xp=jnp)
+        buf = ctx["buf"]  # (2, staged) native-dtype planes
+        idx = prep["off_rel"][:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
+        re = decode_plane(jnp.take(buf[0], idx, mode="clip"), self.format, xp=jnp)
+        im = decode_plane(jnp.take(buf[1], idx, mode="clip"), self.format, xp=jnp)
+        samples = pack_complex(re, im, xp=jnp)
         mask = jnp.arange(n, dtype=jnp.int32)[None, :] < prep["valid"][:, None]
         return jnp.where(mask, samples, 0)
 

@@ -24,8 +24,12 @@ CFG = PipelineConfig(
 
 def _reference_stream(model, raw, n_windows):
     """Decode+mix+fir+stft via plain numpy/f64 for cross-checking."""
+    from quadrs_tpu.formats import decode_plane
+
     cfg = model.cfg
-    x = decode_bytes(raw.view(np.uint8), cfg.fmt).astype(np.complex128)
+    re = decode_plane(raw[0], cfg.fmt, xp=np).astype(np.float64)
+    im = decode_plane(raw[1], cfg.fmt, xp=np).astype(np.float64)
+    x = re + 1j * im
     n = len(x)
     m = np.arange(n, dtype=np.float64)
     x = x * np.exp(2j * np.pi * cfg.shift_freq * m / cfg.sample_rate)
@@ -69,14 +73,15 @@ def test_window_mode_matches_stream_graph_path():
 
     blocks = np.stack(
         [
-            raw[2 * i * stride_raw : 2 * (i * stride_raw + CFG.window_raw)]
+            raw[:, i * stride_raw : i * stride_raw + CFG.window_raw]
             for i in range(n_windows)
         ]
-    )
+    )  # (B, 2, window_raw)
     theta0 = model.theta0(np.arange(n_windows, dtype=np.int64) * stride_raw)
     a = np.asarray(model.jit_step_windows(blocks, theta0))
 
-    src = SampleSource(raw.view(np.uint8), CFG.fmt, CFG.sample_rate)
+    interleaved = np.ascontiguousarray(raw.T)  # (n, 2) native pairs
+    src = SampleSource(interleaved.reshape(-1).view(np.uint8), CFG.fmt, CFG.sample_rate)
     chain = LowPass(
         Shift(src, CFG.shift_freq, CFG.sample_rate),
         CFG.lp_freq,
@@ -101,7 +106,7 @@ def test_sharded_step_matches_single_device():
     mesh = make_mesh(n_time, n_stream)
     step = make_sharded_stream_step(model, mesh)
 
-    sharded_in = raws[:, : 2 * total]
+    sharded_in = raws[:, :, :total]
     theta0 = plan_shard_phases(model, n_local, n_time, n_stream)
     out = np.asarray(step(shard_chunk(sharded_in, mesh), shard_chunk(theta0, mesh)))
 
