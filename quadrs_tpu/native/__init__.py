@@ -1,0 +1,3 @@
+from quadrs_tpu.native.loader import NativeCapture, native_available
+
+__all__ = ["NativeCapture", "native_available"]

@@ -21,6 +21,12 @@ Two device implementations:
   ``N/D`` MACs per input sample with no frame blowup: the TPU-shaped
   layout for heavy decimation.
 
+* ``overlap_save`` — blockwise FFT convolution for long filters
+  (``lowpass -power 2000`` class): frames of size ``M`` overlap by
+  ``N-1``, correlate in the frequency domain (``X * conj(H)``), keep the
+  linear-valid region, decimate.  O(log M) work per input sample
+  instead of O(N/D).
+
 Both run in f32 with ``Precision.HIGHEST`` so MXU passes don't drop to
 bf16 on the conformance path.
 """
@@ -92,7 +98,12 @@ def fir_decimate(
 
     if impl == "auto":
         m = -(-size // d)
-        impl = "polyphase" if d >= 4 and m <= 64 else "direct"
+        if m > 64:
+            impl = "overlap_save"
+        elif d >= 4:
+            impl = "polyphase"
+        else:
+            impl = "direct"
 
     if impl == "direct":
         idx = np.arange(n_out)[:, None] * d + np.arange(size)[None, :]
@@ -120,4 +131,40 @@ def fir_decimate(
             out = out + c[:, k : k + n_out, k]
         return out
 
+    if impl == "overlap_save":
+        return _overlap_save(x, taps, d, n_out, needed)
+
     raise ValueError(f"unknown fir impl: {impl}")
+
+
+def _overlap_save(
+    x: jnp.ndarray, taps: np.ndarray, d: int, n_out: int, needed: int
+) -> jnp.ndarray:
+    """Frequency-domain decimating correlation over overlapped frames.
+
+    ``x``: (B, L) complex64 with the group-delay prefix already dropped;
+    computes ``y[i] = sum_j x[i*d + j] h[j]`` like the time-domain paths.
+    """
+    size = len(taps)
+    # frame size: comfortably larger than the filter, power of two
+    m = 1 << max(size * 2 - 1, 4096).bit_length()
+    hop = ((m - size + 1) // d) * d
+    if hop <= 0:
+        raise ValueError("filter too long for overlap-save frame")
+    n_frames = -(-(n_out * d) // hop)
+
+    pad_to = (n_frames - 1) * hop + m
+    if x.shape[1] < pad_to:
+        x = jnp.pad(x, ((0, 0), (0, pad_to - x.shape[1])))
+
+    h_f = np.conj(np.fft.fft(taps.astype(np.float64), m)).astype(np.complex64)
+
+    starts = np.arange(n_frames) * hop
+    idx = starts[:, None] + np.arange(m)[None, :]
+    frames = x[:, idx]  # (B, n_frames, m)
+    spec = jnp.fft.fft(frames) * jnp.asarray(h_f)
+    corr = jnp.fft.ifft(spec)
+    # linear-valid decimated outputs of each frame: 0, d, ..., hop-d
+    picks = corr[:, :, 0:hop:d]  # (B, n_frames, hop//d)
+    y = picks.reshape(x.shape[0], n_frames * (hop // d))
+    return y[:, :n_out].astype(jnp.complex64)

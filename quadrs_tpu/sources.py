@@ -36,6 +36,7 @@ class SampleSource(Stream):
         if sample_rate <= 0:
             raise ValueError("sample rate must be positive")
         self._bytes = data
+        self._native = None
         self.format = fmt
         self.sample_rate = int(sample_rate)
         # reference src/samples.rs:64-66
@@ -46,7 +47,17 @@ class SampleSource(Stream):
         if details is None:
             details = guess_details(str(path))
         data = np.memmap(path, dtype=np.uint8, mode="r")
-        return cls(data, details.format, details.sample_rate)
+        src = cls(data, details.format, details.sample_rate)
+        # byte path through the native loader when available: C++ pread +
+        # deinterleave (and background readahead for streaming sinks)
+        try:
+            from quadrs_tpu.native import NativeCapture, native_available
+
+            if native_available():
+                src._native = NativeCapture(path, details.format)
+        except Exception:
+            src._native = None
+        return src
 
     # -- staging ----------------------------------------------------------
     def stage(self, lo: int, hi: int) -> np.ndarray:
@@ -60,6 +71,8 @@ class SampleSource(Stream):
 
         lo = max(0, min(lo, self.length))
         hi = max(lo, min(hi, self.length))
+        if self._native is not None:
+            return self._native.read_planes(lo, hi - lo)
         pair = self.format.pair_bytes
         return planes_from_bytes(self._bytes[lo * pair : hi * pair], self.format)
 

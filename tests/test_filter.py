@@ -106,3 +106,45 @@ def test_fir_decimate_impls_agree():
     a = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="direct"))
     b = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="polyphase"))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fir_overlap_save_matches_direct():
+    rng = np.random.default_rng(8)
+    n_out, d, size = 64, 32, 400
+    n_in = n_out * d + size
+    x = (rng.normal(size=(2, n_in)) + 1j * rng.normal(size=(2, n_in))).astype(
+        np.complex64
+    )
+    taps = lowpass_taps(0.01, size)
+    a = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="direct"))
+    b = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="overlap_save"))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_fir_overlap_save_long_filter():
+    """BASELINE config 4 class: power=2000 -> 4000 taps."""
+    rng = np.random.default_rng(9)
+    n_out, d, size = 32, 32, 4000
+    n_in = n_out * d + size
+    x = (rng.normal(size=(1, n_in)) + 1j * rng.normal(size=(1, n_in))).astype(
+        np.complex64
+    )
+    taps = lowpass_taps(0.001, size)
+    a = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="direct"))
+    b = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="overlap_save"))
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(b, a, atol=3e-5 * max(scale, 1.0))
+    # auto selection picks overlap_save for long filters
+    c = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="auto"))
+    np.testing.assert_allclose(c, b, atol=1e-7)
+
+
+def test_lowpass_long_taps_stream_matches_oracle():
+    src, osrc = _capture(n=16384)
+    lp = LowPass(src, 500, 8, 2000)  # auto -> overlap_save (m = 250 subfilters)
+    olp = OracleLowPass(osrc, 500, 8, 2000)
+    got, valid = lp.read_at(0, 256)
+    want = olp.read_at(0, 256)
+    assert valid == len(want)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got[:valid], want, atol=5e-5 * max(scale, 1e-6))
