@@ -1,0 +1,75 @@
+"""Batched multi-stream waterfall: many captures, one fused program.
+
+BASELINE config 5: "64 parallel cs8 IQ streams, fused decode + 1024-pt
+strided STFT spectrogram search".  All streams decode on chip and go
+through one batched windowing + DFT — a single ``(S*windows, W) @ (W,
+W)`` MXU matmul — plus an optional peak-search reduction, so the whole
+waterfall bank is one XLA program per chunk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrs_tpu.formats import FileFormat, decode_plane, pack_complex
+from quadrs_tpu.ops.fir import _overlapped_frames
+from quadrs_tpu.ops.stft import blackman_harris_window, stft_norms
+
+
+@dataclass(frozen=True)
+class WaterfallConfig:
+    n_streams: int = 64
+    fft_width: int = 1024
+    stride: int = 1024
+    fmt: FileFormat = FileFormat.COMPLEX_INT8
+    windowing: str = "rectangular"  # or "blackman-harris"
+
+
+class WaterfallModel:
+    def __init__(self, cfg: WaterfallConfig):
+        self.cfg = cfg
+        self.window = (
+            blackman_harris_window(cfg.fft_width)
+            if cfg.windowing in ("blackman-harris", "blackmanharris")
+            else None
+        )
+
+    def step(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """(S, 2, n) native planes -> (S, windows, fft_width) f32 norms."""
+        cfg = self.cfg
+        n = raw.shape[-1]
+        n_windows = (n - cfg.fft_width) // cfg.stride + 1
+        re = decode_plane(raw[:, 0, :], cfg.fmt, xp=jnp)
+        im = decode_plane(raw[:, 1, :], cfg.fmt, xp=jnp)
+        x = pack_complex(re, im, xp=jnp)  # (S, n)
+        frames = _overlapped_frames(x, cfg.stride, cfg.fft_width, n_windows)
+        s = frames.shape[0]
+        norms = stft_norms(
+            frames.reshape(s * n_windows, cfg.fft_width), window=self.window
+        )
+        return norms.reshape(s, n_windows, cfg.fft_width)
+
+    def search(self, raw: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Spectrogram search: per (stream, window) the peak bin and its
+        magnitude — the device-side reduction for scanning many bands."""
+        norms = self.step(raw)
+        return jnp.argmax(norms, axis=-1), jnp.max(norms, axis=-1)
+
+    def jit_step(self):
+        return jax.jit(self.step)
+
+    def synth_raw(self, n: int, seed: int = 0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        cfg = self.cfg
+        shape = (cfg.n_streams, 2, n)
+        if cfg.fmt is FileFormat.COMPLEX_INT8:
+            return rng.integers(-127, 128, shape, dtype=np.int64).astype(np.int8)
+        if cfg.fmt is FileFormat.COMPLEX_UINT8:
+            return rng.integers(0, 256, shape, dtype=np.int64).astype(np.uint8)
+        if cfg.fmt is FileFormat.COMPLEX_INT16:
+            return rng.integers(-32768, 32768, shape, dtype=np.int64).astype(np.int16)
+        return rng.normal(scale=0.3, size=shape).astype(np.float32)

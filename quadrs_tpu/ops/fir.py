@@ -33,6 +33,7 @@ bf16 on the conformance path.
 
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,7 +135,60 @@ def fir_decimate(
     if impl == "overlap_save":
         return _overlap_save(x, taps, d, n_out, needed)
 
+    if impl == "banded":
+        return _banded(x, taps, d, n_out)
+
     raise ValueError(f"unknown fir impl: {impl}")
+
+
+@functools.lru_cache(maxsize=16)
+def _banded_weights(taps_key, d: int) -> np.ndarray:
+    """(span_p, 128) banded matrix W[p, l] = h[p - l*d]: 128 decimated
+    outputs per matmul column block, MXU-shaped."""
+    taps = np.frombuffer(taps_key, dtype=np.float32)
+    size = len(taps)
+    span = 127 * d + size
+    span_p = -(-span // 128) * 128
+    w = np.zeros((span_p, 128), dtype=np.float32)
+    for l in range(128):
+        w[l * d : l * d + size, l] = taps
+    return w
+
+
+def _overlapped_frames(x: jnp.ndarray, hop: int, m: int, n_frames: int) -> jnp.ndarray:
+    """(B, L) -> (B, n_frames, m) frames at stride ``hop`` without a
+    gather: TPU HBM gathers of overlapping windows are ~80x slower than
+    this reshape + k consecutive row-slices + concat (k = ceil(m/hop))."""
+    k = -(-m // hop)
+    rows_needed = n_frames + k - 1
+    need = rows_needed * hop
+    if x.shape[1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    rows = x[:, : rows_needed * hop].reshape(x.shape[0], rows_needed, hop)
+    parts = [rows[:, i : i + n_frames] for i in range(k)]
+    return jnp.concatenate(parts, axis=2)[:, :, :m]
+
+
+def _banded(x: jnp.ndarray, taps: np.ndarray, d: int, n_out: int) -> jnp.ndarray:
+    """Decimating FIR as one dense banded matmul.
+
+    Groups of 128 outputs share one input span; lhs gathers the spans
+    (~size/(128*d) read overlap) and a single ``(B*G, span) @ (span,
+    128)`` f32 matmul on the MXU produces every output.  Zeros in the
+    band waste FLOPs but the MXU has them to spare; HBM traffic is what
+    matters.
+    """
+    size = len(taps)
+    w = _banded_weights(taps.astype(np.float32).tobytes(), d)
+    span_p = w.shape[0]
+    groups = -(-n_out // 128)
+    lhs = _overlapped_frames(x, 128 * d, span_p, groups)  # (B, groups, span_p)
+    wj = jnp.asarray(w)
+    p = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(lhs.real, wj, precision=p)
+    im = jnp.matmul(lhs.imag, wj, precision=p)
+    y = (re + 1j * im).astype(jnp.complex64)  # (B, groups, 128)
+    return y.reshape(x.shape[0], groups * 128)[:, :n_out]
 
 
 def _overlap_save(
@@ -153,16 +207,16 @@ def _overlap_save(
         raise ValueError("filter too long for overlap-save frame")
     n_frames = -(-(n_out * d) // hop)
 
-    pad_to = (n_frames - 1) * hop + m
-    if x.shape[1] < pad_to:
-        x = jnp.pad(x, ((0, 0), (0, pad_to - x.shape[1])))
+    h_f64 = np.conj(np.fft.fft(taps.astype(np.float64), m))
+    # stage as planes: complex host->device transfers are unimplemented
+    # on some TPU runtimes
+    h_f = jax.lax.complex(
+        jnp.asarray(h_f64.real.astype(np.float32)),
+        jnp.asarray(h_f64.imag.astype(np.float32)),
+    )
 
-    h_f = np.conj(np.fft.fft(taps.astype(np.float64), m)).astype(np.complex64)
-
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(m)[None, :]
-    frames = x[:, idx]  # (B, n_frames, m)
-    spec = jnp.fft.fft(frames) * jnp.asarray(h_f)
+    frames = _overlapped_frames(x, hop, m, n_frames)  # (B, n_frames, m)
+    spec = jnp.fft.fft(frames) * h_f
     corr = jnp.fft.ifft(spec)
     # linear-valid decimated outputs of each frame: 0, d, ..., hop-d
     picks = corr[:, :, 0:hop:d]  # (B, n_frames, hop//d)

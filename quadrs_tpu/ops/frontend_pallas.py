@@ -1,0 +1,278 @@
+"""Pallas TPU kernel: fused decode -> NCO mix -> decimating FIR.
+
+The front half of the flagship pipeline in one VMEM round-trip: each
+grid step DMAs a tile of raw capture planes (native dtype — int8/int16
+transfer 4-8x fewer HBM bytes than f32), decodes, rotates by the exact
+NCO phase, and runs the decimating FIR as a banded matmul on the MXU,
+writing only the decimated output back to HBM.  The XLA version of the
+same chain materializes the decoded+mixed stream (3 HBM round trips);
+this kernel does one read of the narrow input and one write of the
+~D-times-smaller output.
+
+Angle exactness matches the rest of the framework: the host reduces
+``(f * offset) mod sr`` in integer arithmetic per tile (``base``) and
+per in-tile index (``delta`` tables), so f32 trig stays accurate at any
+absolute stream offset.
+
+Layout notes (v5e):
+* planes are processed as (rows, 128) f32 tiles — lane-aligned, no
+  stride-2 anywhere;
+* the FIR is ``lhs (R_out, span) @ W (span, 128)``: 128 decimated
+  outputs per lhs row, where ``W[p, l] = h[p - l*D]``.  ``lhs`` rows
+  overlap by ``taps - D`` samples and are assembled in VMEM from row
+  slices (SRAM-cheap), so HBM never sees the overlap;
+* requires ``decimate`` to divide 128; other configs fall back to the
+  XLA path.
+
+Status (v5e, 4M-sample cs8 chunk): correct to f32 tolerance vs the XLA
+chain, ~3.2 ms vs the XLA polyphase chain's ~1.1 ms — the in-VMEM lhs
+assembly (stack + sublane/lane-merging reshape) dominates, so the XLA
+path remains the default; a polyphase-transposed layout (time in lanes,
+phase in sublanes, cheap 0.13 ms HBM pre-transpose) is the planned v2.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadrs_tpu.formats import FileFormat
+from quadrs_tpu.stream import TAU
+
+# outputs per grid step: 16 lhs rows x 128 lanes
+_ROUT = 16
+_TOUT = _ROUT * 128
+
+
+def _decode_ref(x, fmt: FileFormat):
+    if fmt is FileFormat.COMPLEX_FLOAT32:
+        return x.astype(jnp.float32)
+    if fmt is FileFormat.COMPLEX_INT8:
+        return x.astype(jnp.float32) / jnp.float32(127.0)
+    if fmt is FileFormat.COMPLEX_UINT8:
+        return x.astype(jnp.float32) / jnp.float32(255.0) - jnp.float32(127.5)
+    return x.astype(jnp.float32) / jnp.float32(65535.0) - jnp.float32(32767.5)
+
+
+@dataclass(frozen=True)
+class FrontendSpec:
+    fmt: FileFormat
+    sample_rate: int
+    shift_freq: int
+    decimate: int
+    taps_bytes: bytes  # f32 taps, hashable for caching
+
+    @property
+    def taps(self) -> np.ndarray:
+        return np.frombuffer(self.taps_bytes, dtype=np.float32)
+
+
+def supported(decimate: int) -> bool:
+    return decimate in (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+@functools.lru_cache(maxsize=8)
+def _plan(spec: FrontendSpec):
+    """Static planning: shapes, weight matrix, angle tables."""
+    d = spec.decimate
+    taps = spec.taps
+    size = len(taps)
+
+    l_in = _TOUT * d  # raw samples consumed per tile
+    r_in = l_in // 128  # main-block rows
+    span = 127 * d + size
+    span_p = -(-span // 128) * 128
+    # at least 32 rows so every dtype's min-tile constraint is met
+    halo_p = -(-max(span_p - 128 * d, 32 * 128) // 128) * 128
+    r_halo = halo_p // 128
+
+    w = np.zeros((span_p, 128), dtype=np.float32)
+    for l in range(128):
+        w[l * d : l * d + size, l] = taps
+
+    sr = spec.sample_rate
+    f_mod = spec.shift_freq % sr
+
+    def angles(start: int, count: int) -> np.ndarray:
+        i = start + np.arange(count, dtype=np.int64)
+        frac = (i % sr) * f_mod % sr
+        return ((frac.astype(np.float64) * (TAU / sr)) % TAU).astype(np.float32)
+
+    delta_main = angles(0, l_in).reshape(r_in, 128)
+    delta_halo = angles(l_in, halo_p).reshape(r_halo, 128)
+    return l_in, r_in, span_p, halo_p, r_halo, w, delta_main, delta_halo
+
+
+def _kernel(spec: FrontendSpec, r_in, r_halo, span_p):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    n_parts = -(-span_p // 128)  # row-slices per lhs row assembly
+
+    def kernel(
+        base_ref,
+        vmain_ref,
+        vhalo_ref,
+        re_ref,
+        im_ref,
+        hre_ref,
+        him_ref,
+        dmain_ref,
+        dhalo_ref,
+        w_ref,
+        ore_ref,
+        oim_ref,
+    ):
+        t = pl.program_id(0)
+        base = base_ref[t]
+        theta_m = base + dmain_ref[:]
+        theta_h = base + dhalo_ref[:]
+        cm, sm = jnp.cos(theta_m), jnp.sin(theta_m)
+        ch, sh = jnp.cos(theta_h), jnp.sin(theta_h)
+
+        # zero-padding must happen in the *decoded* domain: for cu8/cs16
+        # a zero byte decodes to a large negative value, so raw padding
+        # past the valid extent is masked out here.
+        def masked_decode(ref, valid, rows):
+            lin = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+            )
+            x = _decode_ref(ref[:], spec.fmt)
+            return jnp.where(lin < valid, x, jnp.float32(0.0))
+
+        vm = vmain_ref[t]
+        vh = vhalo_ref[t]
+        re_m = masked_decode(re_ref, vm, r_in)
+        im_m = masked_decode(im_ref, vm, r_in)
+        re_h = masked_decode(hre_ref, vh, r_halo)
+        im_h = masked_decode(him_ref, vh, r_halo)
+
+        xre = jnp.concatenate([re_m * cm - im_m * sm, re_h * ch - im_h * sh], axis=0)
+        xim = jnp.concatenate([re_m * sm + im_m * cm, re_h * sh + im_h * ch], axis=0)
+
+        d_rows = spec.decimate  # rows between consecutive lhs rows (128*d/128)
+        lhs_re = jnp.stack(
+            [xre[ro * d_rows : ro * d_rows + n_parts] for ro in range(_ROUT)]
+        ).reshape(_ROUT, n_parts * 128)[:, :span_p]
+        lhs_im = jnp.stack(
+            [xim[ro * d_rows : ro * d_rows + n_parts] for ro in range(_ROUT)]
+        ).reshape(_ROUT, n_parts * 128)[:, :span_p]
+
+        w = w_ref[:]
+        p_hi = jax.lax.Precision.HIGHEST
+        ore_ref[:] = jnp.dot(lhs_re, w, precision=p_hi, preferred_element_type=jnp.float32)
+        oim_ref[:] = jnp.dot(lhs_im, w, precision=p_hi, preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def fused_frontend(
+    planes: jax.Array,
+    start_offset_theta: np.ndarray | jax.Array,
+    spec: FrontendSpec,
+    n_out: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused frontend over a contiguous chunk.
+
+    ``planes``: (2, n) native-dtype component planes, already advanced
+    past the FIR group delay (caller slices ``taps//2``).  ``theta``
+    argument: per-tile base angles, shape (tiles,) f32 (host-exact, see
+    :func:`tile_bases`).  Returns (2, n_out) f32 decimated planes.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = spec.decimate
+    if not supported(d):
+        raise ValueError(f"pallas frontend requires decimate | 128, got {d}")
+    l_in, r_in, span_p, halo_p, r_halo, w, delta_main, delta_halo = _plan(spec)
+
+    tiles = -(-n_out // _TOUT)
+    need = tiles * l_in + halo_p
+    n_valid = planes.shape[1]
+    if planes.shape[1] < need:
+        planes = jnp.pad(planes, ((0, 0), (0, need - planes.shape[1])))
+    t_idx = np.arange(tiles, dtype=np.int64)
+    vmain = np.clip(n_valid - t_idx * l_in, 0, l_in).astype(np.int32)
+    vhalo = np.clip(n_valid - (t_idx + 1) * l_in, 0, halo_p).astype(np.int32)
+
+    main = planes[:, : tiles * l_in].reshape(2, tiles * r_in, 128)
+    # halo for tile t = the first halo_p samples after its block
+    halo = jax.vmap(
+        lambda p: _halo_rows(p, tiles, l_in, halo_p)
+    )(planes)  # (2, tiles*r_halo, 128)
+
+    base = jnp.asarray(start_offset_theta, dtype=jnp.float32).reshape(tiles)
+
+    kernel = _kernel(spec, r_in, r_halo, span_p)
+    out_shape = [
+        jax.ShapeDtypeStruct((tiles * _ROUT, 128), jnp.float32),
+        jax.ShapeDtypeStruct((tiles * _ROUT, 128), jnp.float32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # base, vmain, vhalo
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((r_in, 128), lambda t, *_: (t, 0)),
+            pl.BlockSpec((r_in, 128), lambda t, *_: (t, 0)),
+            pl.BlockSpec((r_halo, 128), lambda t, *_: (t, 0)),
+            pl.BlockSpec((r_halo, 128), lambda t, *_: (t, 0)),
+            pl.BlockSpec((r_in, 128), lambda t, *_: (0, 0)),
+            pl.BlockSpec((r_halo, 128), lambda t, *_: (0, 0)),
+            pl.BlockSpec((span_p, 128), lambda t, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_ROUT, 128), lambda t, *_: (t, 0)),
+            pl.BlockSpec((_ROUT, 128), lambda t, *_: (t, 0)),
+        ],
+    )
+    ore, oim = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        base,
+        jnp.asarray(vmain),
+        jnp.asarray(vhalo),
+        main[0],
+        main[1],
+        halo[0],
+        halo[1],
+        jnp.asarray(delta_main),
+        jnp.asarray(delta_halo),
+        jnp.asarray(w),
+    )
+    return jnp.stack([ore.reshape(-1)[:n_out], oim.reshape(-1)[:n_out]])
+
+
+def _halo_rows(p: jnp.ndarray, tiles: int, l_in: int, halo_p: int) -> jnp.ndarray:
+    """(n,) -> (tiles*halo_rows, 128): for each tile, the halo_p samples
+    following its block, via slice-stack (no gather)."""
+    r_halo = halo_p // 128
+    k = -(-halo_p // l_in)
+    need = (tiles + k) * l_in
+    if p.shape[0] < need:
+        p = jnp.pad(p, (0, need - p.shape[0]))
+    rows = p[: (tiles + k) * l_in].reshape(tiles + k, l_in)
+    parts = [rows[1 + i : 1 + i + tiles] for i in range(k)]
+    stacked = jnp.concatenate(parts, axis=1)[:, :halo_p]  # (tiles, halo_p)
+    return stacked.reshape(tiles * r_halo, 128)
+
+
+def tile_bases(spec: FrontendSpec, global_start: int, tiles: int) -> np.ndarray:
+    """Host-exact per-tile NCO base angles."""
+    d = spec.decimate
+    l_in = _TOUT * d
+    sr = spec.sample_rate
+    f_mod = spec.shift_freq % sr
+    offs = global_start + np.arange(tiles, dtype=np.int64) * l_in
+    frac = (offs % sr) * f_mod % sr
+    return ((frac.astype(np.float64) * (TAU / sr)) % TAU).astype(np.float32)

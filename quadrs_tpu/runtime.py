@@ -118,7 +118,10 @@ class Executor:
             staged = np.zeros((2, 2), dtype=np.float32)
             base = 0
 
+        from quadrs_tpu.utils.profiling import PROFILER
+
         plan = self.stream.plan(padded, self.n, base)
-        out = _join_complex(self._fn(staged, plan.prep))
+        with PROFILER.stage(type(self.stream).__name__.lower(), b_real * self.n):
+            out = _join_complex(self._fn(staged, plan.prep))
         out = jax.tree_util.tree_map(lambda a: a[:b_real], out)
         return out, plan.valid[:b_real]

@@ -1,0 +1,107 @@
+import jax
+import numpy as np
+import pytest
+
+from quadrs_tpu.formats import FileFormat
+from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+from quadrs_tpu.ops.frontend_pallas import (
+    FrontendSpec,
+    fused_frontend,
+    supported,
+    tile_bases,
+)
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _spec(cfg):
+    return FrontendSpec(
+        fmt=cfg.fmt,
+        sample_rate=cfg.sample_rate,
+        shift_freq=cfg.shift_freq,
+        decimate=cfg.decimate,
+        taps_bytes=PipelineModel(cfg).taps.tobytes(),
+    )
+
+
+@pytest.mark.parametrize(
+    "fmt", [FileFormat.COMPLEX_FLOAT32, FileFormat.COMPLEX_INT8, FileFormat.COMPLEX_INT16]
+)
+def test_fused_frontend_matches_xla_chain(fmt):
+    cfg = PipelineConfig(
+        sample_rate=1_000_000,
+        shift_freq=12_500,
+        lp_freq=50_000,
+        decimate=32,
+        taps=400,
+        fft_width=64,
+        fmt=fmt,
+    )
+    model = PipelineModel(cfg)
+    spec = _spec(cfg)
+
+    n_out = 3000  # not a multiple of the tile size: exercises padding
+    n_in = n_out * cfg.decimate + cfg.taps
+    raw = model.synth_raw(n_in, seed=5)
+
+    # XLA reference: decode -> mix -> fir (stream semantics)
+    from quadrs_tpu.ops.fir import fir_decimate
+
+    x = model._mix_stream(model._decode(raw), np.float32(0.0))
+    want = np.asarray(
+        jax.jit(lambda xx: fir_decimate(xx[None], model.taps, cfg.decimate, n_out)[0])(x)
+    )
+
+    shifted = raw[:, cfg.taps // 2 :]
+    theta = tile_bases(spec, cfg.taps // 2, -(-n_out // 2048))
+    got = np.asarray(
+        jax.jit(
+            lambda p, t: fused_frontend(p, t, spec, n_out, interpret=INTERPRET)
+        )(shifted, theta)
+    )
+    got_c = got[0] + 1j * got[1]
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got_c, want, atol=3e-5 * max(scale, 1e-3))
+
+
+def test_fused_frontend_phase_matches_at_offset():
+    """Tile base angles must keep the NCO coherent with the stream's
+    absolute indexing when the chunk starts mid-stream."""
+    cfg = PipelineConfig(
+        sample_rate=1_000_000,
+        shift_freq=12_500,
+        lp_freq=50_000,
+        decimate=32,
+        taps=400,
+        fft_width=64,
+        fmt=FileFormat.COMPLEX_FLOAT32,
+    )
+    model = PipelineModel(cfg)
+    spec = _spec(cfg)
+    n_out = 2048
+    n_in = n_out * cfg.decimate + cfg.taps
+    global_off = 777_777  # arbitrary absolute start
+    raw = model.synth_raw(n_in, seed=9)
+
+    from quadrs_tpu.ops.fir import fir_decimate
+
+    x = model._mix_stream(model._decode(raw), model.theta0(np.array([global_off]))[0])
+    want = np.asarray(
+        jax.jit(lambda xx: fir_decimate(xx[None], model.taps, cfg.decimate, n_out)[0])(x)
+    )
+
+    shifted = raw[:, cfg.taps // 2 :]
+    theta = tile_bases(spec, global_off + cfg.taps // 2, 1)
+    got = np.asarray(
+        jax.jit(lambda p, t: fused_frontend(p, t, spec, n_out, interpret=INTERPRET))(
+            shifted, theta
+        )
+    )
+    got_c = got[0] + 1j * got[1]
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got_c, want, atol=5e-5 * max(scale, 1e-3))
+
+
+def test_supported_decimations():
+    assert supported(32) and supported(8) and supported(128)
+    assert not supported(24) and not supported(3)

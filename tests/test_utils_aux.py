@@ -1,0 +1,33 @@
+import numpy as np
+
+from quadrs_tpu.sources import ToneGen
+from quadrs_tpu.utils.determinism import check_repeatable, compare_backends
+from quadrs_tpu.utils.profiling import PROFILER, profiled
+
+
+def test_profiler_counts_executor_stages():
+    PROFILER.reset()
+    g = ToneGen([20], 400, 1.0)
+    with profiled():
+        g.read_at(0, 64)
+        g.read_at(64, 64)
+    stats = PROFILER.stages["tonegen"]
+    assert stats.steps == 2
+    assert stats.samples == 128
+    assert stats.seconds > 0
+    assert "tonegen" in PROFILER.report()
+    # accounting is off outside the context
+    g.read_at(0, 64)
+    assert PROFILER.stages["tonegen"].steps == 2
+
+
+def test_determinism_check():
+    g = ToneGen([20, 33], 400, 1.0)
+    check_repeatable(lambda: g.read_at(3, 128)[0])
+
+
+def test_compare_backends_runs():
+    # on the CPU test rig this compares cpu vs cpu; on TPU rigs it
+    # cross-checks the accelerator against the host backend
+    g = ToneGen([20], 400, 1.0)
+    compare_backends(lambda: np.asarray(g.read_at(0, 64)[0]), atol=1e-5)
