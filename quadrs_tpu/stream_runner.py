@@ -1,0 +1,111 @@
+"""Sustained streaming: capture file -> fused pipeline -> spectrogram.
+
+The production serving path.  Where the sinks in :mod:`quadrs_tpu.sinks`
+reproduce the reference's pull semantics exactly (per-window truncated
+convolution), this runner processes a capture as one continuous stream:
+the native loader prefetches chunks in a background thread, a carry
+buffer stitches chunk boundaries (so the FIR sees the true continuation,
+no per-read truncation), and each chunk runs through
+``PipelineModel.step_stream`` — one fused XLA program per chunk.
+
+Every chunk's NCO phase is planned exactly on the host from its absolute
+offset, so chunking is invisible in the output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import numpy as np
+
+from quadrs_tpu.models.receiver import PipelineModel
+from quadrs_tpu.sources import SampleSource
+from quadrs_tpu.utils.profiling import PROFILER, sync_fetch
+
+
+@dataclass
+class RunStats:
+    samples_in: int = 0
+    windows_out: int = 0
+    seconds: float = 0.0
+
+    @property
+    def msps(self) -> float:
+        return self.samples_in / self.seconds / 1e6 if self.seconds else 0.0
+
+
+class StreamRunner:
+    """Drive a capture through the fused pipeline at full rate.
+
+    ``source``: a :class:`SampleSource` (its format must match the
+    model's config).  ``chunk_samples`` is rounded down to a whole
+    number of STFT windows.
+    """
+
+    def __init__(
+        self,
+        source: SampleSource,
+        model: PipelineModel,
+        chunk_samples: int = 1 << 22,
+    ):
+        if source.format is not model.cfg.fmt:
+            raise ValueError(
+                f"source format {source.format} != model format {model.cfg.fmt}"
+            )
+        self.source = source
+        self.model = model
+        cfg = model.cfg
+        self._win_raw = cfg.decimate * cfg.fft_width
+        # lookahead: the last FIR output of a chunk reads taps/2 + taps
+        # past its decimation point (group delay), and step_stream's
+        # window reshape floor-drops the few extra decimated outputs
+        self._lookahead = cfg.taps + cfg.taps // 2
+        if cfg.taps // 2 // cfg.decimate >= cfg.fft_width:
+            raise ValueError("fft window shorter than the FIR group delay span")
+        self.chunk_samples = max(
+            self._win_raw, chunk_samples // self._win_raw * self._win_raw
+        )
+
+    def _chunks(self) -> Iterator[tuple[int, np.ndarray]]:
+        """(offset, (2, chunk+taps) planes) with the taps lookahead."""
+        la = self._lookahead
+        length = self.source.length
+        off = 0
+        while off < length - self.model.cfg.taps:
+            n = min(self.chunk_samples, (length - off) // self._win_raw * self._win_raw)
+            if n <= 0:
+                return
+            planes = self.source.stage(off, off + n + la)
+            if planes.shape[1] < n + la:
+                planes = np.pad(planes, ((0, 0), (0, n + la - planes.shape[1])))
+            yield off, planes
+            off += n
+
+    def run(
+        self,
+        on_windows: Callable[[int, np.ndarray], None] | None = None,
+    ) -> RunStats:
+        """Process the whole capture.  ``on_windows(first_window_index,
+        norms)`` receives each chunk's (windows, fft_width) f32 rows."""
+        import time
+
+        model = self.model
+        cfg = model.cfg
+        stats = RunStats()
+        t0 = time.perf_counter()
+        last = None
+        for off, planes in self._chunks():
+            theta0 = model.theta0(np.asarray([off]))[0]
+            norms = model.jit_step_stream(planes, theta0)
+            last = norms
+            stats.samples_in += planes.shape[1] - self._lookahead
+            stats.windows_out += norms.shape[0]
+            if on_windows is not None:
+                first_window = off // self._win_raw
+                on_windows(first_window, np.asarray(norms))
+        if last is not None and on_windows is None:
+            sync_fetch(last)
+        stats.seconds = time.perf_counter() - t0
+        PROFILER.account("stream_runner", stats.samples_in, stats.seconds)
+        return stats

@@ -1,0 +1,71 @@
+import numpy as np
+
+from quadrs_tpu.formats import FileFormat
+from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+from quadrs_tpu.sources import SampleSource
+from quadrs_tpu.stream_runner import StreamRunner
+
+CFG = PipelineConfig(
+    sample_rate=1_000_000,
+    shift_freq=12_500,
+    lp_freq=50_000,
+    decimate=8,
+    taps=64,
+    fft_width=32,
+    fmt=FileFormat.COMPLEX_FLOAT32,
+)
+
+
+def _source(data: np.ndarray) -> SampleSource:
+    inter = np.empty((len(data), 2), dtype=np.float32)
+    inter[:, 0] = data.real
+    inter[:, 1] = data.imag
+    return SampleSource(inter.reshape(-1).view(np.uint8), CFG.fmt, CFG.sample_rate)
+
+
+def test_chunked_equals_single_shot():
+    """Chunk boundaries must be invisible: tiny chunks == one big chunk."""
+    rng = np.random.default_rng(21)
+    n = 8 * CFG.decimate * CFG.fft_width * 4 + CFG.taps
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    model = PipelineModel(CFG)
+    src = _source(data)
+
+    rows_small: dict[int, np.ndarray] = {}
+    small = StreamRunner(src, model, chunk_samples=CFG.decimate * CFG.fft_width * 2)
+    st1 = small.run(lambda w0, norms: rows_small.update(
+        {w0 + i: norms[i] for i in range(norms.shape[0])}
+    ))
+
+    rows_big: dict[int, np.ndarray] = {}
+    big = StreamRunner(src, model, chunk_samples=1 << 20)
+    st2 = big.run(lambda w0, norms: rows_big.update(
+        {w0 + i: norms[i] for i in range(norms.shape[0])}
+    ))
+
+    assert st1.windows_out == len(rows_small)
+    assert set(rows_small) == set(rows_big)
+    for w in rows_big:
+        np.testing.assert_allclose(rows_small[w], rows_big[w], atol=1e-4)
+
+
+def test_runner_stats_and_tail():
+    rng = np.random.default_rng(22)
+    win_raw = CFG.decimate * CFG.fft_width
+    n = win_raw * 5 + 100  # ragged tail that can't fill a window
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    model = PipelineModel(CFG)
+    stats = StreamRunner(_source(data), model, chunk_samples=win_raw * 2).run()
+    # 5 whole windows minus the lookahead the last partial region can't cover
+    assert 3 <= stats.windows_out <= 5
+    assert stats.samples_in == stats.windows_out * win_raw
+    assert stats.seconds > 0
+
+
+def test_format_mismatch_rejected():
+    import pytest
+
+    model = PipelineModel(CFG)
+    src = SampleSource(np.zeros(1024, dtype=np.uint8), FileFormat.COMPLEX_INT8, CFG.sample_rate)
+    with pytest.raises(ValueError):
+        StreamRunner(src, model)
