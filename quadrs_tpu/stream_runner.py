@@ -41,6 +41,11 @@ class StreamRunner:
     ``source``: a :class:`SampleSource` (its format must match the
     model's config).  ``chunk_samples`` is rounded down to a whole
     number of STFT windows.
+
+    With ``mesh`` (a ``(stream, time)`` mesh from
+    :func:`quadrs_tpu.parallel.sharding.make_mesh`), each chunk's time
+    axis is sharded across the mesh's 'time' chips with ICI halo
+    exchange — the capture streams through the whole pod slice.
     """
 
     def __init__(
@@ -48,6 +53,7 @@ class StreamRunner:
         source: SampleSource,
         model: PipelineModel,
         chunk_samples: int = 1 << 22,
+        mesh=None,
     ):
         if source.format is not model.cfg.fmt:
             raise ValueError(
@@ -55,6 +61,8 @@ class StreamRunner:
             )
         self.source = source
         self.model = model
+        self.mesh = mesh
+        self._sharded_step = None
         cfg = model.cfg
         self._win_raw = cfg.decimate * cfg.fft_width
         # lookahead: the last FIR output of a chunk reads taps/2 + taps
@@ -63,9 +71,16 @@ class StreamRunner:
         self._lookahead = cfg.taps + cfg.taps // 2
         if cfg.taps // 2 // cfg.decimate >= cfg.fft_width:
             raise ValueError("fft window shorter than the FIR group delay span")
-        self.chunk_samples = max(
-            self._win_raw, chunk_samples // self._win_raw * self._win_raw
-        )
+        quantum = self._win_raw
+        if mesh is not None:
+            from quadrs_tpu.parallel.sharding import make_sharded_stream_step
+
+            if mesh.shape["stream"] != 1:
+                raise ValueError("StreamRunner shards time only; use n_stream=1")
+            quantum = self._win_raw * mesh.shape["time"]
+            self._sharded_step = make_sharded_stream_step(model, mesh)
+        self.chunk_samples = max(quantum, chunk_samples // quantum * quantum)
+        self._quantum = quantum
 
     def _chunks(self) -> Iterator[tuple[int, np.ndarray]]:
         """(offset, (2, chunk+taps) planes) with the taps lookahead."""
@@ -91,21 +106,75 @@ class StreamRunner:
         import time
 
         model = self.model
-        cfg = model.cfg
         stats = RunStats()
         t0 = time.perf_counter()
         last = None
-        for off, planes in self._chunks():
-            theta0 = model.theta0(np.asarray([off]))[0]
-            norms = model.jit_step_stream(planes, theta0)
-            last = norms
-            stats.samples_in += planes.shape[1] - self._lookahead
-            stats.windows_out += norms.shape[0]
-            if on_windows is not None:
-                first_window = off // self._win_raw
-                on_windows(first_window, np.asarray(norms))
+        if self._sharded_step is None:
+            for off, planes in self._chunks():
+                theta0 = model.theta0(np.asarray([off]))[0]
+                norms = model.jit_step_stream(planes, theta0)
+                last = norms
+                stats.samples_in += planes.shape[1] - self._lookahead
+                stats.windows_out += norms.shape[0]
+                if on_windows is not None:
+                    on_windows(off // self._win_raw, np.asarray(norms))
+        else:
+            last = self._run_sharded(on_windows, stats)
         if last is not None and on_windows is None:
             sync_fetch(last)
         stats.seconds = time.perf_counter() - t0
         PROFILER.account("stream_runner", stats.samples_in, stats.seconds)
         return stats
+
+    def _run_sharded(self, on_windows, stats: RunStats):
+        """Time-sharded chunks over the mesh.  The final shard's halo
+        wraps circularly, so each chunk's last ``wrap`` windows are
+        dropped and recomputed as the next chunk's first windows (chunks
+        overlap by that amount); the ragged tail runs single-device."""
+        from quadrs_tpu.parallel.sharding import shard_chunk
+
+        model = self.model
+        cfg = model.cfg
+        n_time = self.mesh.shape["time"]
+        wrap = -(-(cfg.taps + cfg.taps // 2) // self._win_raw)
+        n = self.chunk_samples
+        n_local = n // n_time
+        advance = n - wrap * self._win_raw
+        if advance <= 0:
+            raise ValueError("chunk too small for the halo wrap overlap")
+        length = self.source.length
+        last = None
+        off = 0
+        while off + n <= length:
+            planes = self.source.stage(off, off + n)[None]  # (1, 2, n)
+            theta = model.theta0(off + np.arange(n_time, dtype=np.int64) * n_local)[
+                None
+            ]
+            out = self._sharded_step(
+                shard_chunk(planes, self.mesh), shard_chunk(theta, self.mesh)
+            )[0]
+            keep = out.shape[0] - wrap
+            last = out
+            stats.samples_in += advance
+            stats.windows_out += keep
+            if on_windows is not None:
+                on_windows(off // self._win_raw, np.asarray(out[:keep]))
+            off += advance
+        # ragged tail on one device
+        while off < length - cfg.taps:
+            m = (length - off) // self._win_raw * self._win_raw
+            if m <= 0:
+                break
+            planes = self.source.stage(off, off + m + self._lookahead)
+            if planes.shape[1] < m + self._lookahead:
+                planes = np.pad(
+                    planes, ((0, 0), (0, m + self._lookahead - planes.shape[1]))
+                )
+            norms = model.jit_step_stream(planes, model.theta0(np.asarray([off]))[0])
+            last = norms
+            stats.samples_in += m
+            stats.windows_out += norms.shape[0]
+            if on_windows is not None:
+                on_windows(off // self._win_raw, np.asarray(norms))
+            off += m
+        return last

@@ -105,3 +105,40 @@ def test_fused_frontend_phase_matches_at_offset():
 def test_supported_decimations():
     assert supported(32) and supported(8) and supported(128)
     assert not supported(24) and not supported(3)
+
+
+@pytest.mark.parametrize(
+    "fmt", [FileFormat.COMPLEX_FLOAT32, FileFormat.COMPLEX_INT8, FileFormat.COMPLEX_INT16]
+)
+def test_fused_frontend_t_matches_v1(fmt):
+    from quadrs_tpu.ops.frontend_pallas import fused_frontend_t
+
+    cfg = PipelineConfig(
+        sample_rate=1_000_000,
+        shift_freq=12_500,
+        lp_freq=50_000,
+        decimate=32,
+        taps=400,
+        fft_width=64,
+        fmt=fmt,
+    )
+    model = PipelineModel(cfg)
+    spec = _spec(cfg)
+    n_out = 3000
+    n_in = n_out * cfg.decimate + cfg.taps
+    raw = model.synth_raw(n_in, seed=13)
+    shifted = raw[:, cfg.taps // 2 :]
+    theta = tile_bases(spec, cfg.taps // 2, -(-n_out // 2048))
+
+    a = np.asarray(
+        jax.jit(lambda p, t: fused_frontend(p, t, spec, n_out, interpret=INTERPRET))(
+            shifted, theta
+        )
+    )
+    b = np.asarray(
+        jax.jit(lambda p, t: fused_frontend_t(p, t, spec, n_out, interpret=INTERPRET))(
+            shifted, theta
+        )
+    )
+    scale = max(np.abs(a).max(), 1e-3)
+    np.testing.assert_allclose(b, a, atol=2e-5 * scale)

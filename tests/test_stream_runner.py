@@ -69,3 +69,38 @@ def test_format_mismatch_rejected():
     src = SampleSource(np.zeros(1024, dtype=np.uint8), FileFormat.COMPLEX_INT8, CFG.sample_rate)
     with pytest.raises(ValueError):
         StreamRunner(src, model)
+
+
+def test_sharded_runner_matches_single_device():
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.default_rng(23)
+    win_raw = CFG.decimate * CFG.fft_width
+    n = win_raw * 40 + CFG.taps * 2
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    model = PipelineModel(CFG)
+    src = _source(data)
+
+    rows_single: dict[int, np.ndarray] = {}
+    StreamRunner(src, model, chunk_samples=win_raw * 8).run(
+        lambda w0, norms: rows_single.update(
+            {w0 + i: norms[i] for i in range(norms.shape[0])}
+        )
+    )
+
+    rows_sharded: dict[int, np.ndarray] = {}
+    mesh = make_mesh(n_time=4, n_stream=1)
+    StreamRunner(src, model, chunk_samples=win_raw * 16, mesh=mesh).run(
+        lambda w0, norms: rows_sharded.update(
+            {w0 + i: norms[i] for i in range(norms.shape[0])}
+        )
+    )
+
+    assert set(rows_sharded) == set(rows_single)
+    for w in rows_single:
+        np.testing.assert_allclose(rows_sharded[w], rows_single[w], atol=2e-4)
