@@ -47,6 +47,12 @@ class Ui(Command):
 @dataclass
 class Eui(Command):
     filename: Path | None
+    # the GUI's slider state (src/eui/mod.rs:62-70), settable from the
+    # CLI since there is no window; the reference's parser ignored flags
+    # for eui entirely (src/args.rs:318-326) so this stays compatible
+    start_pct: float = 46.0
+    end_pct: float = 46.3
+    fft_width: int = 512
 
 
 class _Args:
@@ -228,8 +234,18 @@ def _parse_ui(args: _Args, raw_map) -> Command:
 
 
 def _parse_eui(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    start = parse_si_float(map_.pop("start", "46.0"))
+    end = parse_si_float(map_.pop("end", "46.3"))
+    fft_width = int(parse_si_uint(map_.pop("fft", "512")))
+    map_.clear()  # reference eui drops any other flags silently
     filename = args.next()
-    return Eui(filename=None if filename is None else Path(filename))
+    return Eui(
+        filename=None if filename is None else Path(filename),
+        start_pct=start,
+        end_pct=end,
+        fft_width=fft_width,
+    )
 
 
 _PARSERS = {

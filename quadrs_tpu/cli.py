@@ -67,9 +67,14 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"wrote {path}")
                 stream = None  # the reference's ui takes the samples (samples.take())
             elif isinstance(command, argmod.Eui):
-                from quadrs_tpu.viz.waterfall import eui_render_file
+                from quadrs_tpu.viz.waterfall import EuiParams, eui_render_file
 
-                path = eui_render_file(command.filename)
+                params = EuiParams(
+                    start_pct=command.start_pct,
+                    end_pct=command.end_pct,
+                    fft_width=command.fft_width,
+                )
+                path = eui_render_file(command.filename, params=params)
                 print(f"wrote {path}")
     except (ValueError, RuntimeError, OSError, NotImplementedError) as e:
         print(f"Error: {e}", file=sys.stderr)

@@ -119,3 +119,26 @@ def test_cli_usage_on_error(capsys):
 
     assert main(["nonsense"]) == 1
     assert "usage:" in capsys.readouterr().out
+
+
+def test_eui_slider_flags(tmp_path, monkeypatch):
+    import numpy as np
+
+    from quadrs_tpu import args as argmod
+    from quadrs_tpu.cli import main
+
+    cmds = argmod.parse("eui -start 10 -end 90 -fft 64 file.sr400.cf32".split())
+    assert isinstance(cmds[0], argmod.Eui)
+    assert cmds[0].start_pct == 10.0 and cmds[0].end_pct == 90.0
+    assert cmds[0].fft_width == 64
+
+    # end to end with a tiny capture
+    monkeypatch.chdir(tmp_path)
+    rc = main("gen -cos 50 -len 20 4k write tone".split())
+    assert rc == 0
+    rc = main("eui -start 0 -end 50 -fft 32 tone.sr4000.cf32".split())
+    assert rc == 0
+    from PIL import Image
+
+    img = np.asarray(Image.open(tmp_path / "eui.png"))
+    assert img.shape[1] == 32
