@@ -1,0 +1,128 @@
+"""Extended benchmark suite: the BASELINE stretch configs.
+
+``bench.py`` prints the single headline line for the driver; this suite
+measures the stretch configurations (BASELINE.json configs 2-4) and
+prints one JSON line each:
+
+* ``cs16-sustained``  — on-chip cs16 decode -> shift -> lowpass(dec 64)
+* ``long-fir``        — power=2000 (4000 taps) overlap-save chain
+* ``waterfall-64xcs8``— 64 parallel cs8 streams, 1024-pt strided STFT
+
+Timing uses scalar-fetch differencing (see bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time(step, args, chunk, min_secs):
+    def run(iters: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = step(*args(i))
+        float(jnp.sum(out))
+        return time.perf_counter() - t0
+
+    float(jnp.sum(step(*args(0))))  # compile
+    per = max(run(2) / 2, 1e-5)
+    n1 = max(2, int(min_secs / per / 2))
+    n2 = 3 * n1
+    t1, t2 = run(n1), run(n2)
+    return (n2 - n1) * chunk / max(t2 - t1, 1e-9) / 1e6
+
+
+def bench_cs16_sustained(on_accel: bool) -> dict:
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+
+    cfg = PipelineConfig(
+        sample_rate=61_440_000,
+        shift_freq=1_000_000,
+        lp_freq=480_000,
+        decimate=64,
+        taps=512,
+        fft_width=64,
+        fmt=FileFormat.COMPLEX_INT16,
+    )
+    model = PipelineModel(cfg)
+    chunk = (1 << 24) if on_accel else (1 << 20)
+    raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
+    thetas = model.theta0(np.arange(16, dtype=np.int64) * chunk)
+    msps = _time(
+        model.jit_step_stream,
+        lambda i: (raw, thetas[i % 16]),
+        chunk,
+        2.0 if on_accel else 0.3,
+    )
+    return {
+        "metric": "cs16 on-chip decode + shift + lowpass(dec64) + stft",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+    }
+
+
+def bench_long_fir(on_accel: bool) -> dict:
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+
+    cfg = PipelineConfig(
+        sample_rate=21_000_000,
+        shift_freq=280_000,
+        lp_freq=50_000,
+        decimate=32,
+        taps=4000,  # lowpass -power 2000
+        fft_width=64,
+        fmt=FileFormat.COMPLEX_FLOAT32,
+    )
+    model = PipelineModel(cfg)
+    chunk = (1 << 23) if on_accel else (1 << 19)
+    raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
+    thetas = model.theta0(np.arange(16, dtype=np.int64) * chunk)
+    msps = _time(
+        model.jit_step_stream,
+        lambda i: (raw, thetas[i % 16]),
+        chunk,
+        2.0 if on_accel else 0.3,
+    )
+    return {
+        "metric": "power=2000 overlap-save lowpass chain",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+    }
+
+
+def bench_waterfall(on_accel: bool) -> dict:
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+
+    cfg = WaterfallConfig(n_streams=64, fft_width=1024, stride=1024)
+    model = WaterfallModel(cfg)
+    per_stream = (1 << 17) if on_accel else (1 << 14)
+    raw = jax.device_put(model.synth_raw(per_stream))
+    step = model.jit_step()
+    total = cfg.n_streams * per_stream
+    msps = _time(step, lambda i: (raw,), total, 2.0 if on_accel else 0.3)
+    return {
+        "metric": "64x parallel cs8 fused decode + 1024-pt strided STFT",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip (aggregate)",
+        "vs_baseline": round(msps / 100.0, 2),
+    }
+
+
+def main() -> None:
+    on_accel = jax.devices()[0].platform != "cpu"
+    for fn in (bench_cs16_sustained, bench_long_fir, bench_waterfall):
+        print(json.dumps(fn(on_accel)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
