@@ -23,7 +23,7 @@ the MXU.
 """
 
 from quadrs_tpu.formats import FileFormat, FileDetails
-from quadrs_tpu.stream import Stream
+from quadrs_tpu.stream import LowPass, Shift, Stream
 from quadrs_tpu.sources import SampleSource, ToneGen, open_capture
 from quadrs_tpu.pipeline import Operation, exec_operation, run_pipeline
 
@@ -33,6 +33,8 @@ __all__ = [
     "FileFormat",
     "FileDetails",
     "Stream",
+    "Shift",
+    "LowPass",
     "SampleSource",
     "ToneGen",
     "open_capture",

@@ -14,6 +14,8 @@ offset, so chunking is invisible in the output.
 
 from __future__ import annotations
 
+import queue
+import threading
 from dataclasses import dataclass
 from typing import Callable, Iterator
 
@@ -97,6 +99,31 @@ class StreamRunner:
             yield off, planes
             off += n
 
+    def _prefetched(self, depth: int = 2) -> Iterator[tuple[int, np.ndarray]]:
+        """Run :meth:`_chunks` staging on a background thread so the host
+        prepares chunk k+1 while the device computes chunk k (the C++
+        loader already overlaps the disk read underneath)."""
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        _DONE = object()
+
+        def fill():
+            try:
+                for item in self._chunks():
+                    q.put(item)
+                q.put(_DONE)
+            except BaseException as e:  # surface staging errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=fill, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def run(
         self,
         on_windows: Callable[[int, np.ndarray], None] | None = None,
@@ -110,7 +137,7 @@ class StreamRunner:
         t0 = time.perf_counter()
         last = None
         if self._sharded_step is None:
-            for off, planes in self._chunks():
+            for off, planes in self._prefetched():
                 theta0 = model.theta0(np.asarray([off]))[0]
                 norms = model.jit_step_stream(planes, theta0)
                 last = norms
