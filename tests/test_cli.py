@@ -142,3 +142,29 @@ def test_eui_slider_flags(tmp_path, monkeypatch):
 
     img = np.asarray(Image.open(tmp_path / "eui.png"))
     assert img.shape[1] == 32
+
+
+def test_si_suffixed_negative_is_a_flag_quirk():
+    """'-5k' has a non-digit third char so the reference reads it as a
+    flag named '5k' needing a value (src/args.rs:422-426) — preserved."""
+    import pytest
+
+    with pytest.raises(ValueError, match="requires an argument"):
+        argmod.parse("shift -5k".split())
+    # but a plain negative number is a positional
+    (s,) = _ops("shift -5000".split())
+    assert s.frequency == -5000
+
+
+def test_two_char_minus_token_is_a_flag():
+    """'-5' has no third char, so it's treated as a flag (quirk kept)."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        argmod.parse("shift -5".split())
+
+
+def test_empty_token_ends_flag_scan():
+    # an empty string token stops flag collection (src/args.rs:413-415)
+    (s,) = _ops(["sparkfft", "-width", "64"])
+    assert s.width == 64

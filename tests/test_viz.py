@@ -73,3 +73,51 @@ def test_eui_render_blue_channel(tmp_path):
 def test_eui_requires_filename():
     with pytest.raises(ValueError):
         eui_render_file(None)
+
+
+def test_ui_render_geometry_matches_sequential_oracle():
+    """Pixel-for-pixel check of the render loop geometry (column fill,
+    row-band wrap, vertical stretch, y-flip, separator columns) against
+    a literal transcription of src/ui/mod.rs:294-412."""
+    import numpy as np
+
+    from quadrs_tpu.viz.waterfall import UiParams, _hsv_to_rgb_u8, ui_render
+
+    g = ToneGen([40, -90], 1000, 2.0)  # 2000 samples
+    p = UiParams(width=40, height=60, fft_width=8, stretch=3, stride=4)
+    img, _, _ = ui_render(g, p)
+
+    # sequential oracle
+    w, h = p.width, p.height
+    target = np.zeros((h, w, 3), dtype=np.uint8)
+    row_height = p.stretch * p.fft_width + 16
+    sample_pos, ox, row, scan_pos = 0, 0, 0, 0
+    avail = g.length - p.fft_width
+    while sample_pos < avail:
+        oy = row * row_height
+        if oy > h:
+            break
+        win, _ = g.read_at(sample_pos, p.fft_width)
+        spec = np.fft.fft(np.asarray(win).astype(np.complex128))
+        spec = np.concatenate([spec[p.fft_width // 2 :], spec[: p.fft_width // 2]])
+        norms = np.abs(spec).astype(np.float32)
+        for o, v in enumerate(norms):
+            rgb = _hsv_to_rgb_u8(np.array([v / 2.29], dtype=np.float64))[0]
+            if scan_pos == 0:
+                rgb = np.zeros(3, dtype=np.uint8)
+            for off in range(p.stretch):
+                y = oy + o * p.stretch + off
+                if y >= h:
+                    continue
+                target[h - y - 1, ox] = rgb
+        ox += 1
+        if ox >= w:
+            ox = 0
+            row += 1
+        scan_pos += 1
+        if scan_pos >= p.stride:
+            scan_pos = 0
+        sample_pos += 1
+
+    mismatched = int((img != target).any(axis=2).sum())
+    assert mismatched == 0, f"{mismatched} pixels differ"
