@@ -84,11 +84,11 @@ class StreamRunner:
         self.chunk_samples = max(quantum, chunk_samples // quantum * quantum)
         self._quantum = quantum
 
-    def _chunks(self) -> Iterator[tuple[int, np.ndarray]]:
+    def _chunks(self, start_off: int = 0) -> Iterator[tuple[int, np.ndarray]]:
         """(offset, (2, chunk+taps) planes) with the taps lookahead."""
         la = self._lookahead
         length = self.source.length
-        off = 0
+        off = start_off
         while off < length - self.model.cfg.taps:
             n = min(self.chunk_samples, (length - off) // self._win_raw * self._win_raw)
             if n <= 0:
@@ -99,7 +99,9 @@ class StreamRunner:
             yield off, planes
             off += n
 
-    def _prefetched(self, depth: int = 2) -> Iterator[tuple[int, np.ndarray]]:
+    def _prefetched(
+        self, start_off: int = 0, depth: int = 2
+    ) -> Iterator[tuple[int, np.ndarray]]:
         """Run :meth:`_chunks` staging on a background thread so the host
         prepares chunk k+1 while the device computes chunk k (the C++
         loader already overlaps the disk read underneath)."""
@@ -108,7 +110,7 @@ class StreamRunner:
 
         def fill():
             try:
-                for item in self._chunks():
+                for item in self._chunks(start_off):
                     q.put(item)
                 q.put(_DONE)
             except BaseException as e:  # surface staging errors to the consumer
@@ -127,17 +129,27 @@ class StreamRunner:
     def run(
         self,
         on_windows: Callable[[int, np.ndarray], None] | None = None,
+        start_window: int = 0,
     ) -> RunStats:
-        """Process the whole capture.  ``on_windows(first_window_index,
-        norms)`` receives each chunk's (windows, fft_width) f32 rows."""
+        """Process the capture from ``start_window`` onward.
+
+        ``on_windows(first_window_index, norms)`` receives each chunk's
+        (windows, fft_width) f32 rows.  Resuming mid-capture is exact —
+        NCO phases are planned from absolute offsets, so a resumed run
+        produces bit-identical rows to the corresponding tail of a full
+        run (the checkpoint/resume counterpart of the reference's
+        write-then-re-`from` workflow).
+        """
         import time
 
         model = self.model
         stats = RunStats()
         t0 = time.perf_counter()
         last = None
+        if self._sharded_step is not None and start_window:
+            raise NotImplementedError("resume is single-device for now")
         if self._sharded_step is None:
-            for off, planes in self._prefetched():
+            for off, planes in self._prefetched(start_window * self._win_raw):
                 theta0 = model.theta0(np.asarray([off]))[0]
                 norms = model.jit_step_stream(planes, theta0)
                 last = norms
