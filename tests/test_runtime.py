@@ -1,0 +1,47 @@
+import numpy as np
+
+from quadrs_tpu.formats import FileFormat
+from quadrs_tpu.ops.stft import stft_norms
+from quadrs_tpu.runtime import Executor
+from quadrs_tpu.sources import SampleSource
+from quadrs_tpu.stream import Shift
+
+
+def _src(n=1 << 16, sr=48_000):
+    rng = np.random.default_rng(41)
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    return SampleSource(
+        np.ascontiguousarray(data).view(np.uint8), FileFormat.COMPLEX_FLOAT32, sr
+    ), data
+
+
+def test_executor_compiles_once_across_batches():
+    """Sliding batches reuse one compiled program: staged buffers are
+    padded to power-of-two buckets and batch width is fixed."""
+    src, _ = _src()
+    ex = Executor(Shift(src, 1000, 48_000), 128, batch=32, post=stft_norms)
+    for start in range(0, 4096, 1024):
+        offs = start + np.arange(32, dtype=np.int64) * 128
+        out, valid = ex.run(offs)
+        assert out.shape == (32, 128)
+    assert ex._fn._cache_size() == 1
+
+
+def test_executor_partial_batch_padding():
+    src, data = _src()
+    ex = Executor(src, 64, batch=16)
+    out, valid = ex.run(np.asarray([0, 64, 128], dtype=np.int64))
+    assert out.shape == (3, 64)
+    assert np.all(valid == 64)
+    assert out[1].tobytes() == data[64:128].tobytes()
+
+
+def test_executor_rejects_oversized_and_empty_batches():
+    import pytest
+
+    src, _ = _src()
+    ex = Executor(src, 64, batch=4)
+    with pytest.raises(ValueError):
+        ex.run(np.arange(5, dtype=np.int64))
+    with pytest.raises(ValueError):
+        ex.run(np.asarray([], dtype=np.int64))
