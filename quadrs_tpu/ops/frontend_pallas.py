@@ -39,7 +39,6 @@ starting point for configs where XLA's fusion falls short.
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
 
 import jax

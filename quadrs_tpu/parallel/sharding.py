@@ -16,7 +16,7 @@ stays embarrassingly parallel except for the halo.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

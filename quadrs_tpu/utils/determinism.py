@@ -9,7 +9,7 @@ comparison (CPU vs TPU) within float tolerance.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import numpy as np
