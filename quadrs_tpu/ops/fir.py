@@ -102,7 +102,9 @@ def fir_decimate(
         if m > 64:
             impl = "overlap_save"
         elif d >= 4:
-            impl = "polyphase"
+            # measured on v5e: the polyphase's m shifted adds scale worse
+            # than the banded matmul's FLOP overhead for long outputs
+            impl = "banded" if n_out >= (1 << 18) and d >= 8 else "polyphase"
         else:
             impl = "direct"
 
