@@ -41,7 +41,13 @@ class Octagon(Command):
 
 @dataclass
 class Ui(Command):
-    pass
+    # the GUI's button state (src/ui/mod.rs:71-77); with no window the
+    # CLI needs knobs, and stride defaults to 4 rather than the GUI's 1
+    # because stride=1 blackens every column (the interactive user would
+    # immediately click stride+; a file renderer can't)
+    fft_width: int = 8
+    stretch: int = 4
+    stride: int = 4
 
 
 @dataclass
@@ -229,8 +235,11 @@ def _parse_gen(args: _Args, raw_map) -> Command:
 
 def _parse_ui(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
+    fft_width = int(parse_si_uint(map_.pop("fft", "8")))
+    stretch = int(parse_si_uint(map_.pop("stretch", "4")))
+    stride = int(parse_si_uint(map_.pop("stride", "4")))
     _ensure_empty(map_, "ui")
-    return Ui()
+    return Ui(fft_width=fft_width, stretch=stretch, stride=stride)
 
 
 def _parse_eui(args: _Args, raw_map) -> Command:

@@ -50,6 +50,12 @@ def scan(data, scale: float) -> tuple[float, list[bool]]:
         found = _run_of_fast(data, i, half, bit)
         i += found
         if found <= half:
+            if found == 0:
+                # the stream opens with a long run of the *other* value;
+                # the reference spins forever here (run_of returns 0 and
+                # nothing advances, src/bits.rs:9-35) — we flip the
+                # expected bit and move on instead of hanging
+                bit = not bit
             continue
         bits = found / scale
         rounded = _rust_round(bits)

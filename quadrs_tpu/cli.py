@@ -58,12 +58,17 @@ def main(argv: list[str] | None = None) -> int:
             if isinstance(command, argmod.Octagon):
                 stream = exec_operation(command.op, stream)
             elif isinstance(command, argmod.Ui):
-                from quadrs_tpu.viz.waterfall import ui_render_file
+                from quadrs_tpu.viz.waterfall import UiParams, ui_render_file
 
                 if stream is None:
                     print("Error: ui requires an input", file=sys.stderr)
                     return 1
-                path = ui_render_file(stream)
+                params = UiParams(
+                    fft_width=command.fft_width,
+                    stretch=command.stretch,
+                    stride=command.stride,
+                )
+                path = ui_render_file(stream, params=params)
                 print(f"wrote {path}")
                 stream = None  # the reference's ui takes the samples (samples.take())
             elif isinstance(command, argmod.Eui):

@@ -58,16 +58,16 @@ class OokDemod:
 
     def pulses(self, stream: Stream) -> np.ndarray:
         from quadrs_tpu.ops.stft import stft_norms
-        from quadrs_tpu.runtime import Executor
+        from quadrs_tpu.runtime import Executor, window_batches
 
         offsets = np.arange(0, stream.length - self.width, self.stride, dtype=np.int64)
         if len(offsets) == 0:
             raise ValueError("input shorter than the envelope window")
-        batch = max(1, min(len(offsets), (1 << 20) // self.width))
+        batch, batches = window_batches(offsets, self.width)
         ex = Executor(stream, self.width, batch=batch, post=stft_norms)
         flags = []
-        for i in range(0, len(offsets), batch):
-            norms, valid = ex.run(offsets[i : i + batch])
+        for offs in batches:
+            norms, valid = ex.run(offs)
             if not np.all(valid == self.width):
                 raise RuntimeError("short read in OOK demod")
             flags.append((norms >= np.float32(self.threshold)).any(axis=1))

@@ -128,16 +128,31 @@ class PipelineModel:
         y = fir_decimate(x, self.taps, cfg.decimate, cfg.fft_width)
         return stft_norms(y)
 
-    def step_stream(self, raw: jnp.ndarray, theta0: jnp.ndarray) -> jnp.ndarray:
+    def step_stream(
+        self,
+        raw: jnp.ndarray,
+        theta0: jnp.ndarray,
+        valid: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
         """Streaming mode: ``raw`` is (2, n_chunk) native-dtype planes of
         a contiguous chunk (including ``taps`` halo at its end),
         ``theta0`` a scalar phase for the chunk start.  The FIR runs once
         across the chunk; the decimated stream reshapes into adjacent
         STFT windows (stride == width, the sparkfft default).  Returns
-        (n_windows, fft_width) f32."""
+        (n_windows, fft_width) f32.
+
+        ``valid``: optional count of real samples in ``raw``.  Zero
+        padding must happen in the *decoded* domain — a zero byte
+        decodes to -127.5 (cu8) / -32767.5 (cs16) — so callers that pad
+        raw planes past EOF must pass the true length here.
+        """
         cfg = self.cfg
         n_in = raw.shape[-1]
-        x = self._mix_stream(self._decode(raw), theta0)
+        x = self._decode(raw)
+        if valid is not None:
+            mask = jnp.arange(n_in, dtype=jnp.int32) < valid
+            x = jnp.where(mask, x, 0)
+        x = self._mix_stream(x, theta0)
         n_dec = (n_in - cfg.taps) // cfg.decimate
         n_windows = n_dec // cfg.fft_width
         y = fir_decimate(x[None, :], self.taps, cfg.decimate, n_dec)[0]

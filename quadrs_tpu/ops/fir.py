@@ -46,6 +46,10 @@ def lowpass_taps(cutoff: float, size: int) -> np.ndarray:
 
     ``cutoff`` is frequency / sample_rate (``src/filter.rs:126-128``);
     formulas and op order follow ``src/filter.rs:86-105`` in f32.
+
+    Odd sizes diverge deliberately: the reference's ``sin(0)/0`` center
+    tap is NaN there (its CLI only produces even sizes, 2*power or 40),
+    while this defines sinc(0)=1 so odd sizes are usable.
     """
     if size < 2:
         raise ValueError("filter size must be at least 2")
@@ -90,10 +94,14 @@ def fir_decimate(
     size = len(taps)
     d = int(decimate)
 
-    # Drop the group-delay prefix; make sure the block covers the last
-    # frame (the reference zero-pads there via its bounds-skip).
+    # Drop the group-delay prefix: the reference's pick convoluted[N+i*D]
+    # with output index m reading input m - floor(N/2) + j works out to
+    # x[i*D + (N - floor(N/2)) + j] — i.e. a ceil(N/2) prefix (equal to
+    # N/2 for the even sizes the CLI produces).  Also make sure the
+    # block covers the last frame (the reference zero-pads there via its
+    # bounds-skip).
     needed = (n_out - 1) * d + size
-    x = x[:, size // 2 :]
+    x = x[:, size - size // 2 :]
     if x.shape[1] < needed:
         x = jnp.pad(x, ((0, 0), (0, needed - x.shape[1])))
 

@@ -54,13 +54,10 @@ _TOUT = _ROUT * 128
 
 
 def _decode_ref(x, fmt: FileFormat):
-    if fmt is FileFormat.COMPLEX_FLOAT32:
-        return x.astype(jnp.float32)
-    if fmt is FileFormat.COMPLEX_INT8:
-        return x.astype(jnp.float32) / jnp.float32(127.0)
-    if fmt is FileFormat.COMPLEX_UINT8:
-        return x.astype(jnp.float32) / jnp.float32(255.0) - jnp.float32(127.5)
-    return x.astype(jnp.float32) / jnp.float32(65535.0) - jnp.float32(32767.5)
+    # single source of truth for the bit-exact decode formulas
+    from quadrs_tpu.formats import decode_plane
+
+    return decode_plane(x, fmt, xp=jnp)
 
 
 @dataclass(frozen=True)

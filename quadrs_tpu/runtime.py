@@ -23,6 +23,15 @@ def _round_up_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+def window_batches(
+    offsets: np.ndarray, width: int, budget: int = 1 << 20
+) -> tuple[int, list[np.ndarray]]:
+    """Split window offsets into executor-sized batches (one compiled
+    program reused across them): ~``budget`` samples per batch."""
+    batch = max(1, min(len(offsets), budget // max(width, 1)))
+    return batch, [offsets[i : i + batch] for i in range(0, len(offsets), batch)]
+
+
 class _Planes:
     """Marker pytree node: a complex array split into f32 planes.
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from quadrs_tpu.formats import encode_cf32
 from quadrs_tpu.ops.stft import blackman_harris_window, stft_norms
-from quadrs_tpu.runtime import Executor
+from quadrs_tpu.runtime import Executor, window_batches
 from quadrs_tpu.stream import Stream
 
 # The 9 display levels: blank below min, full block at/above max,
@@ -31,11 +31,6 @@ SPARK_GLYPHS = np.array([" ", "▁", "▂", "▃", "▄", "▅", "▆", "▇", "
 DEFAULT_SPARK_MIN = 0.08  # src/fft.rs:22
 DEFAULT_SPARK_MAX = 1.0  # src/fft.rs:23
 WRITE_CHUNK = 0x1000  # src/lib.rs:201
-
-
-def _window_batches(offsets: np.ndarray, width: int) -> tuple[int, list[np.ndarray]]:
-    batch = max(1, min(len(offsets), (1 << 20) // max(width, 1)))
-    return batch, [offsets[i : i + batch] for i in range(0, len(offsets), batch)]
 
 
 def glyph_rows(norms: np.ndarray, lo: float, hi: float) -> list[str]:
@@ -88,7 +83,7 @@ def spark_fft(
         return collected
 
     offsets = np.arange(0, stream.length - width, stride, dtype=np.int64)
-    batch, batches = _window_batches(offsets, width)
+    batch, batches = window_batches(offsets, width)
     ex = Executor(stream, width, batch=batch, post=stft_norms)
     for offs in batches:
         norms, valid = ex.run(offs)
@@ -131,7 +126,7 @@ def freq_levels(
         half = fft_width // 2
         return norms[:, :half].sum(axis=1), norms[:, half:].sum(axis=1)
 
-    batch, batches = _window_batches(offsets, fft_width)
+    batch, batches = window_batches(offsets, fft_width)
     ex = Executor(stream, fft_width, batch=batch, post=post)
     vals: list[int] = []
     for offs in batches:
@@ -239,7 +234,7 @@ def take_fft(
     elif windowing != "rectangular":
         raise ValueError(f"unknown windowing: {windowing}")
 
-    batch, batches = _window_batches(offsets, width)
+    batch, batches = window_batches(offsets, width)
     ex = Executor(stream, width, batch=batch, post=lambda x: stft_norms(x, window=window))
     rows: list[np.ndarray] = []
     for offs in batches:

@@ -94,37 +94,56 @@ class StreamRunner:
             if n <= 0:
                 return
             planes = self.source.stage(off, off + n + la)
-            if planes.shape[1] < n + la:
-                planes = np.pad(planes, ((0, 0), (0, n + la - planes.shape[1])))
-            yield off, planes
+            valid = planes.shape[1]
+            if valid < n + la:
+                # raw zero bytes decode to nonzero values for cu8/cs16,
+                # so the model masks [valid:] in the decoded domain
+                planes = np.pad(planes, ((0, 0), (0, n + la - valid)))
+            yield off, planes, valid
             off += n
 
-    def _prefetched(
-        self, start_off: int = 0, depth: int = 2
-    ) -> Iterator[tuple[int, np.ndarray]]:
+    def _prefetched(self, start_off: int = 0, depth: int = 2) -> Iterator:
         """Run :meth:`_chunks` staging on a background thread so the host
         prepares chunk k+1 while the device computes chunk k (the C++
-        loader already overlaps the disk read underneath)."""
+        loader already overlaps the disk read underneath).  If the
+        consumer abandons the generator (callback raised, interrupted),
+        the fill thread notices and exits instead of pinning buffers."""
         q: queue.Queue = queue.Queue(maxsize=depth)
         _DONE = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def fill():
             try:
                 for item in self._chunks(start_off):
-                    q.put(item)
-                q.put(_DONE)
+                    if not put(item):
+                        return
+                put(_DONE)
             except BaseException as e:  # surface staging errors to the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=fill, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _DONE:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():
+                q.get_nowait()
 
     def run(
         self,
@@ -149,9 +168,9 @@ class StreamRunner:
         if self._sharded_step is not None and start_window:
             raise NotImplementedError("resume is single-device for now")
         if self._sharded_step is None:
-            for off, planes in self._prefetched(start_window * self._win_raw):
+            for off, planes, valid in self._prefetched(start_window * self._win_raw):
                 theta0 = model.theta0(np.asarray([off]))[0]
-                norms = model.jit_step_stream(planes, theta0)
+                norms = model.jit_step_stream(planes, theta0, np.int32(valid))
                 last = norms
                 stats.samples_in += planes.shape[1] - self._lookahead
                 stats.windows_out += norms.shape[0]
@@ -205,11 +224,12 @@ class StreamRunner:
             if m <= 0:
                 break
             planes = self.source.stage(off, off + m + self._lookahead)
-            if planes.shape[1] < m + self._lookahead:
-                planes = np.pad(
-                    planes, ((0, 0), (0, m + self._lookahead - planes.shape[1]))
-                )
-            norms = model.jit_step_stream(planes, model.theta0(np.asarray([off]))[0])
+            valid = planes.shape[1]
+            if valid < m + self._lookahead:
+                planes = np.pad(planes, ((0, 0), (0, m + self._lookahead - valid)))
+            norms = model.jit_step_stream(
+                planes, model.theta0(np.asarray([off]))[0], np.int32(valid)
+            )
             last = norms
             stats.samples_in += m
             stats.windows_out += norms.shape[0]

@@ -35,6 +35,9 @@ def parse_si_uint(text: str) -> int:
 def parse_si_float(text: str) -> float:
     """Parse a float with optional SI suffix (``src/args.rs:373-379``)."""
     body, mul = _split_suffix(text)
+    # Rust's f64 parser rejects Python-isms like underscores / whitespace
+    if not body or body.strip() != body or "_" in body:
+        raise ValueError(f"invalid float: {body!r}")
     return float(body) * mul
 
 

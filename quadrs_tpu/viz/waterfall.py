@@ -27,7 +27,7 @@ from pathlib import Path
 import numpy as np
 
 from quadrs_tpu.ops.stft import stft_norms
-from quadrs_tpu.runtime import Executor
+from quadrs_tpu.runtime import Executor, window_batches
 from quadrs_tpu.sinks import take_fft
 from quadrs_tpu.sources import SampleSource
 from quadrs_tpu.stream import Stream
@@ -91,11 +91,11 @@ def ui_render(
     n_windows = int(min(samples_available, w * max_bands))
     offsets = np.arange(n_windows, dtype=np.int64)
 
-    batch = max(1, min(n_windows, (1 << 20) // p.fft_width))
+    batch, batches = window_batches(offsets, p.fft_width)
     ex = Executor(stream, p.fft_width, batch=batch, post=stft_norms)
     norms_all = []
-    for i in range(0, n_windows, batch):
-        norms, valid = ex.run(offsets[i : i + batch])
+    for offs in batches:
+        norms, valid = ex.run(offs)
         if not np.all(valid == p.fft_width):
             raise RuntimeError("read-exact messed up in ui render")
         norms_all.append(norms)

@@ -132,7 +132,8 @@ class OracleLowPass(OracleStream):
         out = np.empty(n_out, dtype=np.complex64)
         h = self.taps.astype(np.float64)
         for i in range(n_out):
-            lo = i * d + size // 2
+            # reference pick convoluted[size + i*d] => x[i*d + ceil(size/2) + j]
+            lo = i * d + (size - size // 2)
             out[i] = np.complex64(np.dot(padded[lo : lo + size], h))
         return out
 

@@ -97,3 +97,17 @@ def test_scan_of_ook_capture(ook_capture):
     # first payload byte 00011000 (README.md:181-186)
     manchester_24 = "10" * 3 + "01" * 2 + "10" * 3
     assert manchester_24 in s
+
+
+def test_scan_stream_starting_high_terminates():
+    """The reference's scan spins forever when the stream opens with a
+    long run of True (run_of returns 0 and nothing advances,
+    src/bits.rs:9-35); we flip the expected bit and continue."""
+    data = parse("1111111111111111" "00000000" "11111111")
+    error, bits = scan(data, 8.0)
+    assert bits == [True, True, False, True]
+
+    # pathological mid-stream flip-flop also terminates
+    data = parse("111111111111" + "000000000000" + "111111111111")
+    error, bits = scan(data, 8.0)
+    assert len(bits) >= 3

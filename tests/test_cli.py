@@ -168,3 +168,25 @@ def test_empty_token_ends_flag_scan():
     # an empty string token stops flag collection (src/args.rs:413-415)
     (s,) = _ops(["sparkfft", "-width", "64"])
     assert s.width == 64
+
+
+def test_ui_flags(tmp_path, monkeypatch):
+    cmds = argmod.parse("ui -fft 16 -stretch 2 -stride 8".split())
+    assert isinstance(cmds[0], argmod.Ui)
+    assert (cmds[0].fft_width, cmds[0].stretch, cmds[0].stride) == (16, 2, 8)
+
+    # default stride is 4 so the file render isn't all-black (the
+    # reference GUI starts at 1 but has a button to change it)
+    (u,) = argmod.parse(["ui"])
+    assert u.stride == 4
+
+    import numpy as np
+    from PIL import Image
+
+    from quadrs_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main("gen -cos 500 -len 2 48k write tone".split()) == 0
+    assert main("from tone.sr48000.cf32 ui -fft 16".split()) == 0
+    img = np.asarray(Image.open(tmp_path / "ui.png"))
+    assert img.sum() > 0  # non-black output by default

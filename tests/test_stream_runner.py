@@ -130,3 +130,53 @@ def test_resume_is_exact():
     for w in resumed:
         # chunk boundaries shift, so block tails differ within f32 noise
         np.testing.assert_allclose(resumed[w], full[w], atol=1e-4)
+
+
+def test_cu8_tail_padding_masked_in_decoded_domain():
+    """Raw zero-byte padding decodes to -127.5 for cu8; the runner must
+    mask past-EOF samples in the decoded domain or the final windows
+    convolve a huge DC rail (regression for the review finding)."""
+    rng = np.random.default_rng(55)
+    win_raw = CFG.decimate * CFG.fft_width
+    n = win_raw * 3 + CFG.taps // 2  # EOF lands inside the last lookahead
+    iq = rng.integers(0, 256, (n, 2), dtype=np.int64).astype(np.uint8)
+    src = SampleSource(iq.reshape(-1), FileFormat.COMPLEX_UINT8, CFG.sample_rate)
+
+    cfg8 = PipelineConfig(
+        sample_rate=CFG.sample_rate,
+        shift_freq=CFG.shift_freq,
+        lp_freq=CFG.lp_freq,
+        decimate=CFG.decimate,
+        taps=CFG.taps,
+        fft_width=CFG.fft_width,
+        fmt=FileFormat.COMPLEX_UINT8,
+    )
+    model = PipelineModel(cfg8)
+
+    rows = {}
+    StreamRunner(src, model, chunk_samples=win_raw).run(
+        lambda w0, norms: rows.update({w0 + i: norms[i] for i in range(len(norms))})
+    )
+
+    # reference: decoded-domain computation with explicit zeros past EOF
+    from quadrs_tpu.formats import decode_plane
+
+    re = decode_plane(iq[:, 0], FileFormat.COMPLEX_UINT8, xp=np).astype(np.float64)
+    im = decode_plane(iq[:, 1], FileFormat.COMPLEX_UINT8, xp=np).astype(np.float64)
+    x = np.concatenate([re + 1j * im, np.zeros(2 * CFG.taps, dtype=np.complex128)])
+    m = np.arange(len(x), dtype=np.float64)
+    x = x * np.exp(2j * np.pi * CFG.shift_freq * m / CFG.sample_rate)
+    h = model.taps.astype(np.float64)
+    last_w = max(rows)
+    for w in (0, last_w):
+        want = np.empty(CFG.fft_width, dtype=np.complex128)
+        for k in range(CFG.fft_width):
+            i = w * CFG.fft_width + k
+            lo = i * CFG.decimate + (CFG.taps - CFG.taps // 2)
+            want[k] = np.dot(x[lo : lo + CFG.taps], h)
+        spec = np.fft.fft(want)
+        half = CFG.fft_width // 2
+        spec = np.concatenate([spec[half:], spec[:half]])
+        np.testing.assert_allclose(
+            rows[w], np.abs(spec), atol=5e-3, err_msg=f"window {w}"
+        )
