@@ -11,7 +11,11 @@ cs16 offsets, which are a stated bit-exactness acceptance criterion:
     cs16:  f32(int16) / 65535.0 - 32767.5          (Fancy)
 
 Every decode is a pure sequence of IEEE-754 f32 ops in a fixed order, so
-the numpy (host) and jnp (device) paths produce identical bits.
+the numpy (host) and jnp (device) paths produce identical bits on the
+CPU backend (the conformance rig).  One hardware nuance: TPUs lower f32
+division through a reciprocal refinement, so the cs8/cu8 divisions can
+land 1 ulp off IEEE on-chip — far inside the float32 tolerance of every
+downstream stage.
 
 Decode is designed to run **on chip**: the host stages the raw capture
 bytes as zero-copy numpy views in their native narrow dtype (int8 /

@@ -7,7 +7,20 @@ from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
 from quadrs_tpu.sources import SampleSource
 from quadrs_tpu.stream import LowPass
 
+import jax
 import jax.numpy as jnp
+
+from util import to_device_complex
+
+
+def _run_fir(xd, taps, d, n_out, impl):
+    # jit the call: eager-mode complex ops hit UNIMPLEMENTED on the
+    # tunneled TPU backend, and jit is the production shape anyway
+    fn = jax.jit(
+        lambda xx: fir_decimate(xx, taps, d, n_out, impl=impl), static_argnames=()
+    )
+    out = fn(xd)
+    return np.asarray(jnp.real(out)) + 1j * np.asarray(jnp.imag(out))
 
 
 def _capture(n=8192, sr=48_000, seed=5):
@@ -103,8 +116,9 @@ def test_fir_decimate_impls_agree():
         np.complex64
     )
     taps = lowpass_taps(0.05, size)
-    a = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="direct"))
-    b = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="polyphase"))
+    xd = to_device_complex(x)
+    a = _run_fir(xd, taps, d, n_out, "direct")
+    b = _run_fir(xd, taps, d, n_out, "polyphase")
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
@@ -116,8 +130,9 @@ def test_fir_overlap_save_matches_direct():
         np.complex64
     )
     taps = lowpass_taps(0.01, size)
-    a = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="direct"))
-    b = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="overlap_save"))
+    xd = to_device_complex(x)
+    a = _run_fir(xd, taps, d, n_out, "direct")
+    b = _run_fir(xd, taps, d, n_out, "overlap_save")
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
@@ -130,12 +145,13 @@ def test_fir_overlap_save_long_filter():
         np.complex64
     )
     taps = lowpass_taps(0.001, size)
-    a = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="direct"))
-    b = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="overlap_save"))
+    xd = to_device_complex(x)
+    a = _run_fir(xd, taps, d, n_out, "direct")
+    b = _run_fir(xd, taps, d, n_out, "overlap_save")
     scale = np.abs(a).max()
     np.testing.assert_allclose(b, a, atol=3e-5 * max(scale, 1.0))
     # auto selection picks overlap_save for long filters
-    c = np.asarray(fir_decimate(jnp.asarray(x), taps, d, n_out, impl="auto"))
+    c = _run_fir(xd, taps, d, n_out, "auto")
     np.testing.assert_allclose(c, b, atol=1e-7)
 
 

@@ -72,9 +72,26 @@ def test_partial_pair_truncated():
 
 @pytest.mark.parametrize("fmt", list(FileFormat))
 def test_device_decode_matches_host(fmt):
+    from quadrs_tpu.formats import pack_complex
+
     rng = np.random.default_rng(2)
     raw_bytes = rng.integers(0, 256, 4096 * fmt.pair_bytes, dtype=np.uint8).tobytes()
     buf = np.frombuffer(raw_bytes, dtype=np.uint8)
     host = decode_bytes(buf, fmt)
-    dev = np.asarray(decode_to_complex64(jnp.asarray(view_raw(buf, fmt)), fmt, xp=jnp))
-    assert host.tobytes() == dev.tobytes()
+    dev = decode_to_complex64(jnp.asarray(view_raw(buf, fmt)), fmt, xp=jnp)
+    # fetch as planes: complex d2h is unimplemented on tunneled TPUs and
+    # a failed complex transfer poisons later transfers in-process
+    dev_np = pack_complex(np.asarray(jnp.real(dev)), np.asarray(jnp.imag(dev)), xp=np)
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        assert host.tobytes() == dev_np.tobytes()
+    else:
+        # TPU divides via a reciprocal approximation: cs8/cu8 decode can
+        # differ by 1 ulp from IEEE division (documented in formats.py);
+        # the CPU backend — the conformance rig — is bit-exact
+        ulp = np.abs(
+            host.view(np.float32).view(np.int32).astype(np.int64)
+            - dev_np.view(np.float32).view(np.int32).astype(np.int64)
+        )
+        assert ulp.max() <= 1, f"max ulp diff {ulp.max()}"
