@@ -9,6 +9,7 @@ waterfall bank is one XLA program per chunk.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -56,9 +57,15 @@ class WaterfallModel:
     def search(self, raw: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Spectrogram search: per (stream, window) the peak bin and its
         magnitude — the device-side reduction for scanning many bands."""
-        norms = self.step(raw)
-        return jnp.argmax(norms, axis=-1), jnp.max(norms, axis=-1)
 
+        @jax.jit
+        def run(r):
+            norms = self.step(r)
+            return jnp.argmax(norms, axis=-1), jnp.max(norms, axis=-1)
+
+        return run(raw)
+
+    @functools.cache
     def jit_step(self):
         return jax.jit(self.step)
 

@@ -46,11 +46,13 @@ def test_fused_frontend_matches_xla_chain(fmt):
 
     # XLA reference: decode -> mix -> fir (stream semantics)
     from quadrs_tpu.ops.fir import fir_decimate
+    from util import from_device_complex
 
-    x = model._mix_stream(model._decode(raw), np.float32(0.0))
-    want = np.asarray(
-        jax.jit(lambda xx: fir_decimate(xx[None], model.taps, cfg.decimate, n_out)[0])(x)
-    )
+    def ref(r, t):
+        xx = model._mix_stream(model._decode(r), t)
+        return fir_decimate(xx[None], model.taps, cfg.decimate, n_out)[0]
+
+    want = from_device_complex(jax.jit(ref)(raw, np.float32(0.0)))
 
     shifted = raw[:, cfg.taps // 2 :]
     theta = tile_bases(spec, cfg.taps // 2, -(-n_out // 2048))
@@ -84,10 +86,14 @@ def test_fused_frontend_phase_matches_at_offset():
     raw = model.synth_raw(n_in, seed=9)
 
     from quadrs_tpu.ops.fir import fir_decimate
+    from util import from_device_complex
 
-    x = model._mix_stream(model._decode(raw), model.theta0(np.array([global_off]))[0])
-    want = np.asarray(
-        jax.jit(lambda xx: fir_decimate(xx[None], model.taps, cfg.decimate, n_out)[0])(x)
+    def ref(r, t):
+        xx = model._mix_stream(model._decode(r), t)
+        return fir_decimate(xx[None], model.taps, cfg.decimate, n_out)[0]
+
+    want = from_device_complex(
+        jax.jit(ref)(raw, model.theta0(np.array([global_off]))[0])
     )
 
     shifted = raw[:, cfg.taps // 2 :]
