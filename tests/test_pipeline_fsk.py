@@ -65,9 +65,10 @@ def test_fsk_sparkfft_glyphs_match(fsk):
         sum(a != b for a, b in zip(ra, rb)) for ra, rb in zip(body, want)
     )
     total_chars = sum(len(r) for r in want)
-    # float32-tolerance config: allow only a vanishing fraction of glyphs
-    # to sit on a quantization boundary
-    assert mismatched_chars <= total_chars * 0.002, (
+    # the full shift->lowpass->sparkfft chain is glyph-exact on this
+    # capture (measured 0/6080); the budget below only tolerates future
+    # quantization-boundary flips from toolchain FP changes
+    assert mismatched_chars <= total_chars * 0.0005, (
         f"{mismatched_chars}/{total_chars} glyphs differ"
     )
 
