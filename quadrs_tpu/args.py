@@ -24,7 +24,14 @@ from pathlib import Path
 from typing import Iterator, Sequence
 
 from quadrs_tpu import pipeline as ops
-from quadrs_tpu.utils.si import parse_bool, parse_si_float, parse_si_int, parse_si_uint
+from quadrs_tpu.utils.si import (
+    parse_bool,
+    parse_plain_float,
+    parse_plain_uint,
+    parse_si_float,
+    parse_si_int,
+    parse_si_uint,
+)
 from quadrs_tpu.utils.sniff import guess_details
 
 
@@ -181,7 +188,7 @@ def _parse_sparkfft(args: _Args, raw_map) -> Command:
         if ":" not in rng:
             raise ValueError(f"range argument must contain a ':': '{rng}'")
         lo, hi = rng.split(":", 1)
-        min_, max_ = float(lo), float(hi)
+        min_, max_ = parse_plain_float(lo), parse_plain_float(hi)
     _ensure_empty(map_, "sparkfft")
     return Octagon(ops.SparkFftOp(width=width, stride=stride, min=min_, max=max_))
 
@@ -191,7 +198,7 @@ def _parse_bucket(args: _Args, raw_map) -> Command:
     levels = args.next()
     if levels is None:
         raise ValueError("bucket usage: bucket -by freq [number-of-buckets]")
-    levels = int(levels)  # plain integer, no SI suffix (src/args.rs:225-228)
+    levels = parse_plain_uint(levels)  # no SI suffix (src/args.rs:225-228)
     width = int(parse_si_uint(map_.pop("width", "128")))
     stride = parse_si_uint(map_.pop("stride", str(width)))
     by = map_.pop("by", None)

@@ -55,26 +55,18 @@ class PipelineConfig:
 
 class PipelineModel:
     def __init__(self, cfg: PipelineConfig):
+        from quadrs_tpu.ops.nco import ExactNCO
+
         self.cfg = cfg
         self.taps = lowpass_taps(cfg.lp_freq / cfg.sample_rate, cfg.taps)
-        g = math.gcd(abs(cfg.shift_freq), cfg.sample_rate)
-        self._period = cfg.sample_rate // g
-        self._f_mod = cfg.shift_freq % cfg.sample_rate
+        self._nco = ExactNCO(cfg.shift_freq, cfg.sample_rate)
 
-    # -- host-side exact phase planning (same math as stream.Shift) -------
+    # -- host-side exact phase planning (shared ExactNCO invariant) --------
     def theta0(self, offs: np.ndarray) -> np.ndarray:
-        offs = np.asarray(offs, dtype=np.int64) % self._period
-        frac = (offs * self._f_mod) % self.cfg.sample_rate
-        return (frac.astype(np.float64) * (TAU / self.cfg.sample_rate)).astype(
-            np.float32
-        )
+        return self._nco.angles(offs)
 
     def delta(self, n: int) -> np.ndarray:
-        i = np.arange(n, dtype=np.int64) % self._period
-        frac = (i * self._f_mod) % self.cfg.sample_rate
-        return (frac.astype(np.float64) * (TAU / self.cfg.sample_rate)).astype(
-            np.float32
-        )
+        return self._nco.angles(np.arange(n, dtype=np.int64))
 
     # -- device steps -----------------------------------------------------
     def _mix(self, x: jnp.ndarray, theta0: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -96,11 +88,8 @@ class PipelineModel:
         pad = rows * k - n
         if pad:
             x = jnp.pad(x, (0, pad))
-        sr = self.cfg.sample_rate
-        q = (np.arange(rows, dtype=np.int64) * ((self._f_mod * k) % sr)) % sr
-        r = (np.arange(k, dtype=np.int64) * self._f_mod) % sr
-        theta_q = jnp.asarray((q.astype(np.float64) * (TAU / sr)).astype(np.float32))
-        theta_r = jnp.asarray((r.astype(np.float64) * (TAU / sr)).astype(np.float32))
+        theta_q = jnp.asarray(self._nco.angles(np.arange(rows, dtype=np.int64) * k))
+        theta_r = jnp.asarray(self._nco.angles(np.arange(k, dtype=np.int64)))
         theta = theta0 + theta_q[:, None] + theta_r[None, :]
         mixed = x.reshape(rows, k) * (
             jnp.cos(theta) + 1j * jnp.sin(theta)

@@ -57,13 +57,15 @@ class WaterfallModel:
     def search(self, raw: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Spectrogram search: per (stream, window) the peak bin and its
         magnitude — the device-side reduction for scanning many bands."""
+        return self._jit_search()(raw)
 
-        @jax.jit
+    @functools.cache
+    def _jit_search(self):
         def run(r):
             norms = self.step(r)
             return jnp.argmax(norms, axis=-1), jnp.max(norms, axis=-1)
 
-        return run(raw)
+        return jax.jit(run)
 
     @functools.cache
     def jit_step(self):

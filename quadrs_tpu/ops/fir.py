@@ -117,8 +117,9 @@ def fir_decimate(
             impl = "direct"
 
     if impl == "direct":
-        idx = np.arange(n_out)[:, None] * d + np.arange(size)[None, :]
-        frames = x[:, idx]  # (B, n_out, size)
+        # frames via row slices + concat, never an overlapping gather
+        # (~80x slower on TPU HBM)
+        frames = _overlapped_frames(x, d, size, n_out)  # (B, n_out, size)
         h = jnp.asarray(taps)
         return (
             _real_dot(frames.real, h) + 1j * _real_dot(frames.imag, h)

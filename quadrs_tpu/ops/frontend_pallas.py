@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from quadrs_tpu.formats import FileFormat
-from quadrs_tpu.stream import TAU
+from quadrs_tpu.ops.nco import ExactNCO
 
 # outputs per grid step: 16 lhs rows x 128 lanes
 _ROUT = 16
@@ -96,16 +96,11 @@ def _plan(spec: FrontendSpec):
     for l in range(128):
         w[l * d : l * d + size, l] = taps
 
-    sr = spec.sample_rate
-    f_mod = spec.shift_freq % sr
-
-    def angles(start: int, count: int) -> np.ndarray:
-        i = start + np.arange(count, dtype=np.int64)
-        frac = (i % sr) * f_mod % sr
-        return ((frac.astype(np.float64) * (TAU / sr)) % TAU).astype(np.float32)
-
-    delta_main = angles(0, l_in).reshape(r_in, 128)
-    delta_halo = angles(l_in, halo_p).reshape(r_halo, 128)
+    nco = ExactNCO(spec.shift_freq, spec.sample_rate)
+    delta_main = nco.angles(np.arange(l_in, dtype=np.int64)).reshape(r_in, 128)
+    delta_halo = nco.angles(l_in + np.arange(halo_p, dtype=np.int64)).reshape(
+        r_halo, 128
+    )
     return l_in, r_in, span_p, halo_p, r_halo, w, delta_main, delta_halo
 
 
@@ -300,15 +295,12 @@ def _plan_t(spec: FrontendSpec):
     flat[:size] = taps
     hp[:m_sub] = flat.reshape(m_sub, d)
 
-    sr = spec.sample_rate
-    f_mod = spec.shift_freq % sr
+    nco = ExactNCO(spec.shift_freq, spec.sample_rate)
 
     def table(col0: int, cols: int) -> np.ndarray:
         c = col0 + np.arange(cols, dtype=np.int64)[None, :]
         dd = np.arange(d, dtype=np.int64)[:, None]
-        i = c * d + dd
-        frac = (i % sr) * f_mod % sr
-        return ((frac.astype(np.float64) * (TAU / sr)) % TAU).astype(np.float32)
+        return nco.angles(c * d + dd)
 
     delta_main = table(0, _TOUT)
     delta_halo = table(_TOUT, 128)
@@ -450,10 +442,6 @@ def fused_frontend_t(
 
 def tile_bases(spec: FrontendSpec, global_start: int, tiles: int) -> np.ndarray:
     """Host-exact per-tile NCO base angles."""
-    d = spec.decimate
-    l_in = _TOUT * d
-    sr = spec.sample_rate
-    f_mod = spec.shift_freq % sr
+    l_in = _TOUT * spec.decimate
     offs = global_start + np.arange(tiles, dtype=np.int64) * l_in
-    frac = (offs % sr) * f_mod % sr
-    return ((frac.astype(np.float64) * (TAU / sr)) % TAU).astype(np.float32)
+    return ExactNCO(spec.shift_freq, spec.sample_rate).angles(offs)

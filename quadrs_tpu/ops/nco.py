@@ -1,0 +1,41 @@
+"""Exact NCO phase planning — the single source of truth.
+
+The angle of ``e^{j·2π·f·m/sr}`` at absolute sample ``m`` is reduced on
+the host with integer arithmetic — ``((m mod P)·(f mod sr)) mod sr``
+with ``P = sr/gcd(|f|, sr)`` — so one f32 ``cos``/``sin`` per sample on
+device stays accurate (~1 ulp) at any stream offset.  This invariant is
+conformance-critical (CLAUDE.md); every NCO user (stream.Shift,
+sources.ToneGen, models.receiver, ops.frontend_pallas) plans through
+this class.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+TAU = 2.0 * math.pi
+
+
+class ExactNCO:
+    def __init__(self, frequency: int, sample_rate: int):
+        if sample_rate <= 0:
+            raise ValueError("sample rate must be positive")
+        self.frequency = int(frequency)
+        self.sample_rate = int(sample_rate)
+        g = math.gcd(abs(self.frequency), self.sample_rate)
+        # gcd(0, sr) == sr, so a DC tone reduces every index to phase 0
+        self.period = self.sample_rate // g
+        self.f_mod = self.frequency % self.sample_rate
+
+    def angles(self, idx) -> np.ndarray:
+        """Exact angles (f32) for absolute sample indices ``idx``.
+
+        ``idx`` may be any int64-safe array or scalar; indices are first
+        reduced mod the period so the modular product never overflows
+        int64 (period < 2^31, f_mod < 2^31).
+        """
+        i = np.asarray(idx, dtype=np.int64) % self.period
+        frac = (i * self.f_mod) % self.sample_rate
+        return (frac.astype(np.float64) * (TAU / self.sample_rate)).astype(np.float32)

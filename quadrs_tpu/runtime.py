@@ -24,12 +24,24 @@ def _round_up_pow2(n: int) -> int:
 
 
 def window_batches(
-    offsets: np.ndarray, width: int, budget: int = 1 << 20
+    offsets: np.ndarray, width: int, budget: int = 1 << 20, span_cap: int = 1 << 26
 ) -> tuple[int, list[np.ndarray]]:
     """Split window offsets into executor-sized batches (one compiled
-    program reused across them): ~``budget`` samples per batch."""
+    program reused across them): ~``budget`` samples of output per batch,
+    and no batch spanning more than ``span_cap`` stream samples (the
+    executor stages each batch's whole span densely, so huge strides
+    would otherwise balloon staging memory)."""
     batch = max(1, min(len(offsets), budget // max(width, 1)))
-    return batch, [offsets[i : i + batch] for i in range(0, len(offsets), batch)]
+    out = []
+    i = 0
+    n = len(offsets)
+    while i < n:
+        j = min(i + batch, n)
+        while j - i > 1 and offsets[j - 1] - offsets[i] > span_cap:
+            j = i + max(1, (j - i) // 2)
+        out.append(offsets[i:j])
+        i = j
+    return batch, out
 
 
 class _Planes:
@@ -118,6 +130,13 @@ class Executor:
             s_off, s_n = self.stream.span(int(padded.max()), self.n)
             lo = max(0, min(lo, self.source.length))
             hi = max(lo, min(s_off + s_n, self.source.length))
+            if hi - lo >= (1 << 31) - 1:
+                # staged-buffer offsets are int32; a batch spanning this
+                # much of the stream would silently wrap
+                raise ValueError(
+                    f"window batch spans {hi - lo} source samples; split it "
+                    "into smaller batches (see runtime.window_batches)"
+                )
             staged = self.source.stage(lo, hi)  # (2, n) planes
             cap = _round_up_pow2(staged.shape[-1])
             if staged.shape[-1] < cap:

@@ -117,30 +117,19 @@ class ToneGen(Stream):
         self.seconds = float(seconds)
         # reference src/gen.rs:31-33 (f64 multiply, truncate)
         self.length = int(self.seconds * float(self.sample_rate))
-        self._f_mod = [f % self.sample_rate for f in self.cos]
-        self._period = [
-            self.sample_rate // math.gcd(abs(f) if f else self.sample_rate, self.sample_rate)
-            for f in self.cos
-        ]
+        from quadrs_tpu.ops.nco import ExactNCO
+
+        self._ncos = [ExactNCO(f, self.sample_rate) for f in self.cos]
 
     def span(self, off: int, n: int) -> tuple[int, int]:
         return 0, 0
 
     def _theta0(self, offs: np.ndarray) -> np.ndarray:
-        cols = []
-        for f_mod, period in zip(self._f_mod, self._period):
-            o = np.asarray(offs, dtype=np.int64) % period
-            frac = (o * f_mod) % self.sample_rate
-            cols.append(frac.astype(np.float64) * (TAU / self.sample_rate))
-        return np.stack(cols, axis=1).astype(np.float32)  # (B, F)
+        return np.stack([n.angles(offs) for n in self._ncos], axis=1)  # (B, F)
 
     def _delta(self, n: int) -> np.ndarray:
-        rows = []
-        for f_mod, period in zip(self._f_mod, self._period):
-            i = np.arange(n, dtype=np.int64) % period
-            frac = (i * f_mod) % self.sample_rate
-            rows.append(frac.astype(np.float64) * (TAU / self.sample_rate))
-        return np.stack(rows, axis=0).astype(np.float32)  # (F, n)
+        i = np.arange(n, dtype=np.int64)
+        return np.stack([nc.angles(i) for nc in self._ncos], axis=0)  # (F, n)
 
     def plan(self, offs: np.ndarray, n: int, base: int) -> Plan:
         offs = np.asarray(offs, dtype=np.int64)

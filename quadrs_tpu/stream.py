@@ -116,27 +116,22 @@ class Shift(Stream):
             raise ValueError("frequency must be under half the sample rate")
         if sample_rate <= 0:
             raise ValueError("sample rate must be positive")
+        from quadrs_tpu.ops.nco import ExactNCO
+
         self.inner = inner
         self.frequency = int(frequency)
         self.sample_rate = int(sample_rate)
         self.length = inner.length
-        # Exact phase bookkeeping: angle(m) = TAU * ((f*m) mod sr) / sr.
-        g = math.gcd(abs(self.frequency), self.sample_rate)
-        self._period = self.sample_rate // g  # offs may be reduced mod this
-        self._f_mod = self.frequency % self.sample_rate
+        self._nco = ExactNCO(self.frequency, self.sample_rate)
 
     def span(self, off: int, n: int) -> tuple[int, int]:
         return self.inner.span(off, n)
 
     def _theta0(self, offs: np.ndarray) -> np.ndarray:
-        offs = np.asarray(offs, dtype=np.int64) % self._period
-        frac = (offs * self._f_mod) % self.sample_rate
-        return (frac.astype(np.float64) * (TAU / self.sample_rate)).astype(np.float32)
+        return self._nco.angles(offs)
 
     def _delta(self, n: int) -> np.ndarray:
-        i = np.arange(n, dtype=np.int64) % self._period
-        frac = (i * self._f_mod) % self.sample_rate
-        return (frac.astype(np.float64) * (TAU / self.sample_rate)).astype(np.float32)
+        return self._nco.angles(np.arange(n, dtype=np.int64))
 
     def plan(self, offs: np.ndarray, n: int, base: int) -> Plan:
         inner = self.inner.plan(offs, n, base)

@@ -49,6 +49,21 @@ def _strict_int(body: str) -> int:
     return int(body)
 
 
+def parse_plain_uint(text: str) -> int:
+    """Plain unsigned integer, no SI suffix (Rust ``parse::<usize>()``)."""
+    value = _strict_int(text)
+    if value < 0 or text.startswith(("-", "+")):
+        raise ValueError(f"invalid unsigned integer: {text!r}")
+    return value
+
+
+def parse_plain_float(text: str) -> float:
+    """Plain float, no SI suffix (Rust ``parse::<f32>()`` strictness)."""
+    if not text or text.strip() != text or "_" in text:
+        raise ValueError(f"invalid float: {text!r}")
+    return float(text)
+
+
 def parse_bool(text: str) -> bool:
     """Parse a boolean (``src/args.rs:381-390``): true/false plus yes/y/no/n."""
     if text == "true":

@@ -45,3 +45,36 @@ def test_executor_rejects_oversized_and_empty_batches():
         ex.run(np.arange(5, dtype=np.int64))
     with pytest.raises(ValueError):
         ex.run(np.asarray([], dtype=np.int64))
+
+
+def test_window_batches_span_cap():
+    from quadrs_tpu.runtime import window_batches
+
+    # widely strided offsets force span-based splitting
+    offsets = np.arange(0, 1 << 28, 1 << 22, dtype=np.int64)
+    batch, batches = window_batches(offsets, 128, span_cap=1 << 24)
+    assert sum(len(b) for b in batches) == len(offsets)
+    for b in batches:
+        assert b[-1] - b[0] <= 1 << 24
+    # contiguous offsets keep one big batch
+    offsets = np.arange(0, 4096 * 64, 64, dtype=np.int64)
+    _, batches = window_batches(offsets, 64)
+    assert len(batches) == 1
+
+
+def test_executor_rejects_int32_overflow_span():
+    import pytest
+
+    # a fake huge source: staging never actually materializes because
+    # the guard fires first
+    class Huge(SampleSource):
+        def __init__(self):
+            self._bytes = np.zeros(0, dtype=np.uint8)
+            self._native = None
+            self.format = FileFormat.COMPLEX_INT8
+            self.sample_rate = 1_000_000
+            self.length = 1 << 33
+
+    ex = Executor(Huge(), 64, batch=2)
+    with pytest.raises(ValueError, match="spans"):
+        ex.run(np.asarray([0, (1 << 31) + 100], dtype=np.int64))
