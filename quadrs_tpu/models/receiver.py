@@ -21,7 +21,6 @@ Two execution modes:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import cached_property
 
@@ -32,7 +31,7 @@ import numpy as np
 from quadrs_tpu.formats import FileFormat, decode_plane, pack_complex
 from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
 from quadrs_tpu.ops.stft import stft_norms
-from quadrs_tpu.stream import TAU
+
 
 
 @dataclass(frozen=True)

@@ -15,14 +15,13 @@ even past the nominal length.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
 from quadrs_tpu.formats import FileDetails, FileFormat, decode_plane, pack_complex
-from quadrs_tpu.stream import Plan, Stream, TAU
+from quadrs_tpu.stream import Plan, Stream
 from quadrs_tpu.utils.sniff import guess_details
 
 
