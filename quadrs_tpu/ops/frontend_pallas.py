@@ -24,16 +24,18 @@ Layout notes (v5e):
 * requires ``decimate`` to divide 128; other configs fall back to the
   XLA path.
 
-Status (v5e, 4M-sample cs8 chunk, exact to ~1e-6 vs the XLA chain):
+Status (v5e, 4M-sample chunks, exact to ~1e-6 vs the XLA chain):
 
 * v1 (:func:`fused_frontend`, banded-matmul FIR): ~3.2 ms — the in-VMEM
   lhs assembly (stack + sublane/lane-merging reshape) dominates.
-* v2 (:func:`fused_frontend_t`, polyphase-transposed layout): ~2.1 ms,
-  parity with the XLA polyphase chain (~1.1-1.9 ms run to run).  All
-  ops run in natural layouts; remaining cost is transcendentals + DMA.
+* v2.1 (:func:`fused_frontend_t`, polyphase-transposed layout, 8K-output
+  tiles, roll-based diagonal reduction): cs8 full chain 0.2-1.3 ms vs
+  the XLA chain's 1.8-2.4 ms (~2x) — the fused kernel reads the narrow
+  int8 input once where XLA materializes f32 intermediates; cf32 is at
+  parity (input bytes already dominate).
 
-The XLA path remains the default; the kernels are kept as the tuned
-starting point for configs where XLA's fusion falls short.
+``PipelineModel.step_stream_pallas`` / ``StreamRunner(frontend=...)``
+select it; ``auto`` uses it for integer formats on TPU.
 """
 
 from __future__ import annotations
@@ -281,6 +283,11 @@ def _halo_rows(p: jnp.ndarray, tiles: int, l_in: int, halo_p: int) -> jnp.ndarra
 # ---------------------------------------------------------------------------
 
 
+# outputs per grid step for the transposed kernel: bigger tiles amortize
+# per-tile fixed costs (Mosaic op dispatch, iotas, matmul setup)
+_TOUT_T = 8192
+
+
 @functools.lru_cache(maxsize=8)
 def _plan_t(spec: FrontendSpec):
     d = spec.decimate
@@ -302,8 +309,8 @@ def _plan_t(spec: FrontendSpec):
         dd = np.arange(d, dtype=np.int64)[:, None]
         return nco.angles(c * d + dd)
 
-    delta_main = table(0, _TOUT)
-    delta_halo = table(_TOUT, 128)
+    delta_main = table(0, _TOUT_T)
+    delta_halo = table(_TOUT_T, 128)
     return m_sub, m_pad, hp, delta_main, delta_halo
 
 
@@ -336,7 +343,7 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
             )
             theta = base + jnp.concatenate([dmain, dhalo], axis=1)
             # mask in the decoded domain (see masked_decode above)
-            cols = _TOUT + 128
+            cols = _TOUT_T + 128
             lin = (
                 jax.lax.broadcasted_iota(jnp.int32, (d, cols), 1) * d
                 + jax.lax.broadcasted_iota(jnp.int32, (d, cols), 0)
@@ -356,13 +363,14 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
         c2i = jnp.dot(hp, mim, precision=p_hi, preferred_element_type=jnp.float32)
 
         def diag_rows(c2):
-            rows = []
-            for r in range(_ROUT):
-                acc = c2[0:1, r * 128 : r * 128 + 128]
-                for m in range(1, m_sub):
-                    acc = acc + c2[m : m + 1, m + r * 128 : m + r * 128 + 128]
-                rows.append(acc)
-            return jnp.concatenate(rows, axis=0)  # (16, 128)
+            # y[i] = sum_m c2[m, i+m]: align each subfilter row with a
+            # roll, then one sublane reduction — O(m_sub) vector ops
+            # instead of O(m_sub * tout/128) tiny slice-adds
+            rows = [c2[0:1]]
+            for m in range(1, m_sub):
+                rows.append(jnp.roll(c2[m : m + 1], -m, axis=1))
+            z = jnp.concatenate(rows, axis=0)
+            return jnp.sum(z, axis=0, keepdims=True)[:, :_TOUT_T]  # (1, tout)
 
         ore_ref[0] = diag_rows(c2r)
         oim_ref[0] = diag_rows(c2i)
@@ -376,10 +384,14 @@ def fused_frontend_t(
     spec: FrontendSpec,
     n_out: int,
     *,
+    n_valid: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Transposed-layout fused frontend (see module notes).  Same
-    contract as :func:`fused_frontend`; faster on hardware."""
+    contract as :func:`fused_frontend`; ~2x the XLA chain for integer
+    formats on v5e (parity for cf32).  ``n_valid``: real samples in
+    ``planes`` when the caller has already zero-padded raw bytes — the
+    kernel masks past it in the decoded domain."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -388,10 +400,11 @@ def fused_frontend_t(
         raise ValueError(f"pallas frontend requires decimate | 128, got {d}")
     m_sub, m_pad, hp, delta_main, delta_halo = _plan_t(spec)
 
-    tiles = -(-n_out // _TOUT)
-    l_in = _TOUT * d
-    cols_needed = tiles * _TOUT + 128
-    n_valid = planes.shape[1]
+    tiles = -(-n_out // _TOUT_T)
+    l_in = _TOUT_T * d
+    cols_needed = tiles * _TOUT_T + 128
+    if n_valid is None:
+        n_valid = planes.shape[1]
     need = cols_needed * d
     if planes.shape[1] < need:
         planes = jnp.pad(planes, ((0, 0), (0, need - planes.shape[1])))
@@ -403,28 +416,28 @@ def fused_frontend_t(
     t_idx = np.arange(tiles, dtype=np.int64)
     valid = np.clip(n_valid - t_idx * l_in, 0, l_in + 128 * d).astype(np.int32)
 
-    blocks_per_tile = _TOUT // 128
+    blocks_per_tile = _TOUT_T // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # base, valid
         grid=(tiles,),
         in_specs=[
-            pl.BlockSpec((d, _TOUT), lambda t, *_: (0, t)),
-            pl.BlockSpec((d, _TOUT), lambda t, *_: (0, t)),
+            pl.BlockSpec((d, _TOUT_T), lambda t, *_: (0, t)),
+            pl.BlockSpec((d, _TOUT_T), lambda t, *_: (0, t)),
             pl.BlockSpec((d, 128), lambda t, *_: (0, (t + 1) * blocks_per_tile)),
             pl.BlockSpec((d, 128), lambda t, *_: (0, (t + 1) * blocks_per_tile)),
-            pl.BlockSpec((d, _TOUT), lambda t, *_: (0, 0)),
+            pl.BlockSpec((d, _TOUT_T), lambda t, *_: (0, 0)),
             pl.BlockSpec((d, 128), lambda t, *_: (0, 0)),
             pl.BlockSpec((m_pad, d), lambda t, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, _ROUT, 128), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, _ROUT, 128), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, _TOUT_T), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, _TOUT_T), lambda t, *_: (t, 0, 0)),
         ],
     )
     ore, oim = pl.pallas_call(
         _kernel_t(spec, m_sub),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((tiles, _ROUT, 128), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, _TOUT_T), jnp.float32)] * 2,
         interpret=interpret,
     )(
         base,
@@ -441,7 +454,16 @@ def fused_frontend_t(
 
 
 def tile_bases(spec: FrontendSpec, global_start: int, tiles: int) -> np.ndarray:
-    """Host-exact per-tile NCO base angles."""
+    """Host-exact per-tile NCO base angles (v1 tile size)."""
     l_in = _TOUT * spec.decimate
+    offs = global_start + np.arange(tiles, dtype=np.int64) * l_in
+    return ExactNCO(spec.shift_freq, spec.sample_rate).angles(offs)
+
+
+def tile_bases_t(spec: FrontendSpec, global_start: int, n_out: int) -> np.ndarray:
+    """Host-exact per-tile NCO base angles for :func:`fused_frontend_t`
+    (its larger tile size); sized from ``n_out``."""
+    l_in = _TOUT_T * spec.decimate
+    tiles = -(-n_out // _TOUT_T)
     offs = global_start + np.arange(tiles, dtype=np.int64) * l_in
     return ExactNCO(spec.shift_freq, spec.sample_rate).angles(offs)

@@ -56,6 +56,7 @@ class StreamRunner:
         model: PipelineModel,
         chunk_samples: int = 1 << 22,
         mesh=None,
+        frontend: str = "auto",
     ):
         if source.format is not model.cfg.fmt:
             raise ValueError(
@@ -65,6 +66,7 @@ class StreamRunner:
         self.model = model
         self.mesh = mesh
         self._sharded_step = None
+        self.frontend = frontend
         cfg = model.cfg
         self._win_raw = cfg.decimate * cfg.fft_width
         # lookahead: the last FIR output of a chunk reads taps/2 + taps
@@ -168,9 +170,17 @@ class StreamRunner:
         if self._sharded_step is not None and start_window:
             raise NotImplementedError("resume is single-device for now")
         if self._sharded_step is None:
+            use_pallas = self._use_pallas()
             for off, planes, valid in self._prefetched(start_window * self._win_raw):
-                theta0 = model.theta0(np.asarray([off]))[0]
-                norms = model.jit_step_stream(planes, theta0, np.int32(valid))
+                if use_pallas:
+                    # fused decode+mix+FIR Pallas frontend: ~2x for the
+                    # integer formats (one HBM read of narrow input)
+                    bases = model.stream_bases(off, planes.shape[1])
+                    nv = None if valid == planes.shape[1] else int(valid)
+                    norms = model.jit_step_stream_pallas(planes, bases, n_valid=nv)
+                else:
+                    theta0 = model.theta0(np.asarray([off]))[0]
+                    norms = model.jit_step_stream(planes, theta0, np.int32(valid))
                 last = norms
                 stats.samples_in += planes.shape[1] - self._lookahead
                 stats.windows_out += norms.shape[0]
@@ -183,6 +193,21 @@ class StreamRunner:
         stats.seconds = time.perf_counter() - t0
         PROFILER.account("stream_runner", stats.samples_in, stats.seconds)
         return stats
+
+    def _use_pallas(self) -> bool:
+        import jax
+
+        from quadrs_tpu.formats import FileFormat
+
+        if self.frontend == "pallas":
+            return True
+        if self.frontend != "auto":
+            return False
+        return (
+            jax.devices()[0].platform == "tpu"
+            and self.model.cfg.fmt is not FileFormat.COMPLEX_FLOAT32
+            and self.model.pallas_supported()
+        )
 
     def _run_sharded(self, on_windows, stats: RunStats):
         """Time-sharded chunks over the mesh.  The final shard's halo

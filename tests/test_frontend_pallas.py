@@ -117,7 +117,7 @@ def test_supported_decimations():
     "fmt", [FileFormat.COMPLEX_FLOAT32, FileFormat.COMPLEX_INT8, FileFormat.COMPLEX_INT16]
 )
 def test_fused_frontend_t_matches_v1(fmt):
-    from quadrs_tpu.ops.frontend_pallas import fused_frontend_t
+    from quadrs_tpu.ops.frontend_pallas import fused_frontend_t, tile_bases_t
 
     cfg = PipelineConfig(
         sample_rate=1_000_000,
@@ -135,6 +135,7 @@ def test_fused_frontend_t_matches_v1(fmt):
     raw = model.synth_raw(n_in, seed=13)
     shifted = raw[:, cfg.taps // 2 :]
     theta = tile_bases(spec, cfg.taps // 2, -(-n_out // 2048))
+    theta_t = tile_bases_t(spec, cfg.taps // 2, n_out)
 
     a = np.asarray(
         jax.jit(lambda p, t: fused_frontend(p, t, spec, n_out, interpret=INTERPRET))(
@@ -143,7 +144,7 @@ def test_fused_frontend_t_matches_v1(fmt):
     )
     b = np.asarray(
         jax.jit(lambda p, t: fused_frontend_t(p, t, spec, n_out, interpret=INTERPRET))(
-            shifted, theta
+            shifted, theta_t
         )
     )
     scale = max(np.abs(a).max(), 1e-3)

@@ -136,3 +136,39 @@ def test_graft_entry():
     assert out.shape == (4, 32)
     assert np.isfinite(out).all()
     mod.dryrun_multichip(len(jax.devices()))
+
+
+def test_pallas_stream_step_matches_xla():
+    model = PipelineModel(CFG)
+    if not model.pallas_supported():
+        pytest.skip("decimation unsupported by the pallas frontend")
+    n_chunk = CFG.decimate * CFG.fft_width * 6 + CFG.taps
+    raw = model.synth_raw(n_chunk, seed=17)
+    import jax as _jax
+
+    want = np.asarray(model.jit_step_stream(raw, np.float32(0.0)))
+    # interpret mode on CPU rigs, compiled on TPU
+    interp = _jax.default_backend() != "tpu"
+    from quadrs_tpu.ops.frontend_pallas import fused_frontend_t  # noqa: F401
+
+    bases = model.stream_bases(0, n_chunk)
+    if interp:
+        from quadrs_tpu.ops.stft import stft_norms
+        from quadrs_tpu.formats import pack_complex
+        from quadrs_tpu.ops.frontend_pallas import fused_frontend_t
+
+        cfgm = model.cfg
+        n_dec = (n_chunk - cfgm.taps) // cfgm.decimate
+        nw = n_dec // cfgm.fft_width
+        y = fused_frontend_t(
+            raw[:, cfgm.taps // 2 :], bases, model.frontend_spec, n_dec, interpret=True
+        )
+        yc = pack_complex(np.asarray(y[0]), np.asarray(y[1]), xp=np)
+        got = np.asarray(
+            stft_norms(
+                np.asarray(yc[: nw * cfgm.fft_width]).reshape(nw, cfgm.fft_width)
+            )
+        )
+    else:
+        got = np.asarray(model.jit_step_stream_pallas(raw, bases))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4 * want.max())

@@ -180,3 +180,35 @@ def test_cu8_tail_padding_masked_in_decoded_domain():
         np.testing.assert_allclose(
             rows[w], np.abs(spec), atol=5e-3, err_msg=f"window {w}"
         )
+
+
+def test_pallas_frontend_runner_matches_xla():
+    """frontend='pallas' (interpret-mode on CPU rigs) must reproduce the
+    XLA runner's spectrogram, including the masked cu8 ragged tail."""
+    rng = np.random.default_rng(61)
+    win_raw = CFG.decimate * CFG.fft_width
+    n = win_raw * 3 + CFG.taps // 2
+    iq = rng.integers(0, 256, (n, 2), dtype=np.int64).astype(np.uint8)
+    src = SampleSource(iq.reshape(-1), FileFormat.COMPLEX_UINT8, CFG.sample_rate)
+    cfg8 = PipelineConfig(
+        sample_rate=CFG.sample_rate,
+        shift_freq=CFG.shift_freq,
+        lp_freq=CFG.lp_freq,
+        decimate=CFG.decimate,
+        taps=CFG.taps,
+        fft_width=CFG.fft_width,
+        fmt=FileFormat.COMPLEX_UINT8,
+    )
+
+    a: dict[int, np.ndarray] = {}
+    StreamRunner(src, PipelineModel(cfg8), chunk_samples=win_raw, frontend="xla").run(
+        lambda w0, nn: a.update({w0 + i: nn[i] for i in range(len(nn))})
+    )
+    b: dict[int, np.ndarray] = {}
+    StreamRunner(src, PipelineModel(cfg8), chunk_samples=win_raw, frontend="pallas").run(
+        lambda w0, nn: b.update({w0 + i: nn[i] for i in range(len(nn))})
+    )
+    assert set(a) == set(b)
+    scale = max(float(v.max()) for v in a.values())
+    for w in a:
+        np.testing.assert_allclose(b[w], a[w], atol=3e-5 * scale, err_msg=f"window {w}")
