@@ -59,6 +59,10 @@ def _decode_ref(x, fmt: FileFormat):
     # single source of truth for the bit-exact decode formulas
     from quadrs_tpu.formats import decode_plane
 
+    if fmt is FileFormat.COMPLEX_UINT8:
+        # Mosaic has no direct uint8 -> f32 cast; widening through int32
+        # is exact (values <= 255) so the decode formula is unchanged
+        x = x.astype(jnp.int32)
     return decode_plane(x, fmt, xp=jnp)
 
 
