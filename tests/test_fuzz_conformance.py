@@ -82,3 +82,51 @@ def test_random_gen_pipeline_matches_oracle(seed):
         want = oracle.read_at(off, count)
         assert valid == count
         np.testing.assert_allclose(got, want, atol=len(tones) * 1e-6)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_sparkfft_params_match_oracle(seed):
+    from oracle import oracle_spark_fft
+    from quadrs_tpu import sinks
+
+    rng = np.random.default_rng(3000 + seed)
+    n = int(rng.integers(1500, 8000))
+    sr = int(rng.choice([400, 48_000]))
+    data = (0.3 * (rng.normal(size=n) + 1j * rng.normal(size=n))).astype(np.complex64)
+    stream = SampleSource(
+        np.ascontiguousarray(data).view(np.uint8), FileFormat.COMPLEX_FLOAT32, sr
+    )
+    oracle = OracleArray(data, sr)
+
+    width = int(rng.choice([4, 8, 16, 64, 128]))
+    stride = int(rng.integers(1, 3 * width))
+    lo = float(rng.uniform(0.01, 0.3))
+    hi = lo + float(rng.uniform(0.5, 2.0))
+
+    got = [r.strip("│") for r in sinks.spark_fft(stream, width, stride, lo, hi)[1:]]
+    want = oracle_spark_fft(oracle, width, stride, lo, hi)
+    assert len(got) == len(want), (width, stride)
+    mism = sum(sum(a != b for a, b in zip(ra, rb)) for ra, rb in zip(got, want))
+    total = max(1, sum(len(r) for r in want))
+    assert mism <= total * 0.001, f"{mism}/{total} glyphs (w={width}, s={stride})"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_bucket_params_match_oracle(seed):
+    from oracle import oracle_freq_levels
+    from quadrs_tpu import sinks
+
+    rng = np.random.default_rng(4000 + seed)
+    n = int(rng.integers(2000, 9000))
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    stream = SampleSource(
+        np.ascontiguousarray(data).view(np.uint8), FileFormat.COMPLEX_FLOAT32, 48_000
+    )
+    oracle = OracleArray(data, 48_000)
+    width = int(rng.choice([8, 32, 64, 256]))
+    stride = int(rng.integers(1, 2 * width))
+    got = sinks.freq_levels(stream, width, stride).vals
+    want = oracle_freq_levels(oracle, width, stride)
+    assert len(got) == len(want)
+    diffs = sum(a != b for a, b in zip(got, want))
+    assert diffs <= max(1, len(want) // 500), (width, stride, diffs)
