@@ -23,8 +23,8 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
   bucket [-width 128] [-stride =width] [-by freq] COUNT \\
    write [-overwrite no] FILENAME_PREFIX \\
      gen [-cos FREQUENCY]* [-len 1 (second)] SAMPLE_RATE \\
-      ui [renders waterfall to ui.png] \\
-     eui [FILENAME] [renders waterfall to eui.png] \\
+      ui [-fft 8] [-stretch 4] [-stride 4] [renders waterfall to ui.png] \\
+     eui [-start 46] [-end 46.3] [-fft 512] [FILENAME] [renders to eui.png] \\
 
 
 Formats:
