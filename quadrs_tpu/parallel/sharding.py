@@ -36,7 +36,7 @@ def make_mesh(n_time: int, n_stream: int = 1, devices=None) -> Mesh:
     return Mesh(grid, ("stream", "time"))
 
 
-def make_sharded_stream_step(model: PipelineModel, mesh: Mesh):
+def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "xla"):
     """Build the jitted multi-chip streaming step.
 
     Takes ``raw`` of shape (S, 2, n_local*T) native-dtype planes with
@@ -44,6 +44,10 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh):
     phases ``theta0`` of shape (S, T) sharded ``P('stream', 'time')``;
     returns (S, windows, fft_width) f32 spectrogram rows with the window
     axis sharded over 'time'.
+
+    ``frontend='pallas'`` runs each shard's local compute through the
+    fused Pallas frontend (per-shard tile bases are ``theta0 +`` a
+    constant exact-angle table, so phase coherence costs one f32 add).
 
     The last time-shard's halo wraps circularly; its final
     ``ceil(taps/(decimate*width))`` windows are computed from wrapped
@@ -64,6 +68,12 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh):
         head = raw_local[:, :, :halo_samps]
         halo = jax.lax.ppermute(head, "time", perm)
         block = jnp.concatenate([raw_local, halo], axis=2)
+        if frontend == "pallas":
+            n_chunk = block.shape[2]
+            # shard-local tile bases relative to the shard start
+            deltas = jnp.asarray(model.stream_bases(0, n_chunk))
+            bases = theta0_local[:, 0:1] + deltas[None, :]
+            return jax.vmap(model.step_stream_pallas)(block, bases)
         return jax.vmap(model.step_stream)(block, theta0_local[:, 0])
 
     step = jax.shard_map(
@@ -71,6 +81,8 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh):
         mesh=mesh,
         in_specs=(P("stream", None, "time"), P("stream", "time")),
         out_specs=P("stream", "time", None),
+        # pallas_call doesn't annotate varying-mesh-axes metadata yet
+        check_vma=False,
     )
     return jax.jit(step)
 

@@ -172,3 +172,30 @@ def test_pallas_stream_step_matches_xla():
     else:
         got = np.asarray(model.jit_step_stream_pallas(raw, bases))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4 * want.max())
+
+
+def test_sharded_pallas_frontend_matches_xla_sharded():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    model = PipelineModel(CFG)
+    if not model.pallas_supported():
+        pytest.skip("decimation unsupported by the pallas frontend")
+    n_time, n_stream = 4, 1
+    n_local = CFG.decimate * CFG.fft_width * 2
+    total = n_time * n_local
+    raws = np.stack([model.synth_raw(total, seed=s) for s in range(n_stream)])
+    mesh = make_mesh(n_time, n_stream)
+    theta0 = plan_shard_phases(model, n_local, n_time, n_stream)
+
+    a = np.asarray(
+        make_sharded_stream_step(model, mesh, frontend="xla")(
+            shard_chunk(raws, mesh), shard_chunk(theta0, mesh)
+        )
+    )
+    b = np.asarray(
+        make_sharded_stream_step(model, mesh, frontend="pallas")(
+            shard_chunk(raws, mesh), shard_chunk(theta0, mesh)
+        )
+    )
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=3e-4, atol=3e-4 * a.max())
