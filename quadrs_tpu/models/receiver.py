@@ -162,7 +162,8 @@ class PipelineModel:
     def pallas_supported(self) -> bool:
         from quadrs_tpu.ops import frontend_pallas as fp
 
-        return fp.supported(self.cfg.decimate)
+        m_sub = -(-self.cfg.taps // self.cfg.decimate)
+        return fp.supported(self.cfg.decimate) and m_sub <= 128
 
     def stream_bases(self, global_start: int, n_chunk: int) -> np.ndarray:
         """Host-exact per-tile NCO bases for :meth:`step_stream_pallas` of
@@ -171,7 +172,10 @@ class PipelineModel:
 
         cfg = self.cfg
         n_out = (n_chunk - cfg.taps) // cfg.decimate
-        return tile_bases_t(self.frontend_spec, global_start + cfg.taps // 2, n_out)
+        # group-delay prefix is ceil(taps/2), matching fir_decimate
+        return tile_bases_t(
+            self.frontend_spec, global_start + (cfg.taps - cfg.taps // 2), n_out
+        )
 
     def step_stream_pallas(
         self, raw: jnp.ndarray, bases: jnp.ndarray, n_valid: int | None = None
@@ -190,9 +194,10 @@ class PipelineModel:
         n_in = raw.shape[-1]
         n_dec = (n_in - cfg.taps) // cfg.decimate
         n_windows = n_dec // cfg.fft_width
-        nv = None if n_valid is None else max(0, int(n_valid) - cfg.taps // 2)
+        prefix = cfg.taps - cfg.taps // 2  # ceil(taps/2), like fir_decimate
+        nv = None if n_valid is None else max(0, int(n_valid) - prefix)
         y = fused_frontend_t(
-            raw[:, cfg.taps // 2 :],
+            raw[:, prefix:],
             bases,
             self.frontend_spec,
             n_dec,

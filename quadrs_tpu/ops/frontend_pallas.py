@@ -98,9 +98,10 @@ def _plan(spec: FrontendSpec):
     halo_p = -(-max(span_p - 128 * d, 32 * 128) // 128) * 128
     r_halo = halo_p // 128
 
-    w = np.zeros((span_p, 128), dtype=np.float32)
-    for l in range(128):
-        w[l * d : l * d + size, l] = taps
+    from quadrs_tpu.ops.fir import _banded_weights
+
+    w = _banded_weights(spec.taps_bytes, d)
+    assert w.shape[0] == span_p
 
     nco = ExactNCO(spec.shift_freq, spec.sample_rate)
     delta_main = nco.angles(np.arange(l_in, dtype=np.int64)).reshape(r_in, 128)

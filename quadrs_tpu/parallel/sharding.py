@@ -50,14 +50,16 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "
     constant exact-angle table, so phase coherence costs one f32 add).
 
     The last time-shard's halo wraps circularly; its final
-    ``ceil(taps/(decimate*width))`` windows are computed from wrapped
-    data and should be dropped by the caller (the host executor does).
+    ``ceil((taps + ceil(taps/2)) / (decimate*width))`` windows are
+    computed from wrapped data and should be dropped by the caller (the
+    host executor does).
     """
     cfg = model.cfg
-    # a shard's last FIR output y[i] reads x[i*D + taps/2 .. i*D + taps/2
-    # + taps-1]; beyond the local n_local samples that needs
-    # taps/2 + taps - D neighbors' samples
-    halo_samps = max(cfg.taps, cfg.taps + cfg.taps // 2 - cfg.decimate)
+    # a shard's last FIR output y[i] reads x[i*D + ceil(taps/2) .. +
+    # taps-1]; beyond the local n_local samples that needs
+    # ceil(taps/2) + taps - D neighbors' samples
+    half_up = cfg.taps - cfg.taps // 2
+    halo_samps = max(cfg.taps, cfg.taps + half_up - cfg.decimate)
     if cfg.taps // (2 * cfg.decimate) >= cfg.fft_width:
         raise ValueError("fft window shorter than the FIR group delay span")
     n_time = mesh.shape["time"]
@@ -81,8 +83,9 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "
         mesh=mesh,
         in_specs=(P("stream", None, "time"), P("stream", "time")),
         out_specs=P("stream", "time", None),
-        # pallas_call doesn't annotate varying-mesh-axes metadata yet
-        check_vma=False,
+        # pallas_call doesn't annotate varying-mesh-axes metadata yet;
+        # keep the check for the pure-XLA path
+        check_vma=(frontend != "pallas"),
     )
     return jax.jit(step)
 

@@ -69,10 +69,10 @@ class StreamRunner:
         self.frontend = frontend
         cfg = model.cfg
         self._win_raw = cfg.decimate * cfg.fft_width
-        # lookahead: the last FIR output of a chunk reads taps/2 + taps
-        # past its decimation point (group delay), and step_stream's
+        # lookahead: the last FIR output of a chunk reads ceil(taps/2) +
+        # taps past its decimation point (group delay), and step_stream's
         # window reshape floor-drops the few extra decimated outputs
-        self._lookahead = cfg.taps + cfg.taps // 2
+        self._lookahead = cfg.taps + (cfg.taps - cfg.taps // 2)
         if cfg.taps // 2 // cfg.decimate >= cfg.fft_width:
             raise ValueError("fft window shorter than the FIR group delay span")
         quantum = self._win_raw
@@ -82,7 +82,9 @@ class StreamRunner:
             if mesh.shape["stream"] != 1:
                 raise ValueError("StreamRunner shards time only; use n_stream=1")
             quantum = self._win_raw * mesh.shape["time"]
-            self._sharded_step = make_sharded_stream_step(model, mesh)
+            self._sharded_step = make_sharded_stream_step(
+                model, mesh, frontend="pallas" if self._use_pallas() else "xla"
+            )
         self.chunk_samples = max(quantum, chunk_samples // quantum * quantum)
         self._quantum = quantum
 
@@ -219,7 +221,7 @@ class StreamRunner:
         model = self.model
         cfg = model.cfg
         n_time = self.mesh.shape["time"]
-        wrap = -(-(cfg.taps + cfg.taps // 2) // self._win_raw)
+        wrap = -(-self._lookahead // self._win_raw)
         n = self.chunk_samples
         n_local = n // n_time
         advance = n - wrap * self._win_raw

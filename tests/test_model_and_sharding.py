@@ -199,3 +199,68 @@ def test_sharded_pallas_frontend_matches_xla_sharded():
     )
     assert a.shape == b.shape
     np.testing.assert_allclose(b, a, rtol=3e-4, atol=3e-4 * a.max())
+
+
+def test_pallas_stream_step_odd_taps_matches_xla():
+    """Odd tap counts: the group-delay prefix is ceil(taps/2) everywhere
+    (regression for the floor/ceil mismatch review finding)."""
+    cfg = PipelineConfig(
+        sample_rate=1_000_000,
+        shift_freq=12_500,
+        lp_freq=50_000,
+        decimate=8,
+        taps=65,
+        fft_width=32,
+        fmt=FileFormat.COMPLEX_INT8,
+    )
+    model = PipelineModel(cfg)
+    assert model.pallas_supported()
+    n_chunk = cfg.decimate * cfg.fft_width * 4 + cfg.taps
+    raw = model.synth_raw(n_chunk, seed=19)
+    want = np.asarray(model.jit_step_stream(raw, np.float32(0.0)))
+    got = np.asarray(
+        model.jit_step_stream_pallas(raw, model.stream_bases(0, n_chunk))
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4 * want.max())
+
+
+def test_pallas_supported_respects_subfilter_limit():
+    cfg = PipelineConfig(
+        sample_rate=1_000_000,
+        shift_freq=12_500,
+        lp_freq=50_000,
+        decimate=2,
+        taps=400,  # 200 subfilters > 128
+        fft_width=64,
+        fmt=FileFormat.COMPLEX_INT8,
+    )
+    assert not PipelineModel(cfg).pallas_supported()
+
+
+def test_sharded_odd_taps_matches_single_device():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    cfg = PipelineConfig(
+        sample_rate=1_000_000,
+        shift_freq=12_500,
+        lp_freq=50_000,
+        decimate=8,
+        taps=65,
+        fft_width=32,
+        fmt=FileFormat.COMPLEX_INT8,
+    )
+    model = PipelineModel(cfg)
+    n_time = 4
+    n_local = cfg.decimate * cfg.fft_width * 2
+    total = n_time * n_local
+    raw = model.synth_raw(total + cfg.taps * 2, seed=20)
+    mesh = make_mesh(n_time, 1)
+    step = make_sharded_stream_step(model, mesh)
+    theta0 = plan_shard_phases(model, n_local, n_time, 1)
+    out = np.asarray(step(shard_chunk(raw[None, :, :total], mesh), shard_chunk(theta0, mesh)))[0]
+    want = np.asarray(model.jit_step_stream(raw, np.float32(0.0)))
+    wrap = -(-(cfg.taps + (cfg.taps - cfg.taps // 2)) // (cfg.decimate * cfg.fft_width))
+    keep = out.shape[0] - wrap
+    np.testing.assert_allclose(
+        out[:keep], want[:keep], rtol=3e-4, atol=3e-4 * want.max()
+    )
