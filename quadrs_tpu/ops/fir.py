@@ -59,7 +59,8 @@ def lowpass_taps(cutoff: float, size: int) -> np.ndarray:
 
     x = np.float32(2.0) * c * (i - (sz - np.float32(1.0)) / np.float32(2.0))
     xpi = x * _PI32
-    sinc = np.where(xpi == 0, np.float32(1.0), np.sin(xpi) / xpi)
+    safe = np.where(xpi == 0, np.float32(1.0), xpi)  # avoid a 0/0 warning
+    sinc = np.where(xpi == 0, np.float32(1.0), np.sin(safe) / safe)
 
     t = np.float32(2.0) * _PI32 * i / (sz - np.float32(1.0))
     window = (
