@@ -38,6 +38,15 @@ def _time(step, args, chunk, min_secs):
     return (n2 - n1) * chunk / max(t2 - t1, 1e-9) / 1e6
 
 
+def _step_for(model, chunk, on_accel):
+    """Fused Pallas frontend on TPU when the config supports it."""
+    if on_accel and model.pallas_supported():
+        bases = model.stream_bases(0, chunk + model.cfg.taps)
+        return lambda raw: (lambda i: model.jit_step_stream_pallas(raw, bases))
+    thetas = model.theta0(np.arange(16, dtype=np.int64) * chunk)
+    return lambda raw: (lambda i: model.jit_step_stream(raw, thetas[i % 16]))
+
+
 def bench_cs16_sustained(on_accel: bool) -> dict:
     from quadrs_tpu.formats import FileFormat
     from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
@@ -54,13 +63,8 @@ def bench_cs16_sustained(on_accel: bool) -> dict:
     model = PipelineModel(cfg)
     chunk = (1 << 24) if on_accel else (1 << 20)
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
-    thetas = model.theta0(np.arange(16, dtype=np.int64) * chunk)
-    msps = _time(
-        model.jit_step_stream,
-        lambda i: (raw, thetas[i % 16]),
-        chunk,
-        2.0 if on_accel else 0.3,
-    )
+    step = _step_for(model, chunk, on_accel)(raw)
+    msps = _time(lambda i: step(i), lambda i: (i,), chunk, 2.0 if on_accel else 0.3)
     return {
         "metric": "cs16 on-chip decode + shift + lowpass(dec64) + stft",
         "value": round(msps, 1),
@@ -85,15 +89,10 @@ def bench_long_fir(on_accel: bool) -> dict:
     model = PipelineModel(cfg)
     chunk = (1 << 23) if on_accel else (1 << 19)
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
-    thetas = model.theta0(np.arange(16, dtype=np.int64) * chunk)
-    msps = _time(
-        model.jit_step_stream,
-        lambda i: (raw, thetas[i % 16]),
-        chunk,
-        2.0 if on_accel else 0.3,
-    )
+    step = _step_for(model, chunk, on_accel)(raw)
+    msps = _time(lambda i: step(i), lambda i: (i,), chunk, 2.0 if on_accel else 0.3)
     return {
-        "metric": "power=2000 overlap-save lowpass chain",
+        "metric": "power=2000 (4000-tap) lowpass chain",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip",
         "vs_baseline": round(msps / 100.0, 2),

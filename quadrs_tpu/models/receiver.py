@@ -162,8 +162,12 @@ class PipelineModel:
     def pallas_supported(self) -> bool:
         from quadrs_tpu.ops import frontend_pallas as fp
 
+        # VMEM budget at the kernel's 8K-output tiles: long filters
+        # (many polyphase subfilters) blow the 16MB scoped limit —
+        # measured: m_sub=125 OOMs, m_sub<=13 comfortable; 32 is the
+        # conservative cap.  Larger filters take the XLA overlap-save.
         m_sub = -(-self.cfg.taps // self.cfg.decimate)
-        return fp.supported(self.cfg.decimate) and m_sub <= 128
+        return fp.supported(self.cfg.decimate) and m_sub <= 32
 
     def stream_bases(self, global_start: int, n_chunk: int) -> np.ndarray:
         """Host-exact per-tile NCO bases for :meth:`step_stream_pallas` of

@@ -80,7 +80,8 @@ class FrontendSpec:
 
 
 def supported(decimate: int) -> bool:
-    return decimate in (1, 2, 4, 8, 16, 32, 64, 128)
+    # d=128 blocks alone approach the 16MB VMEM budget at the 8K tile
+    return decimate in (1, 2, 4, 8, 16, 32, 64)
 
 
 @functools.lru_cache(maxsize=8)

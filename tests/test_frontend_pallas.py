@@ -109,8 +109,9 @@ def test_fused_frontend_phase_matches_at_offset():
 
 
 def test_supported_decimations():
-    assert supported(32) and supported(8) and supported(128)
-    assert not supported(24) and not supported(3)
+    assert supported(32) and supported(8) and supported(64)
+    # 128 exceeds the VMEM budget at the 8K tile; non-divisors rejected
+    assert not supported(128) and not supported(24) and not supported(3)
 
 
 @pytest.mark.parametrize(
