@@ -10,25 +10,20 @@ current one computes); each iteration processes the chunk under fresh
 NCO phases so nothing is cached or constant-folded.  Prints one JSON
 line; ``vs_baseline`` is against the 100 Msamples/sec/chip north-star
 target (the reference publishes no numbers, see BASELINE.md).
-
-Timing synchronizes via a tiny scalar fetch and reports a differenced
-window (``block_until_ready`` is unreliable on tunneled runtimes).
 """
 
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import numpy as np
 
 
 def main() -> None:
-    import jax.numpy as jnp
-
     from quadrs_tpu.formats import FileFormat
     from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+    from quadrs_tpu.utils.timing import measure_msps
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
@@ -49,35 +44,21 @@ def main() -> None:
     min_secs = 3.0 if on_accel else 0.5
 
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
+    n_rot = 16  # rotate chunk phases so nothing constant-folds
 
-    use_pallas = on_accel and model.pallas_supported()
-    if use_pallas:
-        bases = model.stream_bases(0, chunk + cfg.taps)
-        step = lambda i: model.jit_step_stream_pallas(raw, bases)  # noqa: E731
+    if on_accel and model.pallas_supported():
+        bases = [
+            np.asarray(model.stream_bases(k * chunk, chunk + cfg.taps))
+            for k in range(n_rot)
+        ]
+        step = lambda i: model.jit_step_stream_pallas(raw, bases[i % n_rot])  # noqa: E731
         label = "fused pallas cs8 decode+shift+lowpass(dec32,taps400)+stft64"
     else:
-        thetas = model.theta0(np.arange(64, dtype=np.int64) * chunk)
-        step = lambda i: model.jit_step_stream(raw, thetas[i % 64])  # noqa: E731
+        thetas = model.theta0(np.arange(n_rot, dtype=np.int64) * chunk)
+        step = lambda i: model.jit_step_stream(raw, thetas[i % n_rot])  # noqa: E731
         label = "fused cs8 decode+shift+lowpass(dec32,taps400)+stft64"
 
-    checksum = jax.jit(lambda o: jnp.sum(o))
-
-    def run(iters: int) -> float:
-        t0 = time.perf_counter()
-        out = None
-        for i in range(iters):
-            out = step(i)
-        float(checksum(out))
-        return time.perf_counter() - t0
-
-    float(checksum(step(0)))  # warmup / compile
-
-    per = max(run(2) / 2, 1e-5)
-    n1 = max(4, int(min_secs / per / 2))
-    n2 = 3 * n1
-    t1, t2 = run(n1), run(n2)
-
-    msps = (n2 - n1) * chunk / max(t2 - t1, 1e-9) / 1e6
+    msps = measure_msps(step, chunk, min_secs)
     print(
         json.dumps(
             {

@@ -14,35 +14,28 @@ Timing uses scalar-fetch differencing (see bench.py).
 from __future__ import annotations
 
 import json
-import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
+
+from quadrs_tpu.utils.timing import measure_msps
 
 
 def _time(step, args, chunk, min_secs):
-    def run(iters: int) -> float:
-        t0 = time.perf_counter()
-        out = None
-        for i in range(iters):
-            out = step(*args(i))
-        float(jnp.sum(out))
-        return time.perf_counter() - t0
-
-    float(jnp.sum(step(*args(0))))  # compile
-    per = max(run(2) / 2, 1e-5)
-    n1 = max(2, int(min_secs / per / 2))
-    n2 = 3 * n1
-    t1, t2 = run(n1), run(n2)
-    return (n2 - n1) * chunk / max(t2 - t1, 1e-9) / 1e6
+    return measure_msps(lambda i: step(*args(i)), chunk, min_secs, min_iters=2)
 
 
 def _step_for(model, chunk, on_accel):
-    """Fused Pallas frontend on TPU when the config supports it."""
+    """Fused Pallas frontend on TPU when the config supports it; phases
+    rotate across iterations either way."""
     if on_accel and model.pallas_supported():
-        bases = model.stream_bases(0, chunk + model.cfg.taps)
-        return lambda raw: (lambda i: model.jit_step_stream_pallas(raw, bases))
+        bases = [
+            np.asarray(model.stream_bases(k * chunk, chunk + model.cfg.taps))
+            for k in range(16)
+        ]
+        return lambda raw: (
+            lambda i: model.jit_step_stream_pallas(raw, bases[i % 16])
+        )
     thetas = model.theta0(np.arange(16, dtype=np.int64) * chunk)
     return lambda raw: (lambda i: model.jit_step_stream(raw, thetas[i % 16]))
 

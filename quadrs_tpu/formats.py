@@ -202,3 +202,17 @@ def encode_cf32(samples: np.ndarray) -> bytes:
     """
     samples = np.ascontiguousarray(samples, dtype=np.complex64)
     return samples.view(np.float32).astype("<f4", copy=False).tobytes()
+
+
+def synth_planes(fmt: FileFormat, n_samples: int, seed: int = 0, n_streams: int | None = None) -> np.ndarray:
+    """Deterministic synthetic capture planes in a format's native dtype:
+    shape (2, n) or (n_streams, 2, n)."""
+    rng = np.random.default_rng(seed)
+    shape = (2, n_samples) if n_streams is None else (n_streams, 2, n_samples)
+    if fmt is FileFormat.COMPLEX_FLOAT32:
+        return rng.normal(scale=0.3, size=shape).astype(np.float32)
+    if fmt is FileFormat.COMPLEX_INT8:
+        return rng.integers(-127, 128, shape, dtype=np.int64).astype(np.int8)
+    if fmt is FileFormat.COMPLEX_UINT8:
+        return rng.integers(0, 256, shape, dtype=np.int64).astype(np.uint8)
+    return rng.integers(-32768, 32768, shape, dtype=np.int64).astype(np.int16)

@@ -58,12 +58,12 @@ class OokDemod:
 
     def pulses(self, stream: Stream) -> np.ndarray:
         from quadrs_tpu.ops.stft import stft_norms
-        from quadrs_tpu.runtime import Executor, window_batches
+        from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 
         offsets = np.arange(0, stream.length - self.width, self.stride, dtype=np.int64)
         if len(offsets) == 0:
             raise ValueError("input shorter than the envelope window")
-        batch, batches = window_batches(offsets, self.width)
+        batch, batches = window_batches(offsets, self.width, root_step=root_step_of(stream))
         ex = Executor(stream, self.width, batch=batch, post=stft_norms)
         flags = []
         for offs in batches:

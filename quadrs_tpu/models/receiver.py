@@ -232,12 +232,6 @@ class PipelineModel:
 
     def synth_raw(self, n_samples: int, seed: int = 0) -> np.ndarray:
         """Synthetic capture as (2, n_samples) native-dtype planes."""
-        rng = np.random.default_rng(seed)
-        shape = (2, n_samples)
-        if self.cfg.fmt is FileFormat.COMPLEX_FLOAT32:
-            return rng.normal(scale=0.3, size=shape).astype(np.float32)
-        if self.cfg.fmt is FileFormat.COMPLEX_INT8:
-            return rng.integers(-127, 128, shape, dtype=np.int64).astype(np.int8)
-        if self.cfg.fmt is FileFormat.COMPLEX_UINT8:
-            return rng.integers(0, 256, shape, dtype=np.int64).astype(np.uint8)
-        return rng.integers(-32768, 32768, shape, dtype=np.int64).astype(np.int16)
+        from quadrs_tpu.formats import synth_planes
+
+        return synth_planes(self.cfg.fmt, n_samples, seed)

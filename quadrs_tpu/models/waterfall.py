@@ -72,13 +72,6 @@ class WaterfallModel:
         return jax.jit(self.step)
 
     def synth_raw(self, n: int, seed: int = 0) -> np.ndarray:
-        rng = np.random.default_rng(seed)
-        cfg = self.cfg
-        shape = (cfg.n_streams, 2, n)
-        if cfg.fmt is FileFormat.COMPLEX_INT8:
-            return rng.integers(-127, 128, shape, dtype=np.int64).astype(np.int8)
-        if cfg.fmt is FileFormat.COMPLEX_UINT8:
-            return rng.integers(0, 256, shape, dtype=np.int64).astype(np.uint8)
-        if cfg.fmt is FileFormat.COMPLEX_INT16:
-            return rng.integers(-32768, 32768, shape, dtype=np.int64).astype(np.int16)
-        return rng.normal(scale=0.3, size=shape).astype(np.float32)
+        from quadrs_tpu.formats import synth_planes
+
+        return synth_planes(self.cfg.fmt, n, seed, n_streams=self.cfg.n_streams)

@@ -145,7 +145,7 @@ def fir_decimate(
         return out
 
     if impl == "overlap_save":
-        return _overlap_save(x, taps, d, n_out, needed)
+        return _overlap_save(x, taps, d, n_out)
 
     if impl == "banded":
         return _banded(x, taps, d, n_out)
@@ -203,9 +203,7 @@ def _banded(x: jnp.ndarray, taps: np.ndarray, d: int, n_out: int) -> jnp.ndarray
     return y.reshape(x.shape[0], groups * 128)[:, :n_out]
 
 
-def _overlap_save(
-    x: jnp.ndarray, taps: np.ndarray, d: int, n_out: int, needed: int
-) -> jnp.ndarray:
+def _overlap_save(x: jnp.ndarray, taps: np.ndarray, d: int, n_out: int) -> jnp.ndarray:
     """Frequency-domain decimating correlation over overlapped frames.
 
     ``x``: (B, L) complex64 with the group-delay prefix already dropped;

@@ -21,8 +21,11 @@ Layout notes (v5e):
   outputs per lhs row, where ``W[p, l] = h[p - l*D]``.  ``lhs`` rows
   overlap by ``taps - D`` samples and are assembled in VMEM from row
   slices (SRAM-cheap), so HBM never sees the overlap;
-* requires ``decimate`` to divide 128; other configs fall back to the
-  XLA path.
+* requires ``decimate`` to divide 128 (<= 64 for VMEM) and at most 32
+  polyphase subfilters; other configs fall back to the XLA path.  The
+  (d, N) native-dtype blocks are legal at any d because the block's
+  sublane dim equals the array dim (hardware-verified compiled for
+  cs8/cs16 at d=8, cu8 at d=16, cf32 at d=4, cs8 at d=64).
 
 Status (v5e, 4M-sample chunks, exact to ~1e-6 vs the XLA chain):
 

@@ -22,6 +22,9 @@ class ExactNCO:
     def __init__(self, frequency: int, sample_rate: int):
         if sample_rate <= 0:
             raise ValueError("sample rate must be positive")
+        if sample_rate >= (1 << 31):
+            # keeps (i % period) * f_mod < 2^62, inside int64
+            raise ValueError("sample rates >= 2^31 are not supported")
         self.frequency = int(frequency)
         self.sample_rate = int(sample_rate)
         g = math.gcd(abs(self.frequency), self.sample_rate)

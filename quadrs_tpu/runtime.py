@@ -24,24 +24,37 @@ def _round_up_pow2(n: int) -> int:
 
 
 def window_batches(
-    offsets: np.ndarray, width: int, budget: int = 1 << 20, span_cap: int = 1 << 26
+    offsets: np.ndarray,
+    width: int,
+    budget: int = 1 << 20,
+    span_cap: int = 1 << 26,
+    root_step: int = 1,
 ) -> tuple[int, list[np.ndarray]]:
     """Split window offsets into executor-sized batches (one compiled
     program reused across them): ~``budget`` samples of output per batch,
-    and no batch spanning more than ``span_cap`` stream samples (the
-    executor stages each batch's whole span densely, so huge strides
-    would otherwise balloon staging memory)."""
+    and no batch spanning more than ``span_cap`` ROOT-SOURCE samples (the
+    executor stages each batch's whole root span densely, so huge strides
+    would otherwise balloon staging memory).  ``root_step`` is how many
+    root samples one output offset unit covers (the chain's total
+    decimation — see :func:`root_step_of`)."""
     batch = max(1, min(len(offsets), budget // max(width, 1)))
+    step = max(1, int(root_step))
     out = []
     i = 0
     n = len(offsets)
     while i < n:
         j = min(i + batch, n)
-        while j - i > 1 and offsets[j - 1] - offsets[i] > span_cap:
+        while j - i > 1 and (offsets[j - 1] - offsets[i]) * step > span_cap:
             j = i + max(1, (j - i) // 2)
         out.append(offsets[i:j])
         i = j
     return batch, out
+
+
+def root_step_of(stream) -> int:
+    """Root-source samples per unit offset of ``stream`` (its chain's
+    total decimation factor)."""
+    return max(1, stream.span(1, 1)[0] - stream.span(0, 1)[0])
 
 
 class _Planes:

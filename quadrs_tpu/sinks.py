@@ -21,7 +21,7 @@ import numpy as np
 
 from quadrs_tpu.formats import encode_cf32
 from quadrs_tpu.ops.stft import blackman_harris_window, stft_norms
-from quadrs_tpu.runtime import Executor, window_batches
+from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 from quadrs_tpu.stream import Stream
 
 # The 9 display levels: blank below min, full block at/above max,
@@ -83,7 +83,7 @@ def spark_fft(
         return collected
 
     offsets = np.arange(0, stream.length - width, stride, dtype=np.int64)
-    batch, batches = window_batches(offsets, width)
+    batch, batches = window_batches(offsets, width, root_step=root_step_of(stream))
     ex = Executor(stream, width, batch=batch, post=stft_norms)
     for offs in batches:
         norms, valid = ex.run(offs)
@@ -126,7 +126,7 @@ def freq_levels(
         half = fft_width // 2
         return norms[:, :half].sum(axis=1), norms[:, half:].sum(axis=1)
 
-    batch, batches = window_batches(offsets, fft_width)
+    batch, batches = window_batches(offsets, fft_width, root_step=root_step_of(stream))
     ex = Executor(stream, fft_width, batch=batch, post=post)
     vals: list[int] = []
     for offs in batches:
@@ -234,7 +234,7 @@ def take_fft(
     elif windowing != "rectangular":
         raise ValueError(f"unknown windowing: {windowing}")
 
-    batch, batches = window_batches(offsets, width)
+    batch, batches = window_batches(offsets, width, root_step=root_step_of(stream))
     ex = Executor(stream, width, batch=batch, post=lambda x: stft_norms(x, window=window))
     rows: list[np.ndarray] = []
     for offs in batches:

@@ -107,11 +107,13 @@ class StreamRunner:
             off += n
 
     def _prefetched(self, start_off: int = 0, depth: int = 2) -> Iterator:
-        """Run :meth:`_chunks` staging on a background thread so the host
-        prepares chunk k+1 while the device computes chunk k (the C++
-        loader already overlaps the disk read underneath).  If the
-        consumer abandons the generator (callback raised, interrupted),
-        the fill thread notices and exits instead of pinning buffers."""
+        """Run :meth:`_chunks` staging on a background thread so disk
+        reads + deinterleave of chunk k+1 overlap the device compute of
+        chunk k.  (The C++ loader's own ring prefetcher,
+        NativeCapture.prefetch, is a building block for custom pipelines;
+        this runner gets its overlap from this thread.)  If the consumer
+        abandons the generator (callback raised, interrupted), the fill
+        thread notices and exits instead of pinning buffers."""
         q: queue.Queue = queue.Queue(maxsize=depth)
         _DONE = object()
         stop = threading.Event()

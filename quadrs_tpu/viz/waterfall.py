@@ -27,7 +27,7 @@ from pathlib import Path
 import numpy as np
 
 from quadrs_tpu.ops.stft import stft_norms
-from quadrs_tpu.runtime import Executor, window_batches
+from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 from quadrs_tpu.sinks import take_fft
 from quadrs_tpu.sources import SampleSource
 from quadrs_tpu.stream import Stream
@@ -91,7 +91,7 @@ def ui_render(
     n_windows = int(min(samples_available, w * max_bands))
     offsets = np.arange(n_windows, dtype=np.int64)
 
-    batch, batches = window_batches(offsets, p.fft_width)
+    batch, batches = window_batches(offsets, p.fft_width, root_step=root_step_of(stream))
     ex = Executor(stream, p.fft_width, batch=batch, post=stft_norms)
     norms_all = []
     for offs in batches:
