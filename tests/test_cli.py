@@ -190,3 +190,11 @@ def test_ui_flags(tmp_path, monkeypatch):
     assert main("from tone.sr48000.cf32 ui -fft 16".split()) == 0
     img = np.asarray(Image.open(tmp_path / "ui.png"))
     assert img.sum() > 0  # non-black output by default
+
+
+def test_from_missing_file_clean_error(capsys):
+    from quadrs_tpu.cli import main
+
+    rc = main("from /nonexistent/x.sr400.cf32 sparkfft".split())
+    assert rc == 1
+    assert "Error:" in capsys.readouterr().err
