@@ -26,6 +26,7 @@ from quadrs_tpu.formats import FileFormat, FileDetails
 from quadrs_tpu.stream import LowPass, Shift, Stream
 from quadrs_tpu.sources import SampleSource, ToneGen, open_capture
 from quadrs_tpu.pipeline import Operation, exec_operation, run_pipeline
+from quadrs_tpu.stream_runner import RunStats, StreamRunner
 
 __version__ = "0.1.0"
 
@@ -41,4 +42,6 @@ __all__ = [
     "Operation",
     "exec_operation",
     "run_pipeline",
+    "StreamRunner",
+    "RunStats",
 ]

@@ -31,3 +31,19 @@ def test_compare_backends_runs():
     # cross-checks the accelerator against the host backend
     g = ToneGen([20], 400, 1.0)
     compare_backends(lambda: np.asarray(g.read_at(0, 64)[0]), atol=1e-5)
+
+
+def test_measure_msps_harness():
+    import jax.numpy as jnp
+
+    from quadrs_tpu.utils.timing import measure_msps
+
+    calls = []
+
+    def step(i):
+        calls.append(i)
+        return jnp.asarray(float(i))
+
+    msps = measure_msps(step, samples_per_step=1_000_000, min_secs=0.01, min_iters=2)
+    assert msps > 0
+    assert calls[0] == 0 and len(calls) >= 5  # warmup + calibration + windows
