@@ -116,3 +116,26 @@ def test_take_fft_matches_manual_stft():
         spec = np.fft.fft(np.asarray(win).astype(np.complex128))
         spec = np.concatenate([spec[32:], spec[:32]])
         np.testing.assert_allclose(res.get(row), np.abs(spec), atol=1e-3)
+
+
+def test_wide_fft_uses_xla_path():
+    """Widths above the DFT-matmul cutoff go through jnp.fft; check the
+    numerics against numpy on a wide window."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.ops.stft import batched_fft
+
+    rng = np.random.default_rng(71)
+    x = (rng.normal(size=(3, 2048)) + 1j * rng.normal(size=(3, 2048))).astype(
+        np.complex64
+    )
+    from util import to_device_complex, from_device_complex
+
+    got = from_device_complex(batched_fft(to_device_complex(x), impl="auto"))
+    want = np.fft.fft(x.astype(np.complex128))
+    np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
+    # and the matmul path agrees with the xla path at the boundary width
+    y = (rng.normal(size=(2, 1024)) + 1j * rng.normal(size=(2, 1024))).astype(np.complex64)
+    a = from_device_complex(batched_fft(to_device_complex(y), impl="matmul"))
+    b = from_device_complex(batched_fft(to_device_complex(y), impl="xla"))
+    np.testing.assert_allclose(a, b, atol=2e-3 * np.abs(b).max())
