@@ -198,3 +198,56 @@ def test_from_missing_file_clean_error(capsys):
     rc = main("from /nonexistent/x.sr400.cf32 sparkfft".split())
     assert rc == 1
     assert "Error:" in capsys.readouterr().err
+
+
+def test_full_pipeline_roundtrip_vs_oracle(tmp_path, monkeypatch, capsys):
+    """Deep integration: gen -> shift -> lowpass -> write, re-from the
+    written file, bucket — every stage chained through the CLI, checked
+    against the sequential oracle end to end."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from oracle import (
+        OracleArray,
+        OracleGen,
+        OracleLowPass,
+        OracleShift,
+        oracle_freq_levels,
+    )
+
+    from quadrs_tpu.cli import main
+    from quadrs_tpu.formats import FileFormat, decode_bytes
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        "gen -cos 3k -cos -9k -len 1 48k shift 2k "
+        "lowpass -power 40 -decimate 4 10k write chain".split()
+    )
+    assert rc == 0
+    raw = np.fromfile(tmp_path / "chain.sr12000.cf32", dtype=np.uint8)
+    got = decode_bytes(raw, FileFormat.COMPLEX_FLOAT32)
+
+    # oracle: the same chained pulls with the writer's 0x1000 chunks
+    chain = OracleLowPass(
+        OracleShift(OracleGen([3000, -9000], 48_000, 1.0), 2000, 48_000),
+        10_000,
+        4,
+        80,
+    )
+    want = []
+    off = 0
+    while off < chain.length:
+        block = chain.read_at(off, 0x1000)
+        assert len(block) > 0
+        want.append(block)
+        off += len(block)
+    want = np.concatenate(want)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got, want, atol=3e-5 * np.abs(want).max())
+
+    # and bucket over the written file matches the oracle's discriminator
+    rc = main(f"from {tmp_path}/chain.sr12000.cf32 bucket -by freq -width 32 2".split())
+    assert rc == 0
+    digits = capsys.readouterr().out.strip().splitlines()[-1]
+    want_syms = oracle_freq_levels(OracleArray(want, 12_000), 32, 32)
+    assert digits == "".join(map(str, want_syms))
