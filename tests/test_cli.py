@@ -251,3 +251,25 @@ def test_full_pipeline_roundtrip_vs_oracle(tmp_path, monkeypatch, capsys):
     digits = capsys.readouterr().out.strip().splitlines()[-1]
     want_syms = oracle_freq_levels(OracleArray(want, 12_000), 32, 32)
     assert digits == "".join(map(str, want_syms))
+
+
+def test_parser_fuzz_never_crashes():
+    """Random token soup must either parse or raise ValueError — no
+    other exception type escapes the grammar."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    vocab = [
+        "from", "shift", "lowpass", "sparkfft", "bucket", "write", "gen",
+        "ui", "eui", "-sr", "-format", "-width", "-stride", "-range",
+        "-power", "-decimate", "-cos", "-len", "-by", "-overwrite",
+        "freq", "cf32", "x.sr400.cf32", "100", "-5", "1k", "21M", "0.5",
+        "0.001:0.01", "yes", "", "-", ":", "-0x", "nan",
+    ]
+    for _ in range(300):
+        n = int(rng.integers(0, 8))
+        tokens = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+        try:
+            argmod.parse(tokens)
+        except ValueError:
+            pass  # the only acceptable failure mode
