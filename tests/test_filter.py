@@ -155,6 +155,81 @@ def test_fir_overlap_save_long_filter():
     np.testing.assert_allclose(c, b, atol=1e-7)
 
 
+@pytest.mark.parametrize("n_out", [1, 64, 128, 200, 300])
+def test_fir_banded_matches_direct(n_out):
+    """`banded` is auto-selected only at benchmark scale (n_out >= 2^18),
+    so pin it against `direct` explicitly at small sizes, including
+    non-multiples of its 128-output group."""
+    rng = np.random.default_rng(10)
+    d, size = 8, 96
+    n_in = n_out * d + size
+    x = (rng.normal(size=(2, n_in)) + 1j * rng.normal(size=(2, n_in))).astype(
+        np.complex64
+    )
+    taps = lowpass_taps(0.03, size)
+    xd = to_device_complex(x)
+    a = _run_fir(xd, taps, d, n_out, "direct")
+    b = _run_fir(xd, taps, d, n_out, "banded")
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_fir_all_impls_agree_random():
+    """Property test: every implementation computes the same decimating
+    FIR on random (taps, decimate, n_out) configurations."""
+    rng = np.random.default_rng(11)
+    for case in range(6):
+        d = int(rng.choice([1, 2, 3, 4, 8, 16]))
+        size = int(rng.integers(2, 12)) * max(d, 2)
+        n_out = int(rng.integers(1, 257))
+        n_in = n_out * d + size
+        x = (rng.normal(size=(1, n_in)) + 1j * rng.normal(size=(1, n_in))).astype(
+            np.complex64
+        )
+        taps = lowpass_taps(float(rng.uniform(0.005, 0.2)), size)
+        xd = to_device_complex(x)
+        ref = _run_fir(xd, taps, d, n_out, "direct")
+        for impl in ("polyphase", "banded", "overlap_save"):
+            got = _run_fir(xd, taps, d, n_out, impl)
+            np.testing.assert_allclose(
+                got,
+                ref,
+                atol=3e-5,
+                err_msg=f"case {case}: impl={impl} d={d} size={size} n_out={n_out}",
+            )
+
+
+def test_fir_auto_crossover_boundaries():
+    """`auto` routing is an internal perf decision; whatever it picks at
+    each crossover boundary must agree with the reference impl.
+    Boundaries from ops/fir.py: m>64 -> overlap_save; n_out>=2^18 and
+    d>=8 -> banded; d>=4 -> polyphase; else direct."""
+    rng = np.random.default_rng(12)
+
+    def check(d, size, n_out, ref_impl, atol=3e-5):
+        n_in = n_out * d + size
+        x = (rng.normal(size=(1, n_in)) + 1j * rng.normal(size=(1, n_in))).astype(
+            np.complex64
+        )
+        taps = lowpass_taps(0.02, size)
+        xd = to_device_complex(x)
+        a = _run_fir(xd, taps, d, n_out, "auto")
+        b = _run_fir(xd, taps, d, n_out, ref_impl)
+        np.testing.assert_allclose(
+            a, b, atol=atol, err_msg=f"d={d} size={size} n_out={n_out}"
+        )
+
+    # m = ceil(size/d) crossing 64: 64*8=512 taps is polyphase-class,
+    # 65*8 would go overlap_save — check both sides
+    check(8, 512, 64, "polyphase")
+    check(8, 528, 64, "overlap_save")
+    # banded kicks in at n_out = 2^18 with d >= 8 (benchmark scale);
+    # compare against polyphase (direct would blow memory here)
+    check(8, 32, 1 << 18, "banded")
+    check(8, 32, (1 << 18) - 1, "polyphase")
+    # short-decimation path stays direct
+    check(2, 40, 128, "direct")
+
+
 def test_lowpass_long_taps_stream_matches_oracle():
     src, osrc = _capture(n=16384)
     lp = LowPass(src, 500, 8, 2000)  # auto -> overlap_save (m = 250 subfilters)
