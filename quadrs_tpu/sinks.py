@@ -140,10 +140,19 @@ def freq_levels(
 def do_write(stream: Stream, overwrite: bool, prefix: str, directory: str | None = None) -> str:
     """Write the stream as ``{prefix}.sr{rate}.cf32`` (``src/lib.rs:178-213``).
 
-    Pulls 0x1000-sample chunks; raises on a zero-length read like the
-    reference's short-read assert.  With ``overwrite`` the reference
-    opens with create-but-no-truncate, so a pre-existing longer file
-    keeps its tail — reproduced here.
+    The 0x1000-sample pull size is semantics (each pull sees the
+    per-read truncated convolution at its own boundaries), but the pulls
+    are independent windows, so many of them run per device dispatch:
+    the sequential reference loop's offsets are ``0, 0x1000, 0x2000, …``
+    because every non-final read comes back full, and each batched
+    window computes exactly what the corresponding sequential pull
+    would.  A short read mid-stream (impossible for the shipped stages,
+    which only come up short at EOF) falls back to the sequential loop
+    so the ``off += read`` advance stays faithful.
+
+    Raises on a zero-length read like the reference's short-read assert.
+    With ``overwrite`` the reference opens with create-but-no-truncate,
+    so a pre-existing longer file keeps its tail — reproduced here.
     """
     if prefix == "-":
         raise NotImplementedError("stdout writing is unimplemented in the reference")
@@ -158,17 +167,47 @@ def do_write(stream: Stream, overwrite: bool, prefix: str, directory: str | None
     else:
         fh = open(filename, "xb")  # create_new
 
-    ex = Executor(stream, WRITE_CHUNK, batch=1)
+    offsets = np.arange(0, stream.length, WRITE_CHUNK, dtype=np.int64)
     with fh:
-        off = 0
-        while off < stream.length:
-            samples, valid = ex.run(np.asarray([off], dtype=np.int64))
-            read = int(valid[0])
-            if read == 0:
-                raise RuntimeError(f"short read at offset {off} of {stream.length}")
-            fh.write(encode_cf32(samples[0][:read]))
-            off += read
+        if len(offsets) == 0:
+            return filename
+        batch, batches = window_batches(
+            offsets, WRITE_CHUNK, root_step=root_step_of(stream)
+        )
+        ex = Executor(stream, WRITE_CHUNK, batch=batch)
+        for offs in batches:
+            samples, valid = ex.run(offs)
+            for i in range(len(offs)):
+                read = int(valid[i])
+                if read == 0:
+                    raise RuntimeError(
+                        f"short read at offset {int(offs[i])} of {stream.length}"
+                    )
+                fh.write(encode_cf32(samples[i][:read]))
+                if read < WRITE_CHUNK:
+                    # short read: resume the exact sequential advance
+                    # (off += read) from here — including the reference's
+                    # zero-read error when the stream's claimed tail is
+                    # unreadable (a decimated stage's final sample often
+                    # is: its raw span extends past the source)
+                    next_off = int(offs[i]) + read
+                    if next_off < stream.length:
+                        _write_sequential(fh, stream, next_off)
+                    return filename
     return filename
+
+
+def _write_sequential(fh, stream: Stream, off: int) -> None:
+    """The reference's literal pull loop (``src/lib.rs:199-210``), used
+    when a mid-stream short read desyncs the batched offsets."""
+    ex = Executor(stream, WRITE_CHUNK, batch=1)
+    while off < stream.length:
+        samples, valid = ex.run(np.asarray([off], dtype=np.int64))
+        read = int(valid[0])
+        if read == 0:
+            raise RuntimeError(f"short read at offset {off} of {stream.length}")
+        fh.write(encode_cf32(samples[0][:read]))
+        off += read
 
 
 @dataclass

@@ -76,6 +76,82 @@ def test_write_roundtrip_through_source(tmp_path):
     assert np.asarray(got).tobytes() == np.asarray(want).tobytes()
 
 
+def _file_source(n, seed=21, sr=48_000):
+    rng = np.random.default_rng(seed)
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    return SampleSource(
+        np.ascontiguousarray(data).view(np.uint8), FileFormat.COMPLEX_FLOAT32, sr
+    )
+
+
+def test_write_batched_matches_sequential(tmp_path, monkeypatch):
+    """Many 0x1000-pulls run per device dispatch; bytes must equal the
+    reference's one-pull-per-iteration loop, with far fewer dispatches."""
+    import io
+
+    from quadrs_tpu import runtime
+
+    src = _file_source(0x1000 * 21 + 517)  # 21 chunks + ragged tail
+
+    calls = []
+    real_run = runtime.Executor.run
+
+    def counting_run(self, offs):
+        calls.append(len(offs))
+        return real_run(self, offs)
+
+    monkeypatch.setattr(runtime.Executor, "run", counting_run)
+
+    path = sinks.do_write(src, False, "batched", directory=str(tmp_path))
+    assert len(calls) <= -(-src.length // 0x1000) // 10 + 1  # >=10x fewer
+
+    seq = io.BytesIO()
+    sinks._write_sequential(seq, src, 0)
+    with open(path, "rb") as fh:
+        assert fh.read() == seq.getvalue()
+
+
+def test_write_batched_decimated_chain_matches_sequential(tmp_path):
+    """gen -> shift -> lowpass -> write: the decimated chain batches
+    through the same program and produces identical bytes (gen always
+    fills reads, so this chain writes cleanly end to end)."""
+    import io
+
+    from quadrs_tpu.stream import LowPass, Shift
+
+    g = ToneGen([200, -1200], 48_000, 2.1)
+    chain = LowPass(Shift(g, 1000), 2000, 8, 40)
+    path = sinks.do_write(chain, False, "chain", directory=str(tmp_path))
+    seq = io.BytesIO()
+    sinks._write_sequential(seq, chain, 0)
+    with open(path, "rb") as fh:
+        assert fh.read() == seq.getvalue()
+
+
+def test_write_decimated_file_tail_panics_like_reference(tmp_path):
+    """The reference's writer hits a zero-length read at the claimed-but-
+    unreadable final output of a decimated file stream and panics
+    (src/lib.rs:203: the last read_at returns (valid-N)/D = 0).  The
+    batched writer reproduces that error exactly."""
+    from quadrs_tpu.stream import LowPass
+
+    lp = LowPass(_file_source(0x1000 * 2 * 8 + 40 + 517), 2000, 8, 40)
+    with pytest.raises(RuntimeError, match="short read at offset"):
+        sinks.do_write(lp, False, "tailpanic", directory=str(tmp_path))
+
+
+def test_write_batched_gen_pads_to_chunk(tmp_path):
+    """Gen always fills its reads, so the written length rounds up to a
+    whole 0x1000 chunk even batched (reference src/lib.rs:199-210)."""
+    g = ToneGen([20, 50], 4000, 2.5)  # length 10000 -> 3 chunks = 12288
+    path = sinks.do_write(g, False, "pad", directory=str(tmp_path))
+    raw = np.fromfile(path, dtype=np.uint8)
+    data = decode_bytes(raw, FileFormat.COMPLEX_FLOAT32)
+    assert len(data) == 3 * 0x1000
+    want, _ = g.read_at(2 * 0x1000, 0x1000)
+    assert data[2 * 0x1000 :].tobytes() == np.asarray(want).tobytes()
+
+
 def test_blackman_harris_window_formula():
     w = blackman_harris_window(512)
     i = np.arange(512, dtype=np.float64)
