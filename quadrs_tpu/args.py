@@ -55,6 +55,9 @@ class Ui(Command):
     fft_width: int = 8
     stretch: int = 4
     stride: int = 4
+    # -frames N emits an fft-width-doubling parameter sweep (one PNG per
+    # simulated fft+ click, src/ui/mod.rs:140-160)
+    frames: int = 1
 
 
 @dataclass
@@ -66,6 +69,9 @@ class Eui(Command):
     start_pct: float = 46.0
     end_pct: float = 46.3
     fft_width: int = 512
+    # -frames N scrolls the visible slice across the file (one PNG per
+    # simulated slider drag, src/eui/mod.rs:154-161)
+    frames: int = 1
 
 
 class _Args:
@@ -245,8 +251,9 @@ def _parse_ui(args: _Args, raw_map) -> Command:
     fft_width = int(parse_si_uint(map_.pop("fft", "8")))
     stretch = int(parse_si_uint(map_.pop("stretch", "4")))
     stride = int(parse_si_uint(map_.pop("stride", "4")))
+    frames = int(parse_si_uint(map_.pop("frames", "1")))
     _ensure_empty(map_, "ui")
-    return Ui(fft_width=fft_width, stretch=stretch, stride=stride)
+    return Ui(fft_width=fft_width, stretch=stretch, stride=stride, frames=frames)
 
 
 def _parse_eui(args: _Args, raw_map) -> Command:
@@ -254,6 +261,7 @@ def _parse_eui(args: _Args, raw_map) -> Command:
     start = parse_si_float(map_.pop("start", "46.0"))
     end = parse_si_float(map_.pop("end", "46.3"))
     fft_width = int(parse_si_uint(map_.pop("fft", "512")))
+    frames = int(parse_si_uint(map_.pop("frames", "1")))
     map_.clear()  # reference eui drops any other flags silently
     filename = args.next()
     return Eui(
@@ -261,6 +269,7 @@ def _parse_eui(args: _Args, raw_map) -> Command:
         start_pct=start,
         end_pct=end,
         fft_width=fft_width,
+        frames=frames,
     )
 
 

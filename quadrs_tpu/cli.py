@@ -23,8 +23,8 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
   bucket [-width 128] [-stride =width] [-by freq] COUNT \\
    write [-overwrite no] FILENAME_PREFIX \\
      gen [-cos FREQUENCY]* [-len 1 (second)] SAMPLE_RATE \\
-      ui [-fft 8] [-stretch 4] [-stride 4] [renders waterfall to ui.png] \\
-     eui [-start 46] [-end 46.3] [-fft 512] [FILENAME] [renders to eui.png] \\
+      ui [-fft 8] [-stretch 4] [-stride 4] [-frames 1] [renders waterfall to ui.png] \\
+     eui [-start 46] [-end 46.3] [-fft 512] [-frames 1] [FILENAME] [renders to eui.png] \\
 
 
 Formats:
@@ -58,7 +58,11 @@ def main(argv: list[str] | None = None) -> int:
             if isinstance(command, argmod.Octagon):
                 stream = exec_operation(command.op, stream)
             elif isinstance(command, argmod.Ui):
-                from quadrs_tpu.viz.waterfall import UiParams, ui_render_file
+                from quadrs_tpu.viz.waterfall import (
+                    UiParams,
+                    ui_render_file,
+                    ui_render_frames,
+                )
 
                 if stream is None:
                     print("Error: ui requires an input", file=sys.stderr)
@@ -68,19 +72,33 @@ def main(argv: list[str] | None = None) -> int:
                     stretch=command.stretch,
                     stride=command.stride,
                 )
-                path = ui_render_file(stream, params=params)
-                print(f"wrote {path}")
+                if command.frames > 1:
+                    for path in ui_render_frames(stream, command.frames, params=params):
+                        print(f"wrote {path}")
+                else:
+                    path = ui_render_file(stream, params=params)
+                    print(f"wrote {path}")
                 stream = None  # the reference's ui takes the samples (samples.take())
             elif isinstance(command, argmod.Eui):
-                from quadrs_tpu.viz.waterfall import EuiParams, eui_render_file
+                from quadrs_tpu.viz.waterfall import (
+                    EuiParams,
+                    eui_render_file,
+                    eui_render_frames,
+                )
 
                 params = EuiParams(
                     start_pct=command.start_pct,
                     end_pct=command.end_pct,
                     fft_width=command.fft_width,
                 )
-                path = eui_render_file(command.filename, params=params)
-                print(f"wrote {path}")
+                if command.frames > 1:
+                    for path in eui_render_frames(
+                        command.filename, command.frames, params=params
+                    ):
+                        print(f"wrote {path}")
+                else:
+                    path = eui_render_file(command.filename, params=params)
+                    print(f"wrote {path}")
     except (ValueError, RuntimeError, OSError, NotImplementedError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1

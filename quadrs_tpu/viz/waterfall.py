@@ -140,6 +140,40 @@ def ui_render_file(
     return path
 
 
+def ui_render_frames(
+    stream: Stream,
+    n_frames: int,
+    path_prefix: str | Path = "ui",
+    params: UiParams | None = None,
+) -> list[Path]:
+    """Parameter-sweep render approximating the interactive loop.
+
+    The legacy GUI re-renders whenever a parameter changes
+    (``src/ui/mod.rs:235-258``); its fft+ button doubles ``fft_width``
+    (``:140-160``).  Frame ``k`` renders with ``fft_width * 2**k`` — one
+    PNG per simulated button click — as ``{prefix}{k:03d}.png``.
+    """
+    from PIL import Image
+
+    if n_frames < 1:
+        raise ValueError("need at least one frame")
+    p = params or UiParams()
+    paths: list[Path] = []
+    for k in range(n_frames):
+        fw = p.fft_width << k
+        if fw >= min(stream.length, p.width):
+            break  # the GUI would refuse the click; stop the sweep
+        frame = UiParams(
+            width=p.width, height=p.height, fft_width=fw, stride=p.stride, stretch=p.stretch
+        )
+        img, obs_min, obs_max = ui_render(stream, frame)
+        print(f"{obs_min} {obs_max}")
+        path = Path(f"{path_prefix}{k:03d}.png")
+        Image.fromarray(img).save(path)
+        paths.append(path)
+    return paths
+
+
 @dataclass
 class EuiParams:
     """Defaults per ``src/eui/mod.rs:62-70``: 46%..46.3% of the file,
@@ -180,3 +214,48 @@ def eui_render_file(
     path = Path(path)
     Image.fromarray(img).save(path)
     return path
+
+
+def eui_render_frames(
+    filename: str | Path | None,
+    n_frames: int,
+    path_prefix: str | Path = "eui",
+    params: EuiParams | None = None,
+) -> list[Path]:
+    """Scrolling-waterfall render approximating the slider loop.
+
+    The egui GUI re-renders whenever the start/end sliders move
+    (``src/eui/mod.rs:154-161``).  Frame ``k`` advances the visible
+    slice by its own span — dragging both sliders in lockstep across
+    the capture — writing ``{prefix}{k:03d}.png`` until the slice
+    reaches the end of the file.
+    """
+    from PIL import Image
+
+    if filename is None:
+        raise ValueError("filename currently required")
+    if n_frames < 1:
+        raise ValueError("need at least one frame")
+    p = params or EuiParams()
+    span = p.end_pct - p.start_pct
+    if span <= 0:
+        raise ValueError("end must be after start")
+    details = guess_details(str(filename))
+    stream = SampleSource.from_file(str(filename), details)
+    paths: list[Path] = []
+    for k in range(n_frames):
+        start = p.start_pct + k * span
+        end = start + span
+        if end >= 100.0:
+            # the right slider stop: end_pct=100 maps to end_sample ==
+            # len, which take_fft rejects (reference ffts.rs:36 asserts
+            # end < len, so the GUI panics there; the sweep just stops)
+            break
+        frame = EuiParams(
+            start_pct=start, end_pct=end, fft_width=p.fft_width, rows=p.rows
+        )
+        img = eui_render(stream, frame)
+        path = Path(f"{path_prefix}{k:03d}.png")
+        Image.fromarray(img).save(path)
+        paths.append(path)
+    return paths

@@ -114,17 +114,19 @@ def test_reference_accepted_lines_parse(argv):
 def test_divergence_ui_accepts_render_knobs():
     """The reference rejects *any* ui flag (src/args.rs:309-315) because
     the GUI window has interactive buttons; the PNG renderer exposes the
-    same three knobs as flags.  Everything else is still rejected."""
-    (cmd,) = parse(["ui", "-fft", "16", "-stretch", "2", "-stride", "8"])
-    assert cmd == Ui(fft_width=16, stretch=2, stride=8)
+    button state as flags (plus -frames for the parameter-sweep render).
+    Everything else is still rejected."""
+    (cmd,) = parse(["ui", "-fft", "16", "-stretch", "2", "-stride", "8", "-frames", "3"])
+    assert cmd == Ui(fft_width=16, stretch=2, stride=8, frames=3)
     with pytest.raises(ValueError):
-        parse(["ui", "-width", "16"])  # only the three knobs are legal
+        parse(["ui", "-width", "16"])  # only the render knobs are legal
 
 
 def test_divergence_eui_interprets_slider_flags():
     """The reference's eui drops all flags silently (src/args.rs:318-326,
-    `_map` unused); here -start/-end/-fft set the slider state and any
-    other flag is still silently dropped (matching the reference)."""
+    `_map` unused); here -start/-end/-fft/-frames set the slider state
+    and any other flag is still silently dropped (matching the
+    reference)."""
     (cmd,) = parse(["eui", "-start", "10", "-end", "20", "-fft", "1024", "f.cf32"])
     assert isinstance(cmd, Eui)
     assert (cmd.start_pct, cmd.end_pct, cmd.fft_width) == (10.0, 20.0, 1024)
