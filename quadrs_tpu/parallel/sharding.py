@@ -36,39 +36,50 @@ def make_mesh(n_time: int, n_stream: int = 1, devices=None) -> Mesh:
     return Mesh(grid, ("stream", "time"))
 
 
+def halo_samples(cfg) -> int:
+    """Samples a shard needs past its local slice: its last FIR output
+    ``y[i]`` reads ``x[i*D + ceil(taps/2) .. i*D + ceil(taps/2) + taps)``,
+    i.e. ``ceil(taps/2) + taps - D`` beyond the local extent."""
+    half_up = cfg.taps - cfg.taps // 2
+    return max(cfg.taps, cfg.taps + half_up - cfg.decimate)
+
+
 def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "xla"):
     """Build the jitted multi-chip streaming step.
 
     Takes ``raw`` of shape (S, 2, n_local*T) native-dtype planes with
-    the time axis sharded (``P('stream', None, 'time')``) and per-shard
-    phases ``theta0`` of shape (S, T) sharded ``P('stream', 'time')``;
-    returns (S, windows, fft_width) f32 spectrogram rows with the window
-    axis sharded over 'time'.
+    the time axis sharded (``P('stream', None, 'time')``), per-shard
+    phases ``theta0`` of shape (S, T) sharded ``P('stream', 'time')``,
+    and ``tail`` of shape (S, 2, halo_samples(cfg)) — the samples that
+    *follow* the chunk in the stream (zeros at EOF), replicated over
+    'time'.  Returns (S, windows, fft_width) f32 spectrogram rows with
+    the window axis sharded over 'time'.
+
+    Every shard's halo is its right neighbor's head over ICI
+    (``ppermute``); the last shard's halo is the fed ``tail``, so every
+    output window is exact streaming continuation — no wrapped data, no
+    windows for the caller to drop, and chunks advance by their full
+    length.
 
     ``frontend='pallas'`` runs each shard's local compute through the
     fused Pallas frontend (per-shard tile bases are ``theta0 +`` a
     constant exact-angle table, so phase coherence costs one f32 add).
-
-    The last time-shard's halo wraps circularly; its final
-    ``ceil((taps + ceil(taps/2)) / (decimate*width))`` windows are
-    computed from wrapped data and should be dropped by the caller (the
-    host executor does).
     """
     cfg = model.cfg
-    # a shard's last FIR output y[i] reads x[i*D + ceil(taps/2) .. +
-    # taps-1]; beyond the local n_local samples that needs
-    # ceil(taps/2) + taps - D neighbors' samples
-    half_up = cfg.taps - cfg.taps // 2
-    halo_samps = max(cfg.taps, cfg.taps + half_up - cfg.decimate)
+    halo_samps = halo_samples(cfg)
     if cfg.taps // (2 * cfg.decimate) >= cfg.fft_width:
         raise ValueError("fft window shorter than the FIR group delay span")
     n_time = mesh.shape["time"]
 
-    def local_step(raw_local, theta0_local):
-        # raw_local: (S_l, 2, n_local) planes; theta0_local: (S_l, 1)
+    def local_step(raw_local, theta0_local, tail_local):
+        # raw_local: (S_l, 2, n_local) planes; theta0_local: (S_l, 1);
+        # tail_local: (S_l, 2, halo_samps), identical on every time-shard
         perm = [(i, (i - 1) % n_time) for i in range(n_time)]
         head = raw_local[:, :, :halo_samps]
         halo = jax.lax.ppermute(head, "time", perm)
+        tail_local = jax.lax.pcast(tail_local, ("time",), to="varying")
+        is_last = jax.lax.axis_index("time") == n_time - 1
+        halo = jnp.where(is_last, tail_local, halo)
         block = jnp.concatenate([raw_local, halo], axis=2)
         if frontend == "pallas":
             n_chunk = block.shape[2]
@@ -81,7 +92,11 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "
     step = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("stream", None, "time"), P("stream", "time")),
+        in_specs=(
+            P("stream", None, "time"),
+            P("stream", "time"),
+            P("stream", None, None),
+        ),
         out_specs=P("stream", "time", None),
         # pallas_call doesn't annotate varying-mesh-axes metadata yet;
         # keep the check for the pure-XLA path
@@ -102,3 +117,9 @@ def shard_chunk(raw: np.ndarray, mesh: Mesh) -> jax.Array:
     (stream, -, time); 2-D arrays like the phase table as (stream, time)."""
     spec = P("stream", None, "time") if raw.ndim == 3 else P("stream", "time")
     return jax.device_put(raw, NamedSharding(mesh, spec))
+
+
+def replicate_tail(tail: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Place a (S, 2, halo) tail: sharded over streams, replicated over
+    the time axis (every time-shard receives it; only the last uses it)."""
+    return jax.device_put(tail, NamedSharding(mesh, P("stream", None, None)))

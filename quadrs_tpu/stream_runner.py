@@ -38,31 +38,42 @@ class RunStats:
 
 
 class StreamRunner:
-    """Drive a capture through the fused pipeline at full rate.
+    """Drive one or more captures through the fused pipeline at full rate.
 
-    ``source``: a :class:`SampleSource` (its format must match the
-    model's config).  ``chunk_samples`` is rounded down to a whole
+    ``source``: a :class:`SampleSource`, or a sequence of them (equal
+    length and format) to process as a data-parallel bank across the
+    mesh's 'stream' axis.  ``chunk_samples`` is rounded down to a whole
     number of STFT windows.
 
     With ``mesh`` (a ``(stream, time)`` mesh from
     :func:`quadrs_tpu.parallel.sharding.make_mesh`), each chunk's time
     axis is sharded across the mesh's 'time' chips with ICI halo
-    exchange — the capture streams through the whole pod slice.
+    exchange and the true next-chunk tail fed to the last shard — the
+    captures stream through the whole pod slice with no recomputation.
+
+    ``on_windows(first_window_index, norms)`` receives ``(windows,
+    fft_width)`` rows for a single source, or ``(n_stream, windows,
+    fft_width)`` when running a bank.
     """
 
     def __init__(
         self,
-        source: SampleSource,
+        source,
         model: PipelineModel,
         chunk_samples: int = 1 << 22,
         mesh=None,
         frontend: str = "auto",
     ):
-        if source.format is not model.cfg.fmt:
-            raise ValueError(
-                f"source format {source.format} != model format {model.cfg.fmt}"
-            )
-        self.source = source
+        sources = list(source) if isinstance(source, (list, tuple)) else [source]
+        for s in sources:
+            if s.format is not model.cfg.fmt:
+                raise ValueError(
+                    f"source format {s.format} != model format {model.cfg.fmt}"
+                )
+        if len({s.length for s in sources}) != 1:
+            raise ValueError("bank sources must have equal lengths")
+        self.sources = sources
+        self.source = sources[0]
         self.model = model
         self.mesh = mesh
         self._sharded_step = None
@@ -77,14 +88,23 @@ class StreamRunner:
             raise ValueError("fft window shorter than the FIR group delay span")
         quantum = self._win_raw
         if mesh is not None:
-            from quadrs_tpu.parallel.sharding import make_sharded_stream_step
+            from quadrs_tpu.parallel.sharding import (
+                halo_samples,
+                make_sharded_stream_step,
+            )
 
-            if mesh.shape["stream"] != 1:
-                raise ValueError("StreamRunner shards time only; use n_stream=1")
+            if mesh.shape["stream"] != len(sources):
+                raise ValueError(
+                    f"mesh has {mesh.shape['stream']} stream shards for "
+                    f"{len(sources)} sources"
+                )
             quantum = self._win_raw * mesh.shape["time"]
+            self._halo = halo_samples(cfg)
             self._sharded_step = make_sharded_stream_step(
                 model, mesh, frontend="pallas" if self._use_pallas() else "xla"
             )
+        elif len(sources) != 1:
+            raise ValueError("a source bank needs a mesh with a 'stream' axis")
         self.chunk_samples = max(quantum, chunk_samples // quantum * quantum)
         self._quantum = quantum
 
@@ -171,8 +191,6 @@ class StreamRunner:
         stats = RunStats()
         t0 = time.perf_counter()
         last = None
-        if self._sharded_step is not None and start_window:
-            raise NotImplementedError("resume is single-device for now")
         if self._sharded_step is None:
             use_pallas = self._use_pallas()
             for off, planes, valid in self._prefetched(start_window * self._win_raw):
@@ -191,7 +209,7 @@ class StreamRunner:
                 if on_windows is not None:
                     on_windows(off // self._win_raw, np.asarray(norms))
         else:
-            last = self._run_sharded(on_windows, stats)
+            last = self._run_sharded(on_windows, stats, start_window * self._win_raw)
         if last is not None and on_windows is None:
             sync_fetch(last)
         stats.seconds = time.perf_counter() - t0
@@ -213,56 +231,64 @@ class StreamRunner:
             and self.model.pallas_supported()
         )
 
-    def _run_sharded(self, on_windows, stats: RunStats):
-        """Time-sharded chunks over the mesh.  The final shard's halo
-        wraps circularly, so each chunk's last ``wrap`` windows are
-        dropped and recomputed as the next chunk's first windows (chunks
-        overlap by that amount); the ragged tail runs single-device."""
-        from quadrs_tpu.parallel.sharding import shard_chunk
+    def _run_sharded(self, on_windows, stats: RunStats, start_off: int = 0):
+        """Time-sharded chunks over the mesh.  Each chunk's true
+        continuation (the next ``halo`` samples of the stream) feeds the
+        last shard, so every window is exact and chunks advance by their
+        full length; the ragged tail (where the continuation would cross
+        EOF) runs single-device per stream with decoded-domain masking.
+        Resume is exact: phases are planned from absolute offsets."""
+        from quadrs_tpu.parallel.sharding import replicate_tail, shard_chunk
 
         model = self.model
         cfg = model.cfg
         n_time = self.mesh.shape["time"]
-        wrap = -(-self._lookahead // self._win_raw)
+        n_stream = self.mesh.shape["stream"]
         n = self.chunk_samples
         n_local = n // n_time
-        advance = n - wrap * self._win_raw
-        if advance <= 0:
-            raise ValueError("chunk too small for the halo wrap overlap")
+        halo = self._halo
         length = self.source.length
+        single = n_stream == 1
         last = None
-        off = 0
-        while off + n <= length:
-            planes = self.source.stage(off, off + n)[None]  # (1, 2, n)
-            theta = model.theta0(off + np.arange(n_time, dtype=np.int64) * n_local)[
-                None
-            ]
+        off = start_off
+        while off + n + halo <= length:
+            planes = np.stack([s.stage(off, off + n) for s in self.sources])
+            tails = np.stack([s.stage(off + n, off + n + halo) for s in self.sources])
+            theta = np.broadcast_to(
+                model.theta0(off + np.arange(n_time, dtype=np.int64) * n_local)[None],
+                (n_stream, n_time),
+            ).copy()
             out = self._sharded_step(
-                shard_chunk(planes, self.mesh), shard_chunk(theta, self.mesh)
-            )[0]
-            keep = out.shape[0] - wrap
+                shard_chunk(planes, self.mesh),
+                shard_chunk(theta, self.mesh),
+                replicate_tail(tails, self.mesh),
+            )
             last = out
-            stats.samples_in += advance
-            stats.windows_out += keep
+            stats.samples_in += n * n_stream
+            stats.windows_out += out.shape[0] * out.shape[1]
             if on_windows is not None:
-                on_windows(off // self._win_raw, np.asarray(out[:keep]))
-            off += advance
-        # ragged tail on one device
+                rows = np.asarray(out)
+                on_windows(off // self._win_raw, rows[0] if single else rows)
+            off += n
+        # ragged tail, single-device per stream (lockstep offsets)
         while off < length - cfg.taps:
             m = (length - off) // self._win_raw * self._win_raw
             if m <= 0:
                 break
-            planes = self.source.stage(off, off + m + self._lookahead)
-            valid = planes.shape[1]
-            if valid < m + self._lookahead:
-                planes = np.pad(planes, ((0, 0), (0, m + self._lookahead - valid)))
-            norms = model.jit_step_stream(
-                planes, model.theta0(np.asarray([off]))[0], np.int32(valid)
-            )
-            last = norms
-            stats.samples_in += m
-            stats.windows_out += norms.shape[0]
+            theta0 = model.theta0(np.asarray([off]))[0]
+            rows = []
+            for s in self.sources:
+                planes = s.stage(off, off + m + self._lookahead)
+                valid = planes.shape[1]
+                if valid < m + self._lookahead:
+                    planes = np.pad(planes, ((0, 0), (0, m + self._lookahead - valid)))
+                norms = model.jit_step_stream(planes, theta0, np.int32(valid))
+                rows.append(norms)
+                last = norms
+            stats.samples_in += m * n_stream
+            stats.windows_out += rows[0].shape[0] * n_stream
             if on_windows is not None:
-                on_windows(off // self._win_raw, np.asarray(norms))
+                got = [np.asarray(r) for r in rows]
+                on_windows(off // self._win_raw, got[0] if single else np.stack(got))
             off += m
         return last

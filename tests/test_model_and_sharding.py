@@ -5,9 +5,11 @@ import pytest
 from quadrs_tpu.formats import FileFormat, decode_bytes
 from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
 from quadrs_tpu.parallel.sharding import (
+    halo_samples,
     make_mesh,
     make_sharded_stream_step,
     plan_shard_phases,
+    replicate_tail,
     shard_chunk,
 )
 
@@ -98,29 +100,32 @@ def test_sharded_step_matches_single_device():
     if len(jax.devices()) < 4:
         pytest.skip("needs >=4 virtual devices")
     model = PipelineModel(CFG)
+    halo = halo_samples(CFG)
     n_time, n_stream = 4, 2
     n_local = CFG.decimate * CFG.fft_width * 2
     total = n_time * n_local
 
-    raws = np.stack([model.synth_raw(total + CFG.taps, seed=s) for s in range(n_stream)])
+    raws = np.stack([model.synth_raw(total + halo, seed=s) for s in range(n_stream)])
     mesh = make_mesh(n_time, n_stream)
     step = make_sharded_stream_step(model, mesh)
 
-    sharded_in = raws[:, :, :total]
     theta0 = plan_shard_phases(model, n_local, n_time, n_stream)
-    out = np.asarray(step(shard_chunk(sharded_in, mesh), shard_chunk(theta0, mesh)))
+    out = np.asarray(
+        step(
+            shard_chunk(raws[:, :, :total], mesh),
+            shard_chunk(theta0, mesh),
+            replicate_tail(raws[:, :, total:], mesh),
+        )
+    )
 
-    # reference: the unsharded streaming step per stream
+    # reference: the unsharded streaming step per stream over the same
+    # samples (chunk + true tail) — EVERY window must match, including
+    # the last shard's (its halo is the fed tail, not wrapped data)
     want = np.stack(
         [np.asarray(model.jit_step_stream(raws[s], np.float32(0.0))) for s in range(n_stream)]
     )
-    n_windows = out.shape[1]
-    # drop the final windows of the last shard (circular halo wrap)
-    wrap = -(-CFG.taps // (CFG.decimate * CFG.fft_width))
-    keep = n_windows - wrap
-    np.testing.assert_allclose(
-        out[:, :keep], want[:, :keep], rtol=3e-4, atol=3e-4 * want.max()
-    )
+    assert out.shape == want.shape == (n_stream, 2 * n_time, CFG.fft_width)
+    np.testing.assert_allclose(out, want, rtol=3e-4, atol=3e-4 * want.max())
 
 
 def test_graft_entry():
@@ -183,20 +188,18 @@ def test_sharded_pallas_frontend_matches_xla_sharded():
     n_time, n_stream = 4, 1
     n_local = CFG.decimate * CFG.fft_width * 2
     total = n_time * n_local
-    raws = np.stack([model.synth_raw(total, seed=s) for s in range(n_stream)])
+    halo = halo_samples(CFG)
+    raws = np.stack([model.synth_raw(total + halo, seed=s) for s in range(n_stream)])
     mesh = make_mesh(n_time, n_stream)
     theta0 = plan_shard_phases(model, n_local, n_time, n_stream)
+    args = (
+        shard_chunk(raws[:, :, :total], mesh),
+        shard_chunk(theta0, mesh),
+        replicate_tail(raws[:, :, total:], mesh),
+    )
 
-    a = np.asarray(
-        make_sharded_stream_step(model, mesh, frontend="xla")(
-            shard_chunk(raws, mesh), shard_chunk(theta0, mesh)
-        )
-    )
-    b = np.asarray(
-        make_sharded_stream_step(model, mesh, frontend="pallas")(
-            shard_chunk(raws, mesh), shard_chunk(theta0, mesh)
-        )
-    )
+    a = np.asarray(make_sharded_stream_step(model, mesh, frontend="xla")(*args))
+    b = np.asarray(make_sharded_stream_step(model, mesh, frontend="pallas")(*args))
     assert a.shape == b.shape
     np.testing.assert_allclose(b, a, rtol=3e-4, atol=3e-4 * a.max())
 
@@ -253,14 +256,18 @@ def test_sharded_odd_taps_matches_single_device():
     n_time = 4
     n_local = cfg.decimate * cfg.fft_width * 2
     total = n_time * n_local
-    raw = model.synth_raw(total + cfg.taps * 2, seed=20)
+    halo = halo_samples(cfg)
+    raw = model.synth_raw(total + halo, seed=20)
     mesh = make_mesh(n_time, 1)
     step = make_sharded_stream_step(model, mesh)
     theta0 = plan_shard_phases(model, n_local, n_time, 1)
-    out = np.asarray(step(shard_chunk(raw[None, :, :total], mesh), shard_chunk(theta0, mesh)))[0]
+    out = np.asarray(
+        step(
+            shard_chunk(raw[None, :, :total], mesh),
+            shard_chunk(theta0, mesh),
+            replicate_tail(raw[None, :, total:], mesh),
+        )
+    )[0]
     want = np.asarray(model.jit_step_stream(raw, np.float32(0.0)))
-    wrap = -(-(cfg.taps + (cfg.taps - cfg.taps // 2)) // (cfg.decimate * cfg.fft_width))
-    keep = out.shape[0] - wrap
-    np.testing.assert_allclose(
-        out[:keep], want[:keep], rtol=3e-4, atol=3e-4 * want.max()
-    )
+    assert out.shape == want.shape
+    np.testing.assert_allclose(out, want, rtol=3e-4, atol=3e-4 * want.max())

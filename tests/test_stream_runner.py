@@ -106,6 +106,100 @@ def test_sharded_runner_matches_single_device():
         np.testing.assert_allclose(rows_sharded[w], rows_single[w], atol=2e-4)
 
 
+def test_sharded_resume_matches_full_sharded_run():
+    """A sharded run resumed at window k reproduces the tail of the full
+    sharded run (mirror of the single-device resume test)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.default_rng(31)
+    win_raw = CFG.decimate * CFG.fft_width
+    n = win_raw * 40 + CFG.taps * 3
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    model = PipelineModel(CFG)
+    src = _source(data)
+    mesh = make_mesh(n_time=4, n_stream=1)
+
+    full: dict[int, np.ndarray] = {}
+    StreamRunner(src, model, chunk_samples=win_raw * 8, mesh=mesh).run(
+        lambda w0, norms: full.update({w0 + i: norms[i] for i in range(len(norms))})
+    )
+    resumed: dict[int, np.ndarray] = {}
+    StreamRunner(src, model, chunk_samples=win_raw * 8, mesh=mesh).run(
+        lambda w0, norms: resumed.update({w0 + i: norms[i] for i in range(len(norms))}),
+        start_window=16,
+    )
+    assert min(resumed) == 16
+    assert max(resumed) == max(full)
+    scale = max(float(v.max()) for v in full.values())
+    for w in resumed:
+        np.testing.assert_allclose(resumed[w], full[w], atol=2e-4 * scale)
+
+
+def test_sharded_bank_n_stream_2():
+    """Two captures as a data-parallel bank over a (2, 2) mesh: each
+    stream's rows equal its own single-device run."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.default_rng(37)
+    win_raw = CFG.decimate * CFG.fft_width
+    n = win_raw * 24 + CFG.taps * 2
+    model = PipelineModel(CFG)
+    srcs = []
+    singles = []
+    for s in range(2):
+        data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        src = _source(data)
+        srcs.append(src)
+        rows: dict[int, np.ndarray] = {}
+        StreamRunner(src, model, chunk_samples=win_raw * 8).run(
+            lambda w0, norms, rows=rows: rows.update(
+                {w0 + i: norms[i] for i in range(len(norms))}
+            )
+        )
+        singles.append(rows)
+
+    mesh = make_mesh(n_time=2, n_stream=2)
+    bank: dict[int, np.ndarray] = {}
+    stats = StreamRunner(srcs, model, chunk_samples=win_raw * 8, mesh=mesh).run(
+        lambda w0, norms: bank.update({w0 + i: norms[:, i] for i in range(norms.shape[1])})
+    )
+    assert stats.windows_out == 2 * len(bank)
+    for s in range(2):
+        assert set(bank) == set(singles[s])
+        scale = max(float(v.max()) for v in singles[s].values())
+        for w in bank:
+            np.testing.assert_allclose(
+                bank[w][s], singles[s][w], atol=2e-4 * scale, err_msg=f"s={s} w={w}"
+            )
+
+
+def test_bank_requires_mesh_and_equal_lengths():
+    import pytest
+
+    model = PipelineModel(CFG)
+    a = _source(np.zeros(4096, dtype=np.complex64))
+    b = _source(np.zeros(8192, dtype=np.complex64))
+    with pytest.raises(ValueError, match="needs a mesh"):
+        StreamRunner([a, a], model)
+    import jax
+
+    if len(jax.devices()) >= 2:
+        from quadrs_tpu.parallel.sharding import make_mesh
+
+        with pytest.raises(ValueError, match="equal lengths"):
+            StreamRunner([a, b], model, mesh=make_mesh(1, 2))
+
+
 def test_resume_is_exact():
     """Resuming mid-capture reproduces the tail of a full run exactly
     (absolute-offset phase planning)."""
