@@ -58,6 +58,13 @@ class SampleSource(Stream):
             src._native = None
         return src
 
+    @property
+    def native(self):
+        """The :class:`~quadrs_tpu.native.NativeCapture` behind this
+        source (C++ pread + deinterleave + ring readahead), or None when
+        the source is in-memory or the native loader is unavailable."""
+        return self._native
+
     # -- staging ----------------------------------------------------------
     def stage(self, lo: int, hi: int) -> np.ndarray:
         """Materialize samples [lo, hi) as (2, hi-lo) native-dtype planes.

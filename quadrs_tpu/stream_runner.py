@@ -126,14 +126,61 @@ class StreamRunner:
             yield off, planes, valid
             off += n
 
+    def _emit_native(self, off: int, full: np.ndarray):
+        """Shape one prefetched buffer (all-real bytes from ``off``) into
+        the (off, (2, n+la) planes, valid) triple :meth:`_chunks` yields."""
+        length = self.source.length
+        if off >= length - self.model.cfg.taps:
+            return None
+        n = min(self.chunk_samples, (length - off) // self._win_raw * self._win_raw)
+        if n <= 0:
+            return None
+        la = self._lookahead
+        valid = min(full.shape[1], n + la)
+        buf = full[:, : n + la]
+        if buf.shape[1] < n + la:
+            buf = np.pad(buf, ((0, 0), (0, n + la - buf.shape[1])))
+        return off, buf, int(valid)
+
+    def _chunks_native(self, start_off: int = 0) -> Iterator:
+        """Chunks through the C++ ring prefetcher (native/loader.cc): the
+        loader's reader thread preads + deinterleaves chunk k+1 while
+        chunk k computes on the device — no Python staging thread.  Each
+        chunk's ``lookahead`` tail is stitched from the head of the next
+        prefetched buffer, so the disk is read exactly once."""
+        la = self._lookahead
+        it = self.source.native.prefetch(
+            self.chunk_samples, n_buffers=3, start_off=start_off
+        )
+        try:
+            prev = None
+            for off, planes in it:
+                if prev is not None:
+                    full = np.concatenate([prev[1], planes[:, :la]], axis=1)
+                    item = self._emit_native(prev[0], full)
+                    if item is None:
+                        return
+                    yield item
+                prev = (off, planes)
+            if prev is not None:
+                item = self._emit_native(prev[0], prev[1])
+                if item is not None:
+                    yield item
+        finally:
+            it.close()
+
     def _prefetched(self, start_off: int = 0, depth: int = 2) -> Iterator:
-        """Run :meth:`_chunks` staging on a background thread so disk
-        reads + deinterleave of chunk k+1 overlap the device compute of
-        chunk k.  (The C++ loader's own ring prefetcher,
-        NativeCapture.prefetch, is a building block for custom pipelines;
-        this runner gets its overlap from this thread.)  If the consumer
-        abandons the generator (callback raised, interrupted), the fill
-        thread notices and exits instead of pinning buffers."""
+        """Overlap staging with device compute.
+
+        File-backed sources go through the C++ ring prefetcher
+        (:meth:`_chunks_native`).  In-memory sources run :meth:`_chunks`
+        staging on a background Python thread instead.  Either way, if
+        the consumer abandons the generator (callback raised,
+        interrupted), the producer notices and exits instead of pinning
+        buffers."""
+        if getattr(self.source, "native", None) is not None:
+            yield from self._chunks_native(start_off)
+            return
         q: queue.Queue = queue.Queue(maxsize=depth)
         _DONE = object()
         stop = threading.Event()

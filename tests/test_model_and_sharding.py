@@ -143,6 +143,17 @@ def test_graft_entry():
     mod.dryrun_multichip(len(jax.devices()))
 
 
+def test_graft_dryrun_two_process():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(4, n_processes=2)
+
+
 def test_pallas_stream_step_matches_xla():
     model = PipelineModel(CFG)
     if not model.pallas_supported():

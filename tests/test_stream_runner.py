@@ -106,6 +106,54 @@ def test_sharded_runner_matches_single_device():
         np.testing.assert_allclose(rows_sharded[w], rows_single[w], atol=2e-4)
 
 
+def test_native_prefetch_runner_matches_in_memory(tmp_path):
+    """A file-backed runner goes through the C++ ring prefetcher
+    (_chunks_native); rows must equal the in-memory runner's, including
+    the ragged tail and a resumed run."""
+    import pytest
+
+    from quadrs_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain for the native loader")
+
+    rng = np.random.default_rng(41)
+    win_raw = CFG.decimate * CFG.fft_width
+    n = win_raw * 13 + CFG.taps + 37  # ragged tail
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    path = tmp_path / f"cap.sr{CFG.sample_rate}.cf32"
+    inter = np.empty((n, 2), dtype=np.float32)
+    inter[:, 0] = data.real
+    inter[:, 1] = data.imag
+    inter.tofile(path)
+
+    model = PipelineModel(CFG)
+    fsrc = SampleSource.from_file(str(path))
+    assert fsrc.native is not None  # the point of the test
+
+    mem: dict[int, np.ndarray] = {}
+    StreamRunner(_source(data), model, chunk_samples=win_raw * 4).run(
+        lambda w0, norms: mem.update({w0 + i: norms[i] for i in range(len(norms))})
+    )
+    nat: dict[int, np.ndarray] = {}
+    stats = StreamRunner(fsrc, model, chunk_samples=win_raw * 4).run(
+        lambda w0, norms: nat.update({w0 + i: norms[i] for i in range(len(norms))})
+    )
+    assert set(nat) == set(mem)
+    assert stats.windows_out == len(nat)
+    for w in mem:
+        np.testing.assert_allclose(nat[w], mem[w], atol=1e-5)
+
+    resumed: dict[int, np.ndarray] = {}
+    StreamRunner(fsrc, model, chunk_samples=win_raw * 4).run(
+        lambda w0, norms: resumed.update({w0 + i: norms[i] for i in range(len(norms))}),
+        start_window=6,
+    )
+    assert min(resumed) == 6 and max(resumed) == max(mem)
+    for w in resumed:
+        np.testing.assert_allclose(resumed[w], mem[w], atol=1e-4)
+
+
 def test_sharded_resume_matches_full_sharded_run():
     """A sharded run resumed at window k reproduces the tail of the full
     sharded run (mirror of the single-device resume test)."""
