@@ -28,15 +28,24 @@ def check_repeatable(fn: Callable, *args, runs: int = 2) -> bool:
 
 
 def compare_backends(fn: Callable, *args, rtol: float = 1e-5, atol: float = 1e-5) -> bool:
-    """Run ``fn`` on the default device and on CPU; assert closeness.
+    """Run ``fn`` on the default device and on an independent execution
+    path; assert closeness.
 
-    The TPU-world stand-in for the reference's missing multi-backend
-    tests (SURVEY §4).
+    On an accelerator the second path is the CPU backend — the TPU-world
+    stand-in for the reference's missing multi-backend tests (SURVEY §4).
+    When the default device already *is* the CPU (the test rig), the
+    second path is op-by-op eager execution (``jax.disable_jit``), which
+    exercises a genuinely different compilation pipeline instead of
+    degenerating into CPU-vs-CPU.
     """
     default = jax.tree_util.tree_map(np.asarray, fn(*args))
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        host = jax.tree_util.tree_map(np.asarray, fn(*args))
-    for a, b in zip(jax.tree_util.tree_leaves(default), jax.tree_util.tree_leaves(host)):
+    if jax.devices()[0].platform == "cpu":
+        with jax.disable_jit():
+            other = jax.tree_util.tree_map(np.asarray, fn(*args))
+    else:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            other = jax.tree_util.tree_map(np.asarray, fn(*args))
+    for a, b in zip(jax.tree_util.tree_leaves(default), jax.tree_util.tree_leaves(other)):
         np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
     return True
