@@ -15,6 +15,7 @@ target (the reference publishes no numbers, see BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 
 import jax
 import numpy as np
@@ -59,16 +60,25 @@ def main() -> None:
         label = "fused cs8 decode+shift+lowpass(dec32,taps400)+stft64"
 
     msps = measure_msps(step, chunk, min_secs)
-    print(
-        json.dumps(
-            {
-                "metric": label + " throughput",
-                "value": round(msps, 1),
-                "unit": "Msamples/sec/chip",
-                "vs_baseline": round(msps / 100.0, 2),
-            }
-        )
-    )
+    line = {
+        "metric": label + " throughput",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+    }
+
+    # fold the stretch configs + the sustained disk->chip run into the
+    # same line so every round's artifact carries all five metrics
+    # (QUADRS_BENCH_HEADLINE_ONLY=1 skips them)
+    if not os.environ.get("QUADRS_BENCH_HEADLINE_ONLY"):
+        try:
+            import bench_suite
+
+            line["suite"] = bench_suite.suite(on_accel)
+        except Exception as e:  # the headline must survive a suite failure
+            line["suite_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

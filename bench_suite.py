@@ -1,12 +1,16 @@
 """Extended benchmark suite: the BASELINE stretch configs.
 
-``bench.py`` prints the single headline line for the driver; this suite
-measures the stretch configurations (BASELINE.json configs 2-4) and
-prints one JSON line each:
+``bench.py`` prints the single headline line for the driver (with this
+suite folded into its ``suite`` field); standalone, this module measures
+the stretch configurations (BASELINE.json configs 2-4) plus the
+sustained disk->chip run and prints one JSON line each:
 
 * ``cs16-sustained``  — on-chip cs16 decode -> shift -> lowpass(dec 64)
 * ``long-fir``        — power=2000 (4000 taps) overlap-save chain
 * ``waterfall-64xcs8``— 64 parallel cs8 streams, 1024-pt strided STFT
+* ``disk-sustained``  — a 1G-sample cs8 capture streamed from an actual
+  file through StreamRunner (C++ ring prefetch -> host staging ->
+  device), the end-to-end number the HBM-resident headline can't show
 
 Timing uses scalar-fetch differencing (see bench.py).
 """
@@ -14,6 +18,7 @@ Timing uses scalar-fetch differencing (see bench.py).
 from __future__ import annotations
 
 import json
+import os
 
 import jax
 import numpy as np
@@ -110,9 +115,130 @@ def bench_waterfall(on_accel: bool) -> dict:
     }
 
 
+def _sustained_capture(n_samples: int) -> str:
+    """A synthetic cs8 capture file, cached across runs (2 bytes/sample)."""
+    path = f"/tmp/quadrs-sustained-{n_samples}.sr21M.cs8"
+    want_bytes = n_samples * 2
+    if not (os.path.exists(path) and os.path.getsize(path) == want_bytes):
+        tmp = path + ".part"
+        rng = np.random.default_rng(3)
+        with open(tmp, "wb") as fh:
+            left = want_bytes
+            while left:
+                m = min(left, 1 << 27)
+                fh.write(rng.integers(-127, 128, m, dtype=np.int8).tobytes())
+                left -= m
+        os.replace(tmp, path)
+    return path
+
+
+def _sustained_setup(on_accel: bool):
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+    from quadrs_tpu.sources import SampleSource
+
+    n = (1 << 30) if on_accel else (1 << 25)
+    path = _sustained_capture(n)
+    cfg = PipelineConfig(
+        sample_rate=21_000_000,
+        shift_freq=280_000,
+        lp_freq=200_000,
+        decimate=32,
+        taps=400,
+        fft_width=64,
+        fmt=FileFormat.COMPLEX_INT8,
+    )
+    return PipelineModel(cfg), SampleSource.from_file(path), path
+
+
+def bench_disk_staging(on_accel: bool) -> dict:
+    """The framework-owned half of the disk->chip loop: stream the whole
+    1G-sample cs8 file through the C++ ring prefetcher + lookahead
+    stitching (everything but the device), i.e. the rate at which the
+    host path can FEED chips.  Demonstrates the headline's ~7.4 GB/s
+    cs8 appetite is coverable by the loader."""
+    import time
+
+    from quadrs_tpu.stream_runner import StreamRunner
+
+    model, src, _ = _sustained_setup(on_accel)
+    runner = StreamRunner(src, model, chunk_samples=1 << 22)
+    cap = 64 if on_accel else 8  # 256M samples bounds the artifact cost
+    t0 = time.perf_counter()
+    fed = 0
+    it = runner._prefetched(0)
+    for i, (_off, planes, _valid) in enumerate(it):
+        fed += planes.shape[1] - runner._lookahead
+        if i + 1 >= cap:
+            break
+    it.close()
+    dt = time.perf_counter() - t0
+    msps = fed / dt / 1e6
+    return {
+        "metric": "disk->host staging feed rate (C++ ring prefetch over the 1G-sample cs8 file)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec",
+        "vs_baseline": round(msps / 100.0, 2),
+    }
+
+
+def bench_disk_sustained(on_accel: bool) -> dict:
+    """End-to-end disk->chip: file -> C++ ring prefetch -> host staging
+    -> device decode+mix+FIR+STFT, the reference's execution model (pull
+    bytes from a file through the chain, src/samples.rs:72-93) at
+    production scale.  On this rig the host->device hop crosses the
+    tunneled (networked) TPU runtime at ~9 MB/s, which bounds the whole
+    pipe — the metric label says so; on a PCIe-attached host the bound
+    is bench_disk_staging's feed rate.  A full 1G-sample pass was
+    demonstrated (see STATUS.md); the recurring bench caps the pass to
+    keep the artifact cheap — the steady-state rate is the same."""
+    from quadrs_tpu.stream_runner import StreamRunner
+
+    model, src, path = _sustained_setup(on_accel)
+    cfg = model.cfg
+    chunk = 1 << 22
+    # warm the compile cache with a 2-chunk in-memory source (same chunk
+    # shapes) so the measured file pass starts cold but compiled
+    warm_bytes = (2 * chunk + cfg.taps * 4) * 2
+    with open(path, "rb") as fh:
+        warm_raw = np.frombuffer(fh.read(warm_bytes), dtype=np.uint8)
+    from quadrs_tpu.sources import SampleSource
+
+    StreamRunner(
+        SampleSource(warm_raw, cfg.fmt, cfg.sample_rate), model, chunk_samples=chunk
+    ).run()
+    cap = 12 if on_accel else None  # ~50M samples; rate == steady state
+    stats = StreamRunner(src, model, chunk_samples=chunk).run(max_chunks=cap)
+    return {
+        "metric": "sustained disk->chip cs8 stream (1G-sample file; transfer-bound "
+        "by the tunneled runtime on this rig)"
+        if on_accel
+        else "sustained disk->chip cs8 stream (CPU-rig scale)",
+        "value": round(stats.msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(stats.msps / 100.0, 2),
+    }
+
+
+def suite(on_accel: bool) -> list[dict]:
+    return [
+        bench_cs16_sustained(on_accel),
+        bench_long_fir(on_accel),
+        bench_waterfall(on_accel),
+        bench_disk_staging(on_accel),
+        bench_disk_sustained(on_accel),
+    ]
+
+
 def main() -> None:
     on_accel = jax.devices()[0].platform != "cpu"
-    for fn in (bench_cs16_sustained, bench_long_fir, bench_waterfall):
+    for fn in (
+        bench_cs16_sustained,
+        bench_long_fir,
+        bench_waterfall,
+        bench_disk_staging,
+        bench_disk_sustained,
+    ):
         print(json.dumps(fn(on_accel)), flush=True)
 
 

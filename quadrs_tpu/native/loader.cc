@@ -33,8 +33,10 @@ struct Capture {
 };
 
 // Split interleaved component pairs into two contiguous planes.
+// __restrict lets the compiler vectorize the stride-2 gather.
 template <typename T>
-void deinterleave(const T* src, T* re, T* im, int64_t n) {
+void deinterleave(const T* __restrict src, T* __restrict re, T* __restrict im,
+                  int64_t n) {
   for (int64_t i = 0; i < n; ++i) {
     re[i] = src[2 * i];
     im[i] = src[2 * i + 1];
@@ -60,38 +62,49 @@ void deinterleave_any(const uint8_t* src, uint8_t* re, uint8_t* im, int64_t n,
   }
 }
 
-// Background readahead: a ring of chunk buffers filled by a reader
-// thread, popped by the host staging loop.  Keeps the disk ahead of the
-// device without Python-side threading.
+// Background readahead: a ring of chunk buffers filled by N reader
+// threads (pread + deinterleave scale across cores), popped in stream
+// order by the host staging loop.  Each chunk may carry an ``overlap``
+// tail re-read from the next chunk's head, so the consumer gets its
+// filter lookahead without any host-side stitching copies.
 struct Prefetcher {
   Capture* cap = nullptr;
   int64_t chunk_samples = 0;
-  int64_t next_off = 0;  // next chunk's sample offset to read
+  int64_t overlap_samples = 0;
+  int64_t start_off = 0;
 
   struct Slot {
     std::vector<uint8_t> raw, re, im;
     int64_t off = -1;
     int64_t n = 0;
-    bool full = false;
+    int64_t turn = 0;    // the next seq this slot serves
+    int state = 0;       // 0 empty, 1 ready
   };
   std::vector<Slot> slots;
-  size_t head = 0, tail = 0;  // pop from head, fill at tail
-  size_t filled = 0;
+  int64_t pop_seq = 0;
+  std::atomic<int64_t> next_seq{0};
   std::mutex mu;
-  std::condition_variable cv_full, cv_empty;
-  std::thread worker;
+  std::condition_variable cv_ready, cv_free;
+  std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
 
   void run() {
-    while (!stop.load()) {
-      std::unique_lock<std::mutex> lk(mu);
-      cv_empty.wait(lk, [&] { return stop.load() || filled < slots.size(); });
+    const int64_t n_slots = static_cast<int64_t>(slots.size());
+    for (;;) {
       if (stop.load()) return;
-      Slot& s = slots[tail];
-      int64_t off = next_off;
-      lk.unlock();
+      int64_t seq = next_seq.fetch_add(1);
+      Slot& s = slots[seq % n_slots];
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_free.wait(lk, [&] {
+          return stop.load() || (s.state == 0 && s.turn == seq);
+        });
+        if (stop.load()) return;
+      }
 
-      int64_t want = std::min(chunk_samples, cap->samples() - off);
+      int64_t off = start_off + seq * chunk_samples;
+      int64_t want =
+          std::min(chunk_samples + overlap_samples, cap->samples() - off);
       int64_t got = 0;
       if (want > 0) {
         int64_t bytes = want * cap->pair_bytes();
@@ -105,14 +118,14 @@ struct Prefetcher {
                          cap->type_bytes);
       }
 
-      lk.lock();
-      s.off = off;
-      s.n = got;
-      s.full = true;
-      next_off = off + chunk_samples;
-      tail = (tail + 1) % slots.size();
-      ++filled;
-      cv_full.notify_one();
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        s.off = off;
+        s.n = got;
+        s.state = 1;
+      }
+      cv_ready.notify_all();
+      if (got <= 0) return;  // past EOF: the 0-marker is queued in order
     }
   }
 };
@@ -163,42 +176,56 @@ void qt_close(void* h) {
 }
 
 void* qt_prefetch_start(void* h, int64_t chunk_samples, int n_buffers,
-                        int64_t start_off) {
+                        int64_t start_off, int64_t overlap_samples,
+                        int n_workers) {
   auto* p = new Prefetcher();
   p->cap = static_cast<Capture*>(h);
   p->chunk_samples = chunk_samples;
-  p->next_off = start_off;
-  p->slots.resize(n_buffers > 1 ? n_buffers : 2);
-  p->worker = std::thread([p] { p->run(); });
+  p->overlap_samples = overlap_samples;
+  p->start_off = start_off;
+  if (n_workers < 1) n_workers = 1;
+  if (n_buffers < n_workers + 2) n_buffers = n_workers + 2;
+  p->slots.resize(n_buffers);
+  for (size_t i = 0; i < p->slots.size(); ++i) p->slots[i].turn = i;
+  for (int i = 0; i < n_workers; ++i)
+    p->workers.emplace_back([p] { p->run(); });
   return p;
 }
 
-// Pop the next prefetched chunk into caller plane buffers (each at least
-// chunk_samples*type_bytes).  Returns samples delivered (0 past EOF).
+// Pop the next prefetched chunk (in stream order) into caller plane
+// buffers, each at least (chunk_samples+overlap_samples)*type_bytes.
+// Returns samples delivered (0 past EOF).
 int64_t qt_prefetch_next(void* ph, int64_t* off_out, void* re, void* im) {
   auto* p = static_cast<Prefetcher*>(ph);
-  std::unique_lock<std::mutex> lk(p->mu);
-  p->cv_full.wait(lk, [&] { return p->filled > 0; });
-  auto& s = p->slots[p->head];
+  const int64_t n_slots = static_cast<int64_t>(p->slots.size());
+  auto& s = p->slots[p->pop_seq % n_slots];
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv_ready.wait(lk, [&] { return s.state == 1; });
+  }
   int64_t n = s.n;
   *off_out = s.off;
   if (n > 0) {
     std::memcpy(re, s.re.data(), n * p->cap->type_bytes);
     std::memcpy(im, s.im.data(), n * p->cap->type_bytes);
   }
-  s.full = false;
-  p->head = (p->head + 1) % p->slots.size();
-  --p->filled;
-  p->cv_empty.notify_one();
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    s.state = 0;
+    s.turn += n_slots;
+  }
+  p->cv_free.notify_all();
+  ++p->pop_seq;
   return n;
 }
 
 void qt_prefetch_stop(void* ph) {
   auto* p = static_cast<Prefetcher*>(ph);
   p->stop.store(true);
-  p->cv_empty.notify_all();
-  p->cv_full.notify_all();
-  if (p->worker.joinable()) p->worker.join();
+  p->cv_free.notify_all();
+  p->cv_ready.notify_all();
+  for (auto& w : p->workers)
+    if (w.joinable()) w.join();
   delete p;
 }
 

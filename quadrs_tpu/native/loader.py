@@ -81,6 +81,8 @@ def _load():
             ctypes.c_int64,
             ctypes.c_int,
             ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
         ]
         lib.qt_prefetch_next.restype = ctypes.c_int64
         lib.qt_prefetch_next.argtypes = [
@@ -127,12 +129,29 @@ class NativeCapture:
             raise OSError(f"read failed at {off}")
         return out
 
-    def prefetch(self, chunk_samples: int, n_buffers: int = 3, start_off: int = 0):
-        """Iterate (offset, (2, n) planes) chunks with background readahead."""
-        ph = self._lib.qt_prefetch_start(self._h, chunk_samples, n_buffers, start_off)
+    def prefetch(
+        self,
+        chunk_samples: int,
+        n_buffers: int = 4,
+        start_off: int = 0,
+        overlap: int = 0,
+        n_workers: int = 2,
+    ):
+        """Iterate (offset, (2, n) planes) chunks with background readahead.
+
+        ``n_workers`` reader threads pread + deinterleave in parallel,
+        delivered in stream order.  With ``overlap``, each chunk also
+        carries the next ``overlap`` samples of the stream (re-read from
+        the following chunk's head) — consumers needing filter lookahead
+        get it with zero host-side stitching.  Offsets still advance by
+        ``chunk_samples``.
+        """
+        ph = self._lib.qt_prefetch_start(
+            self._h, chunk_samples, n_buffers, start_off, overlap, n_workers
+        )
         try:
             while True:
-                out = np.empty((2, chunk_samples), dtype=self.fmt.raw_dtype)
+                out = np.empty((2, chunk_samples + overlap), dtype=self.fmt.raw_dtype)
                 off = ctypes.c_int64()
                 got = self._lib.qt_prefetch_next(
                     ph,

@@ -144,28 +144,22 @@ class StreamRunner:
 
     def _chunks_native(self, start_off: int = 0) -> Iterator:
         """Chunks through the C++ ring prefetcher (native/loader.cc): the
-        loader's reader thread preads + deinterleaves chunk k+1 while
-        chunk k computes on the device — no Python staging thread.  Each
-        chunk's ``lookahead`` tail is stitched from the head of the next
-        prefetched buffer, so the disk is read exactly once."""
-        la = self._lookahead
+        loader's worker threads pread + deinterleave upcoming chunks in
+        parallel while the current one computes on the device — no
+        Python staging thread, and each delivered buffer already carries
+        the ``lookahead`` overlap (re-read in C), so no host-side
+        stitching copies either."""
         it = self.source.native.prefetch(
-            self.chunk_samples, n_buffers=3, start_off=start_off
+            self.chunk_samples,
+            start_off=start_off,
+            overlap=self._lookahead,
         )
         try:
-            prev = None
             for off, planes in it:
-                if prev is not None:
-                    full = np.concatenate([prev[1], planes[:, :la]], axis=1)
-                    item = self._emit_native(prev[0], full)
-                    if item is None:
-                        return
-                    yield item
-                prev = (off, planes)
-            if prev is not None:
-                item = self._emit_native(prev[0], prev[1])
-                if item is not None:
-                    yield item
+                item = self._emit_native(off, planes)
+                if item is None:
+                    return
+                yield item
         finally:
             it.close()
 
@@ -222,6 +216,7 @@ class StreamRunner:
         self,
         on_windows: Callable[[int, np.ndarray], None] | None = None,
         start_window: int = 0,
+        max_chunks: int | None = None,
     ) -> RunStats:
         """Process the capture from ``start_window`` onward.
 
@@ -230,7 +225,9 @@ class StreamRunner:
         NCO phases are planned from absolute offsets, so a resumed run
         produces bit-identical rows to the corresponding tail of a full
         run (the checkpoint/resume counterpart of the reference's
-        write-then-re-`from` workflow).
+        write-then-re-`from` workflow).  ``max_chunks`` stops after that
+        many chunks (previews, bounded benchmarks); resume from
+        ``stats.windows_out`` later for the rest.
         """
         import time
 
@@ -238,9 +235,13 @@ class StreamRunner:
         stats = RunStats()
         t0 = time.perf_counter()
         last = None
+        done_chunks = 0
         if self._sharded_step is None:
             use_pallas = self._use_pallas()
             for off, planes, valid in self._prefetched(start_window * self._win_raw):
+                if max_chunks is not None and done_chunks >= max_chunks:
+                    break
+                done_chunks += 1
                 if use_pallas:
                     # fused decode+mix+FIR Pallas frontend: ~2x for the
                     # integer formats (one HBM read of narrow input)
@@ -256,7 +257,9 @@ class StreamRunner:
                 if on_windows is not None:
                     on_windows(off // self._win_raw, np.asarray(norms))
         else:
-            last = self._run_sharded(on_windows, stats, start_window * self._win_raw)
+            last = self._run_sharded(
+                on_windows, stats, start_window * self._win_raw, max_chunks
+            )
         if last is not None and on_windows is None:
             sync_fetch(last)
         stats.seconds = time.perf_counter() - t0
@@ -278,7 +281,9 @@ class StreamRunner:
             and self.model.pallas_supported()
         )
 
-    def _run_sharded(self, on_windows, stats: RunStats, start_off: int = 0):
+    def _run_sharded(
+        self, on_windows, stats: RunStats, start_off: int = 0, max_chunks=None
+    ):
         """Time-sharded chunks over the mesh.  Each chunk's true
         continuation (the next ``halo`` samples of the stream) feeds the
         last shard, so every window is exact and chunks advance by their
@@ -298,7 +303,11 @@ class StreamRunner:
         single = n_stream == 1
         last = None
         off = start_off
+        done_chunks = 0
         while off + n + halo <= length:
+            if max_chunks is not None and done_chunks >= max_chunks:
+                return last
+            done_chunks += 1
             planes = np.stack([s.stage(off, off + n) for s in self.sources])
             tails = np.stack([s.stage(off + n, off + n + halo) for s in self.sources])
             theta = np.broadcast_to(

@@ -53,6 +53,37 @@ def test_prefetch_streams_whole_file(capture):
     assert [off for off, _ in seen] == sorted(off for off, _ in seen)
 
 
+def test_prefetch_overlap_and_workers(capture):
+    """Chunks arrive in stream order regardless of worker count, each
+    carrying the next `overlap` samples re-read from the following
+    chunk's head; offsets still advance by chunk_samples."""
+    path, fmt, raw = capture
+    cap = NativeCapture(path, fmt)
+    want = planes_from_bytes(raw, fmt)
+    for n_workers in (1, 2, 3):
+        offs = []
+        for off, planes in cap.prefetch(
+            chunk_samples=1000, overlap=96, n_workers=n_workers
+        ):
+            assert planes.tobytes() == want[:, off : off + planes.shape[1]].tobytes()
+            offs.append(off)
+            # full interior chunks carry chunk+overlap samples
+            if off + 1096 <= 10_000:
+                assert planes.shape[1] == 1096
+        assert offs == list(range(0, 10_000, 1000))
+
+
+def test_prefetch_early_close_joins_workers(capture):
+    """Abandoning the iterator mid-stream must stop the C++ workers
+    cleanly (no hang, no crash)."""
+    path, fmt, raw = capture
+    cap = NativeCapture(path, fmt)
+    it = cap.prefetch(chunk_samples=512, n_workers=2)
+    next(it)
+    next(it)
+    it.close()  # triggers qt_prefetch_stop with workers mid-flight
+
+
 def test_sample_source_uses_native(tmp_path):
     rng = np.random.default_rng(3)
     data = (rng.normal(size=2048) + 1j * rng.normal(size=2048)).astype(np.complex64)
