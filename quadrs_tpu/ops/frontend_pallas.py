@@ -34,11 +34,21 @@ Status (v5e, 4M-sample chunks, exact to ~1e-6 vs the XLA chain):
 * v2.1 (:func:`fused_frontend_t`, polyphase-transposed layout, 8K-output
   tiles, roll-based diagonal reduction): cs8 full chain 0.2-1.3 ms vs
   the XLA chain's 1.8-2.4 ms (~2x) — the fused kernel reads the narrow
-  int8 input once where XLA materializes f32 intermediates; cf32 is at
-  parity (input bytes already dominate).
+  int8 input once where XLA materializes f32 intermediates.
+* v2.2 (format-dependent tile size, :func:`_tout_t`): cf32 goes from
+  parity to a clear win — 3276 Msps vs the 2157 Msps XLA chain (1.5x)
+  at 4K-output tiles (the f32 input's 4x VMEM footprint is what made
+  8K tiles regress; 16K+ tiles exceed VMEM and fail to compile).  cs8
+  measured 4937 and cs16 4953 Msps at the 8K tiles (same sweep).
+  Input streaming is nowhere near the bound — 24 GB/s of HBM read at
+  the cf32 rate vs ~819 GB/s available — so the automatic block
+  pipelining Mosaic applies to grid inputs (double-buffered HBM->VMEM
+  DMA per BlockSpec) already hides transfer entirely; an explicit
+  in-kernel DMA pipeline would add nothing (the kernel is VPU/MXU
+  bound: trig mix + polyphase matmul + diagonal reduction).
 
 ``PipelineModel.step_stream_pallas`` / ``StreamRunner(frontend=...)``
-select it; ``auto`` uses it for integer formats on TPU.
+select it; ``auto`` uses it for every supported format on TPU.
 """
 
 from __future__ import annotations
@@ -292,9 +302,14 @@ def _halo_rows(p: jnp.ndarray, tiles: int, l_in: int, halo_p: int) -> jnp.ndarra
 # ---------------------------------------------------------------------------
 
 
-# outputs per grid step for the transposed kernel: bigger tiles amortize
-# per-tile fixed costs (Mosaic op dispatch, iotas, matmul setup)
-_TOUT_T = 8192
+def _tout_t(spec: FrontendSpec) -> int:
+    """Outputs per grid step for the transposed kernel: bigger tiles
+    amortize per-tile fixed costs (Mosaic op dispatch, iotas, matmul
+    setup), but the f32 input's 4x VMEM footprint favors smaller tiles.
+    Measured on v5e (4M-sample chunks, dec 32, 400 taps):
+    cf32 2907/3276/3002 Msps at 2K/4K/8K; cs8 4277/4937 at 4K/8K;
+    cs16 3787/4953 at 4K/8K; 16K+ tiles fail to compile (VMEM)."""
+    return 4096 if spec.fmt is FileFormat.COMPLEX_FLOAT32 else 8192
 
 
 @functools.lru_cache(maxsize=8)
@@ -318,8 +333,9 @@ def _plan_t(spec: FrontendSpec):
         dd = np.arange(d, dtype=np.int64)[:, None]
         return nco.angles(c * d + dd)
 
-    delta_main = table(0, _TOUT_T)
-    delta_halo = table(_TOUT_T, 128)
+    tout = _tout_t(spec)
+    delta_main = table(0, tout)
+    delta_halo = table(tout, 128)
     return m_sub, m_pad, hp, delta_main, delta_halo
 
 
@@ -327,6 +343,7 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
     from jax.experimental import pallas as pl
 
     d = spec.decimate
+    tout = _tout_t(spec)
 
     def kernel(
         base_ref,
@@ -352,7 +369,7 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
             )
             theta = base + jnp.concatenate([dmain, dhalo], axis=1)
             # mask in the decoded domain (see masked_decode above)
-            cols = _TOUT_T + 128
+            cols = tout + 128
             lin = (
                 jax.lax.broadcasted_iota(jnp.int32, (d, cols), 1) * d
                 + jax.lax.broadcasted_iota(jnp.int32, (d, cols), 0)
@@ -379,7 +396,7 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
             for m in range(1, m_sub):
                 rows.append(jnp.roll(c2[m : m + 1], -m, axis=1))
             z = jnp.concatenate(rows, axis=0)
-            return jnp.sum(z, axis=0, keepdims=True)[:, :_TOUT_T]  # (1, tout)
+            return jnp.sum(z, axis=0, keepdims=True)[:, :tout]  # (1, tout)
 
         ore_ref[0] = diag_rows(c2r)
         oim_ref[0] = diag_rows(c2i)
@@ -408,10 +425,11 @@ def fused_frontend_t(
     if not supported(d):
         raise ValueError(f"pallas frontend requires decimate | 128, got {d}")
     m_sub, m_pad, hp, delta_main, delta_halo = _plan_t(spec)
+    tout = _tout_t(spec)
 
-    tiles = -(-n_out // _TOUT_T)
-    l_in = _TOUT_T * d
-    cols_needed = tiles * _TOUT_T + 128
+    tiles = -(-n_out // tout)
+    l_in = tout * d
+    cols_needed = tiles * tout + 128
     if n_valid is None:
         n_valid = planes.shape[1]
     need = cols_needed * d
@@ -425,28 +443,28 @@ def fused_frontend_t(
     t_idx = np.arange(tiles, dtype=np.int64)
     valid = np.clip(n_valid - t_idx * l_in, 0, l_in + 128 * d).astype(np.int32)
 
-    blocks_per_tile = _TOUT_T // 128
+    blocks_per_tile = tout // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # base, valid
         grid=(tiles,),
         in_specs=[
-            pl.BlockSpec((d, _TOUT_T), lambda t, *_: (0, t)),
-            pl.BlockSpec((d, _TOUT_T), lambda t, *_: (0, t)),
+            pl.BlockSpec((d, tout), lambda t, *_: (0, t)),
+            pl.BlockSpec((d, tout), lambda t, *_: (0, t)),
             pl.BlockSpec((d, 128), lambda t, *_: (0, (t + 1) * blocks_per_tile)),
             pl.BlockSpec((d, 128), lambda t, *_: (0, (t + 1) * blocks_per_tile)),
-            pl.BlockSpec((d, _TOUT_T), lambda t, *_: (0, 0)),
+            pl.BlockSpec((d, tout), lambda t, *_: (0, 0)),
             pl.BlockSpec((d, 128), lambda t, *_: (0, 0)),
             pl.BlockSpec((m_pad, d), lambda t, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, _TOUT_T), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, _TOUT_T), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, tout), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, tout), lambda t, *_: (t, 0, 0)),
         ],
     )
     ore, oim = pl.pallas_call(
         _kernel_t(spec, m_sub),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((tiles, 1, _TOUT_T), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, tout), jnp.float32)] * 2,
         interpret=interpret,
     )(
         base,
@@ -471,8 +489,9 @@ def tile_bases(spec: FrontendSpec, global_start: int, tiles: int) -> np.ndarray:
 
 def tile_bases_t(spec: FrontendSpec, global_start: int, n_out: int) -> np.ndarray:
     """Host-exact per-tile NCO base angles for :func:`fused_frontend_t`
-    (its larger tile size); sized from ``n_out``."""
-    l_in = _TOUT_T * spec.decimate
-    tiles = -(-n_out // _TOUT_T)
+    (its larger, format-dependent tile size); sized from ``n_out``."""
+    tout = _tout_t(spec)
+    l_in = tout * spec.decimate
+    tiles = -(-n_out // tout)
     offs = global_start + np.arange(tiles, dtype=np.int64) * l_in
     return ExactNCO(spec.shift_freq, spec.sample_rate).angles(offs)

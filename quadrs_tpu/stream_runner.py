@@ -269,17 +269,13 @@ class StreamRunner:
     def _use_pallas(self) -> bool:
         import jax
 
-        from quadrs_tpu.formats import FileFormat
-
         if self.frontend == "pallas":
             return True
         if self.frontend != "auto":
             return False
-        return (
-            jax.devices()[0].platform == "tpu"
-            and self.model.cfg.fmt is not FileFormat.COMPLEX_FLOAT32
-            and self.model.pallas_supported()
-        )
+        # every format wins through the fused kernel on v5e (cf32 since
+        # the per-format tile sizing: 3.2 vs 2.2 Gsps through XLA)
+        return jax.devices()[0].platform == "tpu" and self.model.pallas_supported()
 
     def _run_sharded(
         self, on_windows, stats: RunStats, start_off: int = 0, max_chunks=None

@@ -154,8 +154,20 @@ def test_graft_dryrun_two_process():
     mod.dryrun_multichip(4, n_processes=2)
 
 
-def test_pallas_stream_step_matches_xla():
-    model = PipelineModel(CFG)
+@pytest.mark.parametrize(
+    "fmt", [FileFormat.COMPLEX_INT8, FileFormat.COMPLEX_FLOAT32]
+)
+def test_pallas_stream_step_matches_xla(fmt):
+    cfg = PipelineConfig(
+        sample_rate=CFG.sample_rate,
+        shift_freq=CFG.shift_freq,
+        lp_freq=CFG.lp_freq,
+        decimate=CFG.decimate,
+        taps=CFG.taps,
+        fft_width=CFG.fft_width,
+        fmt=fmt,
+    )
+    model = PipelineModel(cfg)
     if not model.pallas_supported():
         pytest.skip("decimation unsupported by the pallas frontend")
     n_chunk = CFG.decimate * CFG.fft_width * 6 + CFG.taps
