@@ -196,8 +196,10 @@ def test_take_fft_matches_manual_stft():
 
 def test_wide_fft_uses_xla_path():
     """Widths above the DFT-matmul cutoff go through jnp.fft; check the
-    numerics against numpy on a wide window."""
-    import jax.numpy as jnp
+    numerics against numpy on a wide window.  Calls are jitted like the
+    production paths (eager complex ops are UNIMPLEMENTED on the
+    tunneled TPU backend — see CLAUDE.md)."""
+    import jax
 
     from quadrs_tpu.ops.stft import batched_fft
 
@@ -207,11 +209,15 @@ def test_wide_fft_uses_xla_path():
     )
     from util import to_device_complex, from_device_complex
 
-    got = from_device_complex(batched_fft(to_device_complex(x), impl="auto"))
+    fft_impl = {
+        impl: jax.jit(lambda v, impl=impl: batched_fft(v, impl=impl))
+        for impl in ("auto", "matmul", "xla")
+    }
+    got = from_device_complex(fft_impl["auto"](to_device_complex(x)))
     want = np.fft.fft(x.astype(np.complex128))
     np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
     # and the matmul path agrees with the xla path at the boundary width
     y = (rng.normal(size=(2, 1024)) + 1j * rng.normal(size=(2, 1024))).astype(np.complex64)
-    a = from_device_complex(batched_fft(to_device_complex(y), impl="matmul"))
-    b = from_device_complex(batched_fft(to_device_complex(y), impl="xla"))
+    a = from_device_complex(fft_impl["matmul"](to_device_complex(y)))
+    b = from_device_complex(fft_impl["xla"](to_device_complex(y)))
     np.testing.assert_allclose(a, b, atol=2e-3 * np.abs(b).max())
