@@ -74,6 +74,12 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "
     def local_step(raw_local, theta0_local, tail_local):
         # raw_local: (S_l, 2, n_local) planes; theta0_local: (S_l, 1);
         # tail_local: (S_l, 2, halo_samps), identical on every time-shard
+        if raw_local.shape[2] < halo_samps:
+            raise ValueError(
+                f"per-shard slice of {raw_local.shape[2]} samples is shorter "
+                f"than the {halo_samps}-sample halo; use chunks of at least "
+                f"{halo_samps} samples per time-shard"
+            )
         perm = [(i, (i - 1) % n_time) for i in range(n_time)]
         head = raw_local[:, :, :halo_samps]
         halo = jax.lax.ppermute(head, "time", perm)

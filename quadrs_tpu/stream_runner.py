@@ -98,8 +98,11 @@ class StreamRunner:
                     f"mesh has {mesh.shape['stream']} stream shards for "
                     f"{len(sources)} sources"
                 )
-            quantum = self._win_raw * mesh.shape["time"]
             self._halo = halo_samples(cfg)
+            # each time-shard's slice must cover the halo it sends left
+            quantum = (
+                mesh.shape["time"] * -(-self._halo // self._win_raw) * self._win_raw
+            )
             self._sharded_step = make_sharded_stream_step(
                 model, mesh, frontend="pallas" if self._use_pallas() else "xla"
             )
@@ -226,8 +229,9 @@ class StreamRunner:
         produces bit-identical rows to the corresponding tail of a full
         run (the checkpoint/resume counterpart of the reference's
         write-then-re-`from` workflow).  ``max_chunks`` stops after that
-        many chunks (previews, bounded benchmarks); resume from
-        ``stats.windows_out`` later for the rest.
+        many chunks (previews, bounded benchmarks); to resume later,
+        pass ``start_window + windows_out // n_stream`` (``windows_out``
+        counts across every stream of a bank).
         """
         import time
 
@@ -238,10 +242,8 @@ class StreamRunner:
         done_chunks = 0
         if self._sharded_step is None:
             use_pallas = self._use_pallas()
-            for off, planes, valid in self._prefetched(start_window * self._win_raw):
-                if max_chunks is not None and done_chunks >= max_chunks:
-                    break
-                done_chunks += 1
+            chunks = self._prefetched(start_window * self._win_raw)
+            for off, planes, valid in chunks:
                 if use_pallas:
                     # fused decode+mix+FIR Pallas frontend: ~2x for the
                     # integer formats (one HBM read of narrow input)
@@ -256,6 +258,11 @@ class StreamRunner:
                 stats.windows_out += norms.shape[0]
                 if on_windows is not None:
                     on_windows(off // self._win_raw, np.asarray(norms))
+                done_chunks += 1
+                if max_chunks is not None and done_chunks >= max_chunks:
+                    # break before pulling (and staging) the next chunk
+                    chunks.close()
+                    break
         else:
             last = self._run_sharded(
                 on_windows, stats, start_window * self._win_raw, max_chunks

@@ -161,8 +161,10 @@ def ui_render_frames(
     paths: list[Path] = []
     for k in range(n_frames):
         fw = p.fft_width << k
-        if fw >= min(stream.length, p.width):
-            break  # the GUI would refuse the click; stop the sweep
+        if k > 0 and fw >= min(stream.length, p.width):
+            break  # the GUI would refuse this click; stop the sweep
+            # (frame 0 falls through so a bad starting fft_width raises
+            # ui_render's error instead of silently writing nothing)
         frame = UiParams(
             width=p.width, height=p.height, fft_width=fw, stride=p.stride, stretch=p.stretch
         )

@@ -141,17 +141,7 @@ def test_graft_entry():
     assert out.shape == (4, 32)
     assert np.isfinite(out).all()
     mod.dryrun_multichip(len(jax.devices()))
-
-
-def test_graft_dryrun_two_process():
-    import importlib.util, pathlib
-
-    spec = importlib.util.spec_from_file_location(
-        "graft_entry2", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(4, n_processes=2)
+    # the multi-process variant is covered by tests/test_distributed.py
 
 
 @pytest.mark.parametrize(

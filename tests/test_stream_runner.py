@@ -231,6 +231,54 @@ def test_sharded_bank_n_stream_2():
             )
 
 
+def test_sharded_runner_halo_wider_than_window():
+    """A config whose halo spans multiple STFT windows: the runner must
+    widen its chunk quantum so every time-shard covers the halo it
+    sends, instead of failing to trace."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    cfg = PipelineConfig(
+        sample_rate=1_000_000,
+        shift_freq=12_500,
+        lp_freq=50_000,
+        decimate=8,
+        taps=192,  # halo = 280 > win_raw = 128
+        fft_width=16,
+        fmt=FileFormat.COMPLEX_FLOAT32,
+    )
+    model = PipelineModel(cfg)
+    win_raw = cfg.decimate * cfg.fft_width
+    rng = np.random.default_rng(43)
+    n = win_raw * 64 + cfg.taps * 2
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    inter = np.empty((n, 2), dtype=np.float32)
+    inter[:, 0] = data.real
+    inter[:, 1] = data.imag
+    src = SampleSource(inter.reshape(-1).view(np.uint8), cfg.fmt, cfg.sample_rate)
+
+    single: dict[int, np.ndarray] = {}
+    StreamRunner(src, model, chunk_samples=win_raw * 8).run(
+        lambda w0, norms: single.update({w0 + i: norms[i] for i in range(len(norms))})
+    )
+    sharded: dict[int, np.ndarray] = {}
+    runner = StreamRunner(
+        src, model, chunk_samples=win_raw * 4, mesh=make_mesh(4, 1)
+    )  # requested chunk is below the halo quantum; must be widened
+    assert runner.chunk_samples // 4 >= 280
+    runner.run(
+        lambda w0, norms: sharded.update({w0 + i: norms[i] for i in range(len(norms))})
+    )
+    assert set(sharded) == set(single)
+    scale = max(float(v.max()) for v in single.values())
+    for w in single:
+        np.testing.assert_allclose(sharded[w], single[w], atol=3e-4 * scale)
+
+
 def test_bank_requires_mesh_and_equal_lengths():
     import pytest
 

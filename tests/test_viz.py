@@ -135,6 +135,17 @@ def test_ui_render_frames_sweep(tmp_path):
     assert len(paths) == 4  # 4, 8, 16, 32 < width 64
 
 
+def test_ui_render_frames_bad_first_frame_raises(tmp_path):
+    """A refused frame 0 must raise like the single render, not silently
+    write nothing and succeed."""
+    from quadrs_tpu.viz.waterfall import ui_render_frames
+
+    g = ToneGen([100], 4000, 0.5)
+    p = UiParams(width=32, height=48, fft_width=64)  # fft wider than window
+    with pytest.raises(ValueError):
+        ui_render_frames(g, 3, tmp_path / "bad", params=p)
+
+
 def test_eui_render_frames_scroll(tmp_path):
     """Multi-frame scroll: frame k advances the visible slice by its own
     span, stopping at the right slider stop."""
