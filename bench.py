@@ -47,16 +47,48 @@ def main() -> None:
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
     n_rot = 16  # rotate chunk phases so nothing constant-folds
 
+    # every iteration's phase input depends on the previous iteration's
+    # output: the tunneled runtime materializes lazily, so independent
+    # steps can be skipped wholesale and inflate the number (observed
+    # 100x); the chain forces every step to actually execute
     if on_accel and model.pallas_supported():
+        import jax.numpy as jnp
+
         bases = [
-            np.asarray(model.stream_bases(k * chunk, chunk + cfg.taps))
+            jax.device_put(np.asarray(model.stream_bases(k * chunk, chunk + cfg.taps)))
             for k in range(n_rot)
         ]
-        step = lambda i: model.jit_step_stream_pallas(raw, bases[i % n_rot])  # noqa: E731
+
+        @jax.jit
+        def _chained(raw, b, prev):
+            out = model.step_stream_pallas(raw, b + 0.0 * prev)
+            return out, out[0, 0]
+
+        carry = [None]
+
+        def step(i):
+            prev = carry[0] if carry[0] is not None else jnp.float32(0.0)
+            out, carry[0] = _chained(raw, bases[i % n_rot], prev)
+            return out
+
         label = "fused pallas cs8 decode+shift+lowpass(dec32,taps400)+stft64"
     else:
+        import jax.numpy as jnp
+
         thetas = model.theta0(np.arange(n_rot, dtype=np.int64) * chunk)
-        step = lambda i: model.jit_step_stream(raw, thetas[i % n_rot])  # noqa: E731
+
+        @jax.jit
+        def _chained(raw, theta, prev):
+            out = model.step_stream(raw, theta + 0.0 * prev)
+            return out, out[0, 0]
+
+        carry = [None]
+
+        def step(i):
+            prev = carry[0] if carry[0] is not None else jnp.float32(0.0)
+            out, carry[0] = _chained(raw, thetas[i % n_rot], prev)
+            return out
+
         label = "fused cs8 decode+shift+lowpass(dec32,taps400)+stft64"
 
     msps = measure_msps(step, chunk, min_secs)

@@ -32,17 +32,42 @@ def _time(step, args, chunk, min_secs):
 
 def _step_for(model, chunk, on_accel):
     """Fused Pallas frontend on TPU when the config supports it; phases
-    rotate across iterations either way."""
+    rotate across iterations AND chain on the previous output so the
+    lazily-materializing tunneled runtime cannot skip steps (see
+    bench.py)."""
+    import jax.numpy as jnp
+
     if on_accel and model.pallas_supported():
         bases = [
-            np.asarray(model.stream_bases(k * chunk, chunk + model.cfg.taps))
+            jax.device_put(np.asarray(model.stream_bases(k * chunk, chunk + model.cfg.taps)))
             for k in range(16)
         ]
-        return lambda raw: (
-            lambda i: model.jit_step_stream_pallas(raw, bases[i % 16])
-        )
-    thetas = model.theta0(np.arange(16, dtype=np.int64) * chunk)
-    return lambda raw: (lambda i: model.jit_step_stream(raw, thetas[i % 16]))
+
+        @jax.jit
+        def _chained(raw, b, prev):
+            out = model.step_stream_pallas(raw, b + 0.0 * prev)
+            return out, out[0, 0]
+
+    else:
+        thetas = model.theta0(np.arange(16, dtype=np.int64) * chunk)
+        bases = [jnp.float32(t) for t in thetas]
+
+        @jax.jit
+        def _chained(raw, theta, prev):
+            out = model.step_stream(raw, theta + 0.0 * prev)
+            return out, out[0, 0]
+
+    def make(raw):
+        carry = [None]
+
+        def step(i):
+            prev = carry[0] if carry[0] is not None else jnp.float32(0.0)
+            out, carry[0] = _chained(raw, bases[i % 16], prev)
+            return out
+
+        return step
+
+    return make
 
 
 def bench_cs16_sustained(on_accel: bool) -> dict:
@@ -100,13 +125,28 @@ def bench_long_fir(on_accel: bool) -> dict:
 def bench_waterfall(on_accel: bool) -> dict:
     from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
 
+    import jax.numpy as jnp
+
     cfg = WaterfallConfig(n_streams=64, fft_width=1024, stride=1024)
     model = WaterfallModel(cfg)
     per_stream = (1 << 17) if on_accel else (1 << 14)
     raw = jax.device_put(model.synth_raw(per_stream))
-    step = model.jit_step()
     total = cfg.n_streams * per_stream
-    msps = _time(step, lambda i: (raw,), total, 2.0 if on_accel else 0.3)
+
+    # chain each step's input on the previous output (see bench.py)
+    @jax.jit
+    def _chained(raw, prev):
+        out = model.step(raw + (0.0 * prev).astype(raw.dtype))
+        return out, out[0, 0, 0]
+
+    carry = [None]
+
+    def step(i):
+        prev = carry[0] if carry[0] is not None else jnp.float32(0.0)
+        out, carry[0] = _chained(raw, prev)
+        return out
+
+    msps = _time(step, lambda i: (i,), total, 2.0 if on_accel else 0.3)
     return {
         "metric": "64x parallel cs8 fused decode + 1024-pt strided STFT",
         "value": round(msps, 1),
@@ -164,16 +204,21 @@ def bench_disk_staging(on_accel: bool) -> dict:
     model, src, _ = _sustained_setup(on_accel)
     runner = StreamRunner(src, model, chunk_samples=1 << 22)
     cap = 64 if on_accel else 8  # 256M samples bounds the artifact cost
-    t0 = time.perf_counter()
-    fed = 0
-    it = runner._prefetched(0)
-    for i, (_off, planes, _valid) in enumerate(it):
-        fed += planes.shape[1] - runner._lookahead
-        if i + 1 >= cap:
-            break
-    it.close()
-    dt = time.perf_counter() - t0
-    msps = fed / dt / 1e6
+
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        fed = 0
+        it = runner._prefetched(0)
+        for i, (_off, planes, _valid) in enumerate(it):
+            fed += planes.shape[1] - runner._lookahead
+            if i + 1 >= cap:
+                break
+        it.close()
+        return fed / (time.perf_counter() - t0) / 1e6
+
+    # best of 3: the host core is shared with the jax runtime threads,
+    # so single passes swing wildly on small machines (min-time rule)
+    msps = max(one_pass() for _ in range(3))
     return {
         "metric": "disk->host staging feed rate (C++ ring prefetch over the 1G-sample cs8 file)",
         "value": round(msps, 1),

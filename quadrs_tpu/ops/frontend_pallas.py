@@ -38,14 +38,23 @@ Status (v5e, 4M-sample chunks, exact to ~1e-6 vs the XLA chain):
 * v2.2 (format-dependent tile size, :func:`_tout_t`): cf32 goes from
   parity to a clear win — 3276 Msps vs the 2157 Msps XLA chain (1.5x)
   at 4K-output tiles (the f32 input's 4x VMEM footprint is what made
-  8K tiles regress; 16K+ tiles exceed VMEM and fail to compile).  cs8
-  measured 4937 and cs16 4953 Msps at the 8K tiles (same sweep).
+  8K tiles regress; 16K+ tiles exceed VMEM and fail to compile).
   Input streaming is nowhere near the bound — 24 GB/s of HBM read at
   the cf32 rate vs ~819 GB/s available — so the automatic block
   pipelining Mosaic applies to grid inputs (double-buffered HBM->VMEM
   DMA per BlockSpec) already hides transfer entirely; an explicit
   in-kernel DMA pipeline would add nothing (the kernel is VPU/MXU
   bound: trig mix + polyphase matmul + diagonal reduction).
+* v2.3 (host-precomputed cos/sin delta tables): the per-element
+  cos/sin of the mix dominated the VPU time; rotating resident
+  cos/sin(delta) tables by the tile base via the angle-addition
+  identity (two *scalar* transcendentals + 4 mul/2 add per element)
+  removes it.  Dependency-chained measurement (every step's phase
+  input consumes the previous output, so the lazily-materializing
+  tunneled runtime can't skip steps): cs8 4021 -> 5576, cf32 2945 ->
+  3468, cs16 -> 4776 Msps best-of-3 (v2.2 -> v2.3).  Accuracy is
+  unchanged (<=2e-6 vs the XLA chain on hardware) — the tables are
+  f64-evaluated on the host, better than device trig per element.
 
 ``PipelineModel.step_stream_pallas`` / ``StreamRunner(frontend=...)``
 select it; ``auto`` uses it for every supported format on TPU.
@@ -334,9 +343,21 @@ def _plan_t(spec: FrontendSpec):
         return nco.angles(c * d + dd)
 
     tout = _tout_t(spec)
-    delta_main = table(0, tout)
-    delta_halo = table(tout, 128)
-    return m_sub, m_pad, hp, delta_main, delta_halo
+    # v2.3: ship cos/sin of the delta tables instead of the angles —
+    # the kernel rotates them by the per-tile base with the angle
+    # addition identity (4 mul + 2 add per element), replacing the two
+    # per-element transcendentals that dominated the VPU time.  The
+    # tables are f64-evaluated on the host, so per-element accuracy is
+    # *better* than device trig.
+    def cs(delta: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return (
+            np.cos(delta.astype(np.float64)).astype(np.float32),
+            np.sin(delta.astype(np.float64)).astype(np.float32),
+        )
+
+    cdm, sdm = cs(table(0, tout))
+    cdh, sdh = cs(table(tout, 128))
+    return m_sub, m_pad, hp, cdm, sdm, cdh, sdh
 
 
 def _kernel_t(spec: FrontendSpec, m_sub: int):
@@ -352,8 +373,10 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
         im_ref,
         hre_ref,
         him_ref,
-        dmain_ref,
-        dhalo_ref,
+        cdm_ref,
+        sdm_ref,
+        cdh_ref,
+        sdh_ref,
         hp_ref,
         ore_ref,
         oim_ref,
@@ -362,24 +385,28 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
         base = base_ref[t]
         v = valid_ref[t]
 
-        def decode_mix(main_ref, halo_ref, dmain, dhalo, col0_valid):
+        def masked_decode(main_ref, halo_ref, col0_valid):
             x = jnp.concatenate(
                 [_decode_ref(main_ref[:], spec.fmt), _decode_ref(halo_ref[:], spec.fmt)],
                 axis=1,
             )
-            theta = base + jnp.concatenate([dmain, dhalo], axis=1)
             # mask in the decoded domain (see masked_decode above)
             cols = tout + 128
             lin = (
                 jax.lax.broadcasted_iota(jnp.int32, (d, cols), 1) * d
                 + jax.lax.broadcasted_iota(jnp.int32, (d, cols), 0)
             )
-            x = jnp.where(lin < col0_valid, x, jnp.float32(0.0))
-            return x, theta
+            return jnp.where(lin < col0_valid, x, jnp.float32(0.0))
 
-        xr, theta = decode_mix(re_ref, hre_ref, dmain_ref[:], dhalo_ref[:], v)
-        xi, _ = decode_mix(im_ref, him_ref, dmain_ref[:], dhalo_ref[:], v)
-        c, s = jnp.cos(theta), jnp.sin(theta)
+        xr = masked_decode(re_ref, hre_ref, v)
+        xi = masked_decode(im_ref, him_ref, v)
+        # rotate the resident cos/sin(delta) tables by the tile base:
+        # two scalar transcendentals instead of two per element
+        cb, sb = jnp.cos(base), jnp.sin(base)
+        cd = jnp.concatenate([cdm_ref[:], cdh_ref[:]], axis=1)
+        sd = jnp.concatenate([sdm_ref[:], sdh_ref[:]], axis=1)
+        c = cd * cb - sd * sb
+        s = sd * cb + cd * sb
         mre = xr * c - xi * s
         mim = xr * s + xi * c
 
@@ -424,7 +451,7 @@ def fused_frontend_t(
     d = spec.decimate
     if not supported(d):
         raise ValueError(f"pallas frontend requires decimate | 128, got {d}")
-    m_sub, m_pad, hp, delta_main, delta_halo = _plan_t(spec)
+    m_sub, m_pad, hp, cdm, sdm, cdh, sdh = _plan_t(spec)
     tout = _tout_t(spec)
 
     tiles = -(-n_out // tout)
@@ -453,6 +480,8 @@ def fused_frontend_t(
             pl.BlockSpec((d, 128), lambda t, *_: (0, (t + 1) * blocks_per_tile)),
             pl.BlockSpec((d, 128), lambda t, *_: (0, (t + 1) * blocks_per_tile)),
             pl.BlockSpec((d, tout), lambda t, *_: (0, 0)),
+            pl.BlockSpec((d, tout), lambda t, *_: (0, 0)),
+            pl.BlockSpec((d, 128), lambda t, *_: (0, 0)),
             pl.BlockSpec((d, 128), lambda t, *_: (0, 0)),
             pl.BlockSpec((m_pad, d), lambda t, *_: (0, 0)),
         ],
@@ -473,8 +502,10 @@ def fused_frontend_t(
         xt[1],
         xt[0],
         xt[1],
-        jnp.asarray(delta_main),
-        jnp.asarray(delta_halo),
+        jnp.asarray(cdm),
+        jnp.asarray(sdm),
+        jnp.asarray(cdh),
+        jnp.asarray(sdh),
         jnp.asarray(hp),
     )
     return jnp.stack([ore.reshape(-1)[:n_out], oim.reshape(-1)[:n_out]])
