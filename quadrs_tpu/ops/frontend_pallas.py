@@ -385,12 +385,20 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
         base = base_ref[t]
         v = valid_ref[t]
 
+        # cs8/cf32 decode a zero raw byte to exactly 0.0, so zero-padded
+        # tails already contribute nothing to the FIR and the
+        # decoded-domain mask (iota + compare + select over the whole
+        # tile) is pure overhead; cu8/cs16 decode zero bytes to a large
+        # negative rail and need it.
+        needs_mask = spec.fmt in (FileFormat.COMPLEX_UINT8, FileFormat.COMPLEX_INT16)
+
         def masked_decode(main_ref, halo_ref, col0_valid):
             x = jnp.concatenate(
                 [_decode_ref(main_ref[:], spec.fmt), _decode_ref(halo_ref[:], spec.fmt)],
                 axis=1,
             )
-            # mask in the decoded domain (see masked_decode above)
+            if not needs_mask:
+                return x
             cols = tout + 128
             lin = (
                 jax.lax.broadcasted_iota(jnp.int32, (d, cols), 1) * d
