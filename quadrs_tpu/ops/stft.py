@@ -78,13 +78,35 @@ def stft_norms(
 
     ``x``: (B, W) complex64 windows.  Returns (B, W) f32 norms,
     fftshifted unless ``shift=False``.
+
+    The magnitude is ``sqrt(re² + im²)`` computed on real planes — on
+    v5e this is ~1.6x the whole non-decimating chain vs ``jnp.abs`` of
+    a materialized complex spectrum (XLA's complex abs lowers to the
+    overflow-safe hypot).  The plain form matches hypot to 1 ulp for
+    spectra below ~1e18, far above any real capture; the reference's
+    ``Complex::norm`` is hypot, and the glyph-exactness suites pass
+    either way.
     """
     if window is not None:
         x = x * jnp.asarray(np.asarray(window, dtype=np.float32))
-    spec = batched_fft(x, impl=impl)
+    width = x.shape[-1]
+    if impl == "auto":
+        impl = "matmul" if width <= _DFT_MATMUL_MAX_WIDTH else "xla"
+
+    if impl == "matmul":
+        f = _dft_matrix_np(width)
+        fr = jnp.asarray(f.real)
+        fi = jnp.asarray(f.imag)
+        xr, xi = x.real, x.imag
+        p = jax.lax.Precision.HIGHEST
+        rr = jnp.matmul(xr, fr, precision=p) - jnp.matmul(xi, fi, precision=p)
+        ri = jnp.matmul(xr, fi, precision=p) + jnp.matmul(xi, fr, precision=p)
+    else:
+        spec = jnp.fft.fft(x)
+        rr, ri = jnp.real(spec), jnp.imag(spec)
     if shift:
-        spec = fftshift(spec)
-    return jnp.abs(spec).astype(jnp.float32)
+        rr, ri = fftshift(rr), fftshift(ri)
+    return jnp.sqrt(rr * rr + ri * ri).astype(jnp.float32)
 
 
 def blackman_harris_window(n: int) -> np.ndarray:
