@@ -400,11 +400,19 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
             if not needs_mask:
                 return x
             cols = tout + 128
-            lin = (
-                jax.lax.broadcasted_iota(jnp.int32, (d, cols), 1) * d
-                + jax.lax.broadcasted_iota(jnp.int32, (d, cols), 0)
+
+            def apply_mask(x):
+                lin = (
+                    jax.lax.broadcasted_iota(jnp.int32, (d, cols), 1) * d
+                    + jax.lax.broadcasted_iota(jnp.int32, (d, cols), 0)
+                )
+                return jnp.where(lin < col0_valid, x, jnp.float32(0.0))
+
+            # only the stream's final tile is ever partial; every other
+            # tile skips the mask's ~5 full-tile passes at one scalar test
+            return jax.lax.cond(
+                col0_valid >= jnp.int32(cols * d), lambda x: x, apply_mask, x
             )
-            return jnp.where(lin < col0_valid, x, jnp.float32(0.0))
 
         xr = masked_decode(re_ref, hre_ref, v)
         xi = masked_decode(im_ref, him_ref, v)
