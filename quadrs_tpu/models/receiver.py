@@ -175,7 +175,11 @@ class PipelineModel:
         from quadrs_tpu.ops.frontend_pallas import tile_bases_t
 
         cfg = self.cfg
-        n_out = (n_chunk - cfg.taps) // cfg.decimate
+        # whole STFT windows only: asking the kernel for the few spare
+        # decimated outputs past the last window can cost a whole extra
+        # grid tile that step_stream_pallas would discard anyway
+        n_dec = (n_chunk - cfg.taps) // cfg.decimate
+        n_out = n_dec // cfg.fft_width * cfg.fft_width
         # group-delay prefix is ceil(taps/2), matching fir_decimate
         return tile_bases_t(
             self.frontend_spec, global_start + (cfg.taps - cfg.taps // 2), n_out
@@ -198,13 +202,14 @@ class PipelineModel:
         n_in = raw.shape[-1]
         n_dec = (n_in - cfg.taps) // cfg.decimate
         n_windows = n_dec // cfg.fft_width
+        n_out = n_windows * cfg.fft_width  # whole windows (see stream_bases)
         prefix = cfg.taps - cfg.taps // 2  # ceil(taps/2), like fir_decimate
         nv = None if n_valid is None else max(0, int(n_valid) - prefix)
         y = fused_frontend_t(
             raw[:, prefix:],
             bases,
             self.frontend_spec,
-            n_dec,
+            n_out,
             n_valid=nv,
             # CPU rigs run the kernel interpreted (no Mosaic backend there)
             interpret=jax.default_backend() != "tpu",
