@@ -45,6 +45,7 @@ class PipelineConfig:
     taps: int = 400
     fft_width: int = 64
     fmt: FileFormat = FileFormat.COMPLEX_FLOAT32
+    fir_impl: str = "auto"
 
     @property
     def window_raw(self) -> int:
@@ -77,22 +78,32 @@ class PipelineModel:
 
     def _mix_stream(self, x: jnp.ndarray, theta0: jnp.ndarray) -> jnp.ndarray:
         """NCO mix over a long contiguous chunk without an O(chunk) angle
-        table: index i = q*K + r decomposes the exact angle into
-        ``theta0 + thetaQ[q] + thetaR[r]`` (each term individually
-        mod-reduced on the host, so f32 trig stays accurate at any chunk
-        length)."""
+        table OR O(chunk) device trig: index i = q*K + r decomposes the
+        exact rotation into ``cis(theta0) · cis(thetaQ[q]) · cis(thetaR[r])``.
+        The q/r factors are host-exact f64-rounded tables (O(n/K + K)
+        values), the traced base costs two transcendentals total, and
+        each sample pays only the angle-addition multiplies on the VPU —
+        the same table trick as the Pallas frontend's v2.3 kernel, which
+        measured it +39% on the fused chain."""
         k = self._MIX_TILE
         n = x.shape[-1]
         rows = -(-n // k)
         pad = rows * k - n
         if pad:
             x = jnp.pad(x, (0, pad))
-        theta_q = jnp.asarray(self._nco.angles(np.arange(rows, dtype=np.int64) * k))
-        theta_r = jnp.asarray(self._nco.angles(np.arange(k, dtype=np.int64)))
-        theta = theta0 + theta_q[:, None] + theta_r[None, :]
-        mixed = x.reshape(rows, k) * (
-            jnp.cos(theta) + 1j * jnp.sin(theta)
-        ).astype(jnp.complex64)
+        cq, sq = self._nco.cis(np.arange(rows, dtype=np.int64) * k)
+        cr, sr = self._nco.cis(np.arange(k, dtype=np.int64))
+        c0, s0 = jnp.cos(theta0), jnp.sin(theta0)
+        # rotate the row table by the base angle: (rows,) cheap
+        ca = (c0 * cq - s0 * sq)[:, None]
+        sa = (s0 * cq + c0 * sq)[:, None]
+        # combine with the in-row table: (rows, k) via angle addition
+        c = ca * cr[None, :] - sa * sr[None, :]
+        s = sa * cr[None, :] + ca * sr[None, :]
+        xr = x.reshape(rows, k)
+        mixed = jax.lax.complex(
+            xr.real * c - xr.imag * s, xr.real * s + xr.imag * c
+        )
         return mixed.reshape(rows * k)[:n]
 
     def _decode(self, raw: jnp.ndarray) -> jnp.ndarray:
@@ -113,7 +124,7 @@ class PipelineModel:
         phases.  Returns (B, fft_width) f32 spectrogram rows."""
         cfg = self.cfg
         x = self._mix(self._decode(raw), theta0, cfg.window_raw)
-        y = fir_decimate(x, self.taps, cfg.decimate, cfg.fft_width)
+        y = fir_decimate(x, self.taps, cfg.decimate, cfg.fft_width, impl=cfg.fir_impl)
         return stft_norms(y)
 
     def step_stream(
@@ -143,7 +154,7 @@ class PipelineModel:
         x = self._mix_stream(x, theta0)
         n_dec = (n_in - cfg.taps) // cfg.decimate
         n_windows = n_dec // cfg.fft_width
-        y = fir_decimate(x[None, :], self.taps, cfg.decimate, n_dec)[0]
+        y = fir_decimate(x[None, :], self.taps, cfg.decimate, n_dec, impl=cfg.fir_impl)[0]
         return stft_norms(y[: n_windows * cfg.fft_width].reshape(n_windows, cfg.fft_width))
 
     # -- pallas frontend variant -------------------------------------------

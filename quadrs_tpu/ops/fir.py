@@ -109,7 +109,10 @@ def fir_decimate(
     if impl == "auto":
         m = -(-size // d)
         if m > 64:
-            impl = "overlap_save"
+            # polyphase overlap-save: decimated-rate FFTs via the
+            # four-step matmul split (1830 -> 2266 Msps on the v5e
+            # power=2000 chain vs plain overlap_save)
+            impl = "os_poly"
         elif d >= 4:
             # measured on v5e: the polyphase's m shifted adds scale worse
             # than the banded matmul's FLOP overhead for long outputs
@@ -146,6 +149,9 @@ def fir_decimate(
 
     if impl == "overlap_save":
         return _overlap_save(x, taps, d, n_out)
+
+    if impl == "os_poly":
+        return _overlap_save_poly(x, taps, d, n_out)
 
     if impl == "banded":
         return _banded(x, taps, d, n_out)
@@ -201,6 +207,60 @@ def _banded(x: jnp.ndarray, taps: np.ndarray, d: int, n_out: int) -> jnp.ndarray
     im = jnp.matmul(lhs.imag, wj, precision=p)
     y = (re + 1j * im).astype(jnp.complex64)  # (B, groups, 128)
     return y.reshape(x.shape[0], groups * 128)[:, :n_out]
+
+
+def _overlap_save_poly(
+    x: jnp.ndarray, taps: np.ndarray, d: int, n_out: int
+) -> jnp.ndarray:
+    """Polyphase overlap-save: every FFT runs at the *decimated* rate.
+
+    Splitting tap index ``j = q*d + r`` turns the decimating correlation
+    into a sum of ``d`` phase correlations, each between the phase-``r``
+    decimated input ``x_r[n] = x[n*d + r]`` and subfilter
+    ``h_r[q] = h[q*d + r]`` of length ``ceil(size/d)``:
+
+        y[i] = sum_r sum_q x[(i+q)*d + r] * h[q*d + r]
+             = sum_r corr(x_r, h_r)[i]
+
+    The plain overlap-save computes a full-rate circular convolution and
+    throws away ``(d-1)/d`` of the IFFT outputs (plus a stride-``d``
+    pick); here the forward FFTs cover the same samples in ``d``
+    transforms of ``1/d`` the length, the phase spectra sum *before* the
+    inverse transform, and every IFFT output is kept — ~3x fewer
+    butterflies at the power=2000 / decimate=32 operating point, and no
+    strided HBM access.
+    """
+    from quadrs_tpu.ops.stft import _four_step_factor, four_step_fft_planes
+
+    size = len(taps)
+    md = -(-size // d)  # decimated-domain subfilter length
+    # decimated-rate frame: power of two ~4x the subfilter (the measured
+    # overlap-fraction sweet spot of _overlap_save), floor 512 so tiny
+    # subfilters still amortize the mult/sum work
+    m2 = 1 << max(md * 4 - 1, 512).bit_length()
+    hop2 = m2 - md + 1  # valid correlation outputs per frame
+    n_frames = -(-n_out // hop2)
+
+    # conj(FFT) of each zero-padded subfilter, f64 on host -> f32 planes
+    # (complex host->device transfers are unimplemented on some runtimes)
+    hp = np.zeros((md * d,), dtype=np.float64)
+    hp[:size] = taps.astype(np.float64)
+    h_f64 = np.conj(np.fft.fft(hp.reshape(md, d), n=m2, axis=0))  # (m2, d)
+    hr = jnp.asarray(h_f64.real.T.astype(np.float32))  # (d, m2)
+    hi = jnp.asarray(h_f64.imag.T.astype(np.float32))
+
+    # raw-domain frames at stride hop2*d; reshaping (m2, d) makes the
+    # phase decomposition a free view: frame[n, r] = x_r[k*hop2 + n]
+    frames = _overlapped_frames(x, hop2 * d, m2 * d, n_frames)  # (B, F, m2*d)
+    b = x.shape[0]
+    ph = frames.reshape(b, n_frames, m2, d).transpose(0, 1, 3, 2)
+    a = _four_step_factor(m2)  # m2 is a power of two >= 512: always splits
+    sr, si = four_step_fft_planes(ph.real, ph.imag, a)  # (B, F, d, m2)
+    accr = jnp.sum(sr * hr - si * hi, axis=2)  # (B, F, m2)
+    acci = jnp.sum(sr * hi + si * hr, axis=2)
+    yr, yi = four_step_fft_planes(accr, acci, a, inverse=True)
+    y = jax.lax.complex(yr[:, :, :hop2], yi[:, :, :hop2])
+    return y.reshape(b, n_frames * hop2)[:, :n_out].astype(jnp.complex64)
 
 
 def _overlap_save(x: jnp.ndarray, taps: np.ndarray, d: int, n_out: int) -> jnp.ndarray:

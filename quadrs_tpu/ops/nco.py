@@ -32,8 +32,8 @@ class ExactNCO:
         self.period = self.sample_rate // g
         self.f_mod = self.frequency % self.sample_rate
 
-    def angles(self, idx) -> np.ndarray:
-        """Exact angles (f32) for absolute sample indices ``idx``.
+    def angles(self, idx, dtype=np.float32) -> np.ndarray:
+        """Exact angles for absolute sample indices ``idx``.
 
         ``idx`` may be any int64-safe array or scalar; indices are first
         reduced mod the period so the modular product never overflows
@@ -41,4 +41,14 @@ class ExactNCO:
         """
         i = np.asarray(idx, dtype=np.int64) % self.period
         frac = (i * self.f_mod) % self.sample_rate
-        return (frac.astype(np.float64) * (TAU / self.sample_rate)).astype(np.float32)
+        return (frac.astype(np.float64) * (TAU / self.sample_rate)).astype(dtype)
+
+    def cis(self, idx) -> tuple[np.ndarray, np.ndarray]:
+        """Host-exact ``(cos, sin)`` f32 tables at indices ``idx`` — the
+        transcendentals run in f64 on the exact angles, so each entry is
+        the correctly-rounded rotation factor.  Consumers rotate these by
+        a traced base angle with the addition formulas instead of taking
+        per-sample device trig (see models.receiver._mix_stream and the
+        Pallas frontend's v2.3 tables)."""
+        t = self.angles(idx, dtype=np.float64)
+        return np.cos(t).astype(np.float32), np.sin(t).astype(np.float32)

@@ -8,6 +8,64 @@ import time
 from typing import Callable
 
 
+def measure_msps_acc(
+    acc_step: Callable[[int, object], object],
+    samples_per_step: int,
+    min_secs: float,
+    min_iters: int = 4,
+    reps: int = 2,
+) -> float:
+    """Throughput of ``acc_step(i, acc) -> acc'`` in Msamples/sec, where
+    ``acc'`` must fold a *full reduction of iteration i's entire output*
+    into the carried scalar (``acc + jnp.sum(out)`` inside the same jit).
+
+    This contract is load-bearing on lazily-materializing runtimes: the
+    timing fetch at a window's end observes one scalar, and the runtime
+    only has to compute that scalar's dependency cone.  Chaining steps
+    through a single output *element* (an earlier harness design) leaves
+    most of each iteration's work outside the cone — measured inflations
+    up to 40x on the tunneled v5e.  With the full-sum accumulator, every
+    element of every iteration is in the fetched cone, so no work can be
+    skipped; iterations may still overlap, which is what a throughput
+    number wants.  Windows of n and 3n iterations are differenced so the
+    fixed fetch/dispatch cost cancels (best of ``reps``, min-time rule).
+    """
+    import jax.numpy as jnp
+
+    def run(iters: int) -> float:
+        acc = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            acc = acc_step(i, acc)
+        float(acc)
+        return time.perf_counter() - t0
+
+    run(1)  # warmup / compile
+    per = max(run(2) / 2, 1e-5)
+    best = 0.0
+    for attempt in range(4):
+        n1 = max(min_iters, min(4096, int(min_secs / per / (2 * max(1, reps)))))
+        n2 = 3 * n1
+        ok = False
+        for _ in range(max(1, reps)):
+            t1, t2 = run(n1), run(n2)
+            # honesty check: a 3x window must take ~3x the time.  A ratio
+            # far off means the runtime skipped or deferred work (or the
+            # calibration was off) and the difference is meaningless.
+            if not (1.8 <= t2 / max(t1, 1e-9) <= 5.0):
+                per = max((t1 + t2) / (n1 + n2), 1e-5)
+                break
+            msps = (n2 - n1) * samples_per_step / max(t2 - t1, 1e-9) / 1e6
+            best = max(best, msps)
+            ok = True
+        if ok:
+            return best
+    raise RuntimeError(
+        "measure_msps_acc: timing windows never scaled linearly with "
+        "iteration count; the runtime is skipping or batching work"
+    )
+
+
 def measure_msps(
     step: Callable[[int], object],
     samples_per_step: int,

@@ -147,12 +147,15 @@ def test_fir_overlap_save_long_filter():
     taps = lowpass_taps(0.001, size)
     xd = to_device_complex(x)
     a = _run_fir(xd, taps, d, n_out, "direct")
-    b = _run_fir(xd, taps, d, n_out, "overlap_save")
     scale = np.abs(a).max()
-    np.testing.assert_allclose(b, a, atol=3e-5 * max(scale, 1.0))
-    # auto selection picks overlap_save for long filters
+    for impl in ("overlap_save", "os_poly"):
+        b = _run_fir(xd, taps, d, n_out, impl)
+        np.testing.assert_allclose(b, a, atol=3e-5 * max(scale, 1.0), err_msg=impl)
+    # auto selection picks the polyphase overlap-save for long filters
     c = _run_fir(xd, taps, d, n_out, "auto")
-    np.testing.assert_allclose(c, b, atol=1e-7)
+    np.testing.assert_allclose(
+        c, _run_fir(xd, taps, d, n_out, "os_poly"), atol=1e-7
+    )
 
 
 @pytest.mark.parametrize("n_out", [1, 64, 128, 200, 300])
@@ -188,7 +191,7 @@ def test_fir_all_impls_agree_random():
         taps = lowpass_taps(float(rng.uniform(0.005, 0.2)), size)
         xd = to_device_complex(x)
         ref = _run_fir(xd, taps, d, n_out, "direct")
-        for impl in ("polyphase", "banded", "overlap_save"):
+        for impl in ("polyphase", "banded", "overlap_save", "os_poly"):
             got = _run_fir(xd, taps, d, n_out, impl)
             np.testing.assert_allclose(
                 got,
@@ -219,9 +222,9 @@ def test_fir_auto_crossover_boundaries():
         )
 
     # m = ceil(size/d) crossing 64: 64*8=512 taps is polyphase-class,
-    # 65*8 would go overlap_save — check both sides
+    # 65*8 goes spectral (polyphase overlap-save) — check both sides
     check(8, 512, 64, "polyphase")
-    check(8, 528, 64, "overlap_save")
+    check(8, 528, 64, "os_poly")
     # banded kicks in at n_out = 2^18 with d >= 8 (benchmark scale);
     # compare against polyphase (direct would blow memory here)
     check(8, 32, 1 << 18, "banded")

@@ -194,11 +194,11 @@ def test_take_fft_matches_manual_stft():
         np.testing.assert_allclose(res.get(row), np.abs(spec), atol=1e-3)
 
 
-def test_wide_fft_uses_xla_path():
-    """Widths above the DFT-matmul cutoff go through jnp.fft; check the
-    numerics against numpy on a wide window.  Calls are jitted like the
-    production paths (eager complex ops are UNIMPLEMENTED on the
-    tunneled TPU backend — see CLAUDE.md)."""
+def test_wide_fft_impls_agree():
+    """Wide widths route to the four-step matmul split (or jnp.fft when
+    the width won't factor); every impl must agree with numpy.  Calls
+    are jitted like the production paths (eager complex ops are
+    UNIMPLEMENTED on the tunneled TPU backend — see CLAUDE.md)."""
     import jax
 
     from quadrs_tpu.ops.stft import batched_fft
@@ -211,13 +211,49 @@ def test_wide_fft_uses_xla_path():
 
     fft_impl = {
         impl: jax.jit(lambda v, impl=impl: batched_fft(v, impl=impl))
-        for impl in ("auto", "matmul", "xla")
+        for impl in ("auto", "matmul", "xla", "four_step")
     }
-    got = from_device_complex(fft_impl["auto"](to_device_complex(x)))
     want = np.fft.fft(x.astype(np.complex128))
-    np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
-    # and the matmul path agrees with the xla path at the boundary width
+    for impl in ("auto", "xla", "four_step"):
+        got = from_device_complex(fft_impl[impl](to_device_complex(x)))
+        np.testing.assert_allclose(
+            got, want, atol=2e-3 * np.abs(want).max(), err_msg=impl
+        )
+    # all three engines agree at a width each can run (1024)
     y = (rng.normal(size=(2, 1024)) + 1j * rng.normal(size=(2, 1024))).astype(np.complex64)
-    a = from_device_complex(fft_impl["matmul"](to_device_complex(y)))
-    b = from_device_complex(fft_impl["xla"](to_device_complex(y)))
-    np.testing.assert_allclose(a, b, atol=2e-3 * np.abs(b).max())
+    outs = {
+        impl: from_device_complex(fft_impl[impl](to_device_complex(y)))
+        for impl in ("matmul", "xla", "four_step")
+    }
+    np.testing.assert_allclose(outs["matmul"], outs["xla"], atol=2e-3 * np.abs(outs["xla"]).max())
+    np.testing.assert_allclose(outs["four_step"], outs["xla"], atol=2e-3 * np.abs(outs["xla"]).max())
+
+
+def test_four_step_fft_planes_exact():
+    """The four-step split (forward and inverse) matches numpy across
+    widths including non-powers-of-two; prime widths report no factor."""
+    import jax
+
+    from quadrs_tpu.ops.stft import _four_step_factor, four_step_fft_planes
+
+    rng = np.random.default_rng(72)
+    for w in (96, 512, 1024, 1536, 4096):
+        a = _four_step_factor(w)
+        assert a is not None and w % a == 0
+        x = (rng.normal(size=(4, w)) + 1j * rng.normal(size=(4, w))).astype(
+            np.complex64
+        )
+        fwd = jax.jit(lambda r, i, a=a: four_step_fft_planes(r, i, a))
+        inv = jax.jit(lambda r, i, a=a: four_step_fft_planes(r, i, a, inverse=True))
+        yr, yi = fwd(x.real, x.imag)
+        want = np.fft.fft(x.astype(np.complex128))
+        np.testing.assert_allclose(
+            np.asarray(yr) + 1j * np.asarray(yi), want, atol=3e-6 * np.abs(want).max()
+        )
+        zr, zi = inv(
+            want.real.astype(np.float32), want.imag.astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(zr) + 1j * np.asarray(zi), x, atol=3e-5 * np.abs(x).max()
+        )
+    assert _four_step_factor(1021) is None  # prime width -> xla fallback
