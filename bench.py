@@ -24,7 +24,7 @@ import numpy as np
 def main() -> None:
     from quadrs_tpu.formats import FileFormat
     from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
-    from quadrs_tpu.utils.timing import measure_msps
+    from quadrs_tpu.utils.timing import measure_msps_acc
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
@@ -47,51 +47,40 @@ def main() -> None:
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
     n_rot = 16  # rotate chunk phases so nothing constant-folds
 
-    # every iteration's phase input depends on the previous iteration's
-    # output: the tunneled runtime materializes lazily, so independent
-    # steps can be skipped wholesale and inflate the number (observed
-    # 100x); the chain forces every step to actually execute
-    if on_accel and model.pallas_supported():
-        import jax.numpy as jnp
+    # every iteration's FULL output is reduced into the carried scalar
+    # that the timing fetch observes: the tunneled runtime materializes
+    # lazily and only has to compute the fetched value's dependency
+    # cone, so anything outside it can be skipped (measured up to 40x
+    # inflation when chaining through a single output element)
+    import jax.numpy as jnp
 
+    if on_accel and model.pallas_supported():
         bases = [
             jax.device_put(np.asarray(model.stream_bases(k * chunk, chunk + cfg.taps)))
             for k in range(n_rot)
         ]
 
         @jax.jit
-        def _chained(raw, b, prev):
-            out = model.step_stream_pallas(raw, b + 0.0 * prev)
-            return out, out[0, 0]
+        def _acc(raw, b, acc):
+            return acc + jnp.sum(model.step_stream_pallas(raw, b))
 
-        carry = [None]
-
-        def step(i):
-            prev = carry[0] if carry[0] is not None else jnp.float32(0.0)
-            out, carry[0] = _chained(raw, bases[i % n_rot], prev)
-            return out
+        def step(i, acc):
+            return _acc(raw, bases[i % n_rot], acc)
 
         label = "fused pallas cs8 decode+shift+lowpass(dec32,taps400)+stft64"
     else:
-        import jax.numpy as jnp
-
         thetas = model.theta0(np.arange(n_rot, dtype=np.int64) * chunk)
 
         @jax.jit
-        def _chained(raw, theta, prev):
-            out = model.step_stream(raw, theta + 0.0 * prev)
-            return out, out[0, 0]
+        def _acc(raw, theta, acc):
+            return acc + jnp.sum(model.step_stream(raw, theta))
 
-        carry = [None]
-
-        def step(i):
-            prev = carry[0] if carry[0] is not None else jnp.float32(0.0)
-            out, carry[0] = _chained(raw, thetas[i % n_rot], prev)
-            return out
+        def step(i, acc):
+            return _acc(raw, jnp.float32(thetas[i % n_rot]), acc)
 
         label = "fused cs8 decode+shift+lowpass(dec32,taps400)+stft64"
 
-    msps = measure_msps(step, chunk, min_secs)
+    msps = measure_msps_acc(step, chunk, min_secs)
     line = {
         "metric": label + " throughput",
         "value": round(msps, 1),

@@ -23,18 +23,14 @@ import os
 import jax
 import numpy as np
 
-from quadrs_tpu.utils.timing import measure_msps
-
-
-def _time(step, args, chunk, min_secs):
-    return measure_msps(lambda i: step(*args(i)), chunk, min_secs, min_iters=2)
+from quadrs_tpu.utils.timing import measure_msps_acc
 
 
 def _step_for(model, chunk, on_accel):
-    """Fused Pallas frontend on TPU when the config supports it; phases
-    rotate across iterations AND chain on the previous output so the
-    lazily-materializing tunneled runtime cannot skip steps (see
-    bench.py)."""
+    """Fused Pallas frontend on TPU when the config supports it; every
+    iteration's full output is summed into the carried scalar so the
+    lazily-materializing tunneled runtime cannot skip any of it (see
+    bench.py / measure_msps_acc)."""
     import jax.numpy as jnp
 
     if on_accel and model.pallas_supported():
@@ -44,26 +40,20 @@ def _step_for(model, chunk, on_accel):
         ]
 
         @jax.jit
-        def _chained(raw, b, prev):
-            out = model.step_stream_pallas(raw, b + 0.0 * prev)
-            return out, out[0, 0]
+        def _acc(raw, b, acc):
+            return acc + jnp.sum(model.step_stream_pallas(raw, b))
 
     else:
         thetas = model.theta0(np.arange(16, dtype=np.int64) * chunk)
         bases = [jnp.float32(t) for t in thetas]
 
         @jax.jit
-        def _chained(raw, theta, prev):
-            out = model.step_stream(raw, theta + 0.0 * prev)
-            return out, out[0, 0]
+        def _acc(raw, theta, acc):
+            return acc + jnp.sum(model.step_stream(raw, theta))
 
     def make(raw):
-        carry = [None]
-
-        def step(i):
-            prev = carry[0] if carry[0] is not None else jnp.float32(0.0)
-            out, carry[0] = _chained(raw, bases[i % 16], prev)
-            return out
+        def step(i, acc):
+            return _acc(raw, bases[i % 16], acc)
 
         return step
 
@@ -87,7 +77,7 @@ def bench_cs16_sustained(on_accel: bool) -> dict:
     chunk = (1 << 24) if on_accel else (1 << 20)
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
     step = _step_for(model, chunk, on_accel)(raw)
-    msps = _time(lambda i: step(i), lambda i: (i,), chunk, 2.0 if on_accel else 0.3)
+    msps = measure_msps_acc(step, chunk, 2.0 if on_accel else 0.3, min_iters=2)
     return {
         "metric": "cs16 on-chip decode + shift + lowpass(dec64) + stft",
         "value": round(msps, 1),
@@ -113,7 +103,7 @@ def bench_long_fir(on_accel: bool) -> dict:
     chunk = (1 << 23) if on_accel else (1 << 19)
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
     step = _step_for(model, chunk, on_accel)(raw)
-    msps = _time(lambda i: step(i), lambda i: (i,), chunk, 2.0 if on_accel else 0.3)
+    msps = measure_msps_acc(step, chunk, 2.0 if on_accel else 0.3, min_iters=2)
     return {
         "metric": "power=2000 (4000-tap) lowpass chain",
         "value": round(msps, 1),
@@ -133,20 +123,15 @@ def bench_waterfall(on_accel: bool) -> dict:
     raw = jax.device_put(model.synth_raw(per_stream))
     total = cfg.n_streams * per_stream
 
-    # chain each step's input on the previous output (see bench.py)
+    # full-output reduction into the carried scalar (see bench.py)
     @jax.jit
-    def _chained(raw, prev):
-        out = model.step(raw + (0.0 * prev).astype(raw.dtype))
-        return out, out[0, 0, 0]
+    def _acc(raw, acc):
+        return acc + jnp.sum(model.step(raw))
 
-    carry = [None]
+    def step(i, acc):
+        return _acc(raw, acc)
 
-    def step(i):
-        prev = carry[0] if carry[0] is not None else jnp.float32(0.0)
-        out, carry[0] = _chained(raw, prev)
-        return out
-
-    msps = _time(step, lambda i: (i,), total, 2.0 if on_accel else 0.3)
+    msps = measure_msps_acc(step, total, 2.0 if on_accel else 0.3, min_iters=2)
     return {
         "metric": "64x parallel cs8 fused decode + 1024-pt strided STFT",
         "value": round(msps, 1),

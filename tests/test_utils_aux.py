@@ -33,17 +33,35 @@ def test_compare_backends_runs():
     compare_backends(lambda: np.asarray(g.read_at(0, 64)[0]), atol=1e-5)
 
 
-def test_measure_msps_harness():
+def test_measure_msps_acc_harness():
     import jax.numpy as jnp
 
-    from quadrs_tpu.utils.timing import measure_msps
+    from quadrs_tpu.utils.timing import measure_msps_acc
 
     calls = []
 
-    def step(i):
+    def step(i, acc):
         calls.append(i)
-        return jnp.asarray(float(i))
+        return acc + jnp.float32(1.0)
 
-    msps = measure_msps(step, samples_per_step=1_000_000, min_secs=0.01, min_iters=2)
+    msps = measure_msps_acc(step, samples_per_step=1_000_000, min_secs=0.01, min_iters=2)
     assert msps > 0
     assert calls[0] == 0 and len(calls) >= 5  # warmup + calibration + windows
+
+
+def test_measure_msps_acc_rejects_nonlinear_timing(monkeypatch):
+    """If windows don't scale with iteration count (a runtime skipping
+    work), the harness must refuse to report a number."""
+    import itertools
+    import quadrs_tpu.utils.timing as timing
+
+    fake_now = itertools.count(step=0.5)
+    monkeypatch.setattr(timing.time, "perf_counter", lambda: next(fake_now))
+    # every run() takes exactly one tick regardless of iters -> ratio 1.0
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="skipping"):
+        timing.measure_msps_acc(
+            lambda i, acc: acc, samples_per_step=1, min_secs=0.01, min_iters=2
+        )
