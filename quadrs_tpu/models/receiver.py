@@ -106,6 +106,45 @@ class PipelineModel:
         )
         return mixed.reshape(rows * k)[:n]
 
+    # -- premixed-taps streaming (spectral FIR only) ------------------------
+    @cached_property
+    def _spectral_fir(self) -> bool:
+        """True when step_stream's FIR runs in the frequency domain
+        (overlap-save class), where the NCO mix commutes into the filter
+        for free: ``sum_j x[iD+j] e^{i theta(iD+j)} h[j] = e^{i theta(iD)}
+        sum_j x[iD+j] (h[j] e^{i theta(j)})`` — complex band-pass taps
+        plus a decimated-rate output twiddle, no per-sample mix at all.
+        (The matmul impls would pay 2x for complex taps, so they keep the
+        table-based _mix_stream.)"""
+        if self.cfg.fir_impl in ("overlap_save", "os_poly"):
+            return True
+        if self.cfg.fir_impl != "auto":
+            return False
+        return -(-self.cfg.taps // self.cfg.decimate) > 64
+
+    @cached_property
+    def _premixed_taps(self) -> np.ndarray:
+        """The reference's f32 taps modulated by the exact NCO rotation
+        at each tap index: a complex band-pass filter."""
+        dj = self._nco.angles(np.arange(self.cfg.taps, dtype=np.int64), dtype=np.float64)
+        return (self.taps.astype(np.float64) * np.exp(1j * dj)).astype(np.complex64)
+
+    def _twiddle_decimated(
+        self, y: jnp.ndarray, theta0: jnp.ndarray, n_dec: int
+    ) -> jnp.ndarray:
+        """Rotate decimated premixed-FIR outputs by the exact NCO angle
+        of their first contributing sample: host-exact cis tables at the
+        decimated rate, rotated by the traced chunk base angle."""
+        cfg = self.cfg
+        prefix = cfg.taps - cfg.taps // 2  # matches fir_decimate's drop
+        twr, twi = self._nco.cis(
+            prefix + cfg.decimate * np.arange(n_dec, dtype=np.int64)
+        )
+        c0, s0 = jnp.cos(theta0), jnp.sin(theta0)
+        cr = c0 * jnp.asarray(twr) - s0 * jnp.asarray(twi)
+        ci = s0 * jnp.asarray(twr) + c0 * jnp.asarray(twi)
+        return jax.lax.complex(y.real * cr - y.imag * ci, y.real * ci + y.imag * cr)
+
     def _decode(self, raw: jnp.ndarray) -> jnp.ndarray:
         """(…, 2, n) native-dtype planes -> (…, n) complex64, on chip.
 
@@ -151,10 +190,16 @@ class PipelineModel:
         if valid is not None:
             mask = jnp.arange(n_in, dtype=jnp.int32) < valid
             x = jnp.where(mask, x, 0)
-        x = self._mix_stream(x, theta0)
         n_dec = (n_in - cfg.taps) // cfg.decimate
         n_windows = n_dec // cfg.fft_width
-        y = fir_decimate(x[None, :], self.taps, cfg.decimate, n_dec, impl=cfg.fir_impl)[0]
+        if self._spectral_fir:
+            y = fir_decimate(
+                x[None, :], self._premixed_taps, cfg.decimate, n_dec, impl=cfg.fir_impl
+            )[0]
+            y = self._twiddle_decimated(y, theta0, n_dec)
+        else:
+            x = self._mix_stream(x, theta0)
+            y = fir_decimate(x[None, :], self.taps, cfg.decimate, n_dec, impl=cfg.fir_impl)[0]
         return stft_norms(y[: n_windows * cfg.fft_width].reshape(n_windows, cfg.fft_width))
 
     # -- pallas frontend variant -------------------------------------------

@@ -90,10 +90,27 @@ def fir_decimate(
     ``x``: (B, n_in) complex64 with ``n_in = n_out*decimate + len(taps)``;
     entries past each block's valid extent must already be zero.
     Returns (B, n_out) complex64.
+
+    ``taps`` may be complex64 (a modulated band-pass filter — the
+    premixed-taps streaming path commutes the NCO mix into the filter,
+    see models.receiver).  The spectral impls handle complex taps
+    natively at no extra cost; the time-domain impls decompose into two
+    real-taps passes.
     """
-    taps = np.asarray(taps, dtype=np.float32)
+    taps = np.asarray(taps)
+    if not np.iscomplexobj(taps):
+        taps = taps.astype(np.float32)
     size = len(taps)
     d = int(decimate)
+
+    if np.iscomplexobj(taps) and impl in ("direct", "polyphase", "banded"):
+        # two real-taps passes: sum_j x[..]*(hr[j] + i*hi[j])
+        hr = np.ascontiguousarray(taps.real, dtype=np.float32)
+        hi = np.ascontiguousarray(taps.imag, dtype=np.float32)
+        return (
+            fir_decimate(x, hr, d, n_out, impl=impl)
+            + 1j * fir_decimate(x, hi, d, n_out, impl=impl)
+        ).astype(jnp.complex64)
 
     # Drop the group-delay prefix: the reference's pick convoluted[N+i*D]
     # with output index m reading input m - floor(N/2) + j works out to
@@ -234,18 +251,26 @@ def _overlap_save_poly(
 
     size = len(taps)
     md = -(-size // d)  # decimated-domain subfilter length
-    # decimated-rate frame: power of two ~4x the subfilter (the measured
-    # overlap-fraction sweet spot of _overlap_save), floor 512 so tiny
-    # subfilters still amortize the mult/sum work
-    m2 = 1 << max(md * 4 - 1, 512).bit_length()
+    # decimated-rate frame: measured on the v5e power=2000 chain the
+    # optimum is much larger than the classic ~4x-filter rule — the
+    # overlap fraction and the per-frame phase-spectra reduction both
+    # shrink with m2 until the raw frame (m2*d samples) hits VMEM
+    # pressure around 256K.  Sweep at md=125/d=32: m2 512/1024/2048/4096
+    # -> 2656/2742/3326/3868 Msps, 8192 craters to 2351.  Target a 128K-
+    # sample raw frame, capped at 4096 bins, floored by 2x the subfilter.
+    base = max(min(131072 // d, 4096), 512)
+    m2 = 1 << (max(2 * md, base) - 1).bit_length()
     hop2 = m2 - md + 1  # valid correlation outputs per frame
     n_frames = -(-n_out // hop2)
 
-    # conj(FFT) of each zero-padded subfilter, f64 on host -> f32 planes
-    # (complex host->device transfers are unimplemented on some runtimes)
-    hp = np.zeros((md * d,), dtype=np.float64)
-    hp[:size] = taps.astype(np.float64)
-    h_f64 = np.conj(np.fft.fft(hp.reshape(md, d), n=m2, axis=0))  # (m2, d)
+    # correlation spectrum sum_j h[j] e^{+2pi i jk/N} = conj(FFT(conj(h)))
+    # of each zero-padded subfilter, f64 on host -> f32 planes (complex
+    # host->device transfers are unimplemented on some runtimes); the
+    # inner conj is a no-op for real taps and makes complex (premixed
+    # band-pass) taps come out right
+    hp = np.zeros((md * d,), dtype=np.complex128)
+    hp[:size] = taps.astype(np.complex128)
+    h_f64 = np.conj(np.fft.fft(np.conj(hp).reshape(md, d), n=m2, axis=0))  # (m2, d)
     hr = jnp.asarray(h_f64.real.T.astype(np.float32))  # (d, m2)
     hi = jnp.asarray(h_f64.imag.T.astype(np.float32))
 
@@ -280,7 +305,8 @@ def _overlap_save(x: jnp.ndarray, taps: np.ndarray, d: int, n_out: int) -> jnp.n
         raise ValueError("filter too long for overlap-save frame")
     n_frames = -(-(n_out * d) // hop)
 
-    h_f64 = np.conj(np.fft.fft(taps.astype(np.float64), m))
+    # correlation spectrum conj(FFT(conj(h))) — see _overlap_save_poly
+    h_f64 = np.conj(np.fft.fft(np.conj(taps.astype(np.complex128)), m))
     # stage as planes: complex host->device transfers are unimplemented
     # on some TPU runtimes
     h_f = jax.lax.complex(

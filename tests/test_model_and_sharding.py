@@ -284,3 +284,29 @@ def test_sharded_odd_taps_matches_single_device():
     want = np.asarray(model.jit_step_stream(raw, np.float32(0.0)))
     assert out.shape == want.shape
     np.testing.assert_allclose(out, want, rtol=3e-4, atol=3e-4 * want.max())
+
+
+def test_spectral_premixed_stream_matches_reference():
+    """Long-taps (overlap-save class) streaming commutes the NCO mix into
+    complex band-pass taps plus a decimated-rate output twiddle
+    (models/receiver._spectral_fir); it must match the plain f64
+    mix-then-filter math and the time-domain production path at a
+    non-zero stream offset."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, taps=528, lp_freq=20_000, fft_width=16)
+    model = PipelineModel(cfg)
+    assert model._spectral_fir  # md = ceil(528/8) = 66 > 64
+    n_local = cfg.decimate * cfg.fft_width * 4
+    raw = model.synth_raw(n_local + cfg.taps)
+    got = np.asarray(model.jit_step_stream(raw, np.float32(0.0)))
+    want = _reference_stream(model, raw, got.shape[0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4 * want.max())
+
+    # at a large absolute offset, against the mix+time-domain path
+    td = PipelineModel(dataclasses.replace(cfg, fir_impl="polyphase"))
+    assert not td._spectral_fir
+    th = np.float32(model.theta0(np.int64(987_654_321)))
+    a = np.asarray(model.jit_step_stream(raw, th))
+    b = np.asarray(td.jit_step_stream(raw, th))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4 * b.max())
