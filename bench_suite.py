@@ -119,7 +119,9 @@ def bench_waterfall(on_accel: bool) -> dict:
 
     cfg = WaterfallConfig(n_streams=64, fft_width=1024, stride=1024)
     model = WaterfallModel(cfg)
-    per_stream = (1 << 17) if on_accel else (1 << 14)
+    # measured on v5e: 2^15-2^16/stream is the sweet spot (7.2 Gsps);
+    # 2^17 loses ~7%, 2^18 craters to 3.8 Gsps
+    per_stream = (1 << 16) if on_accel else (1 << 14)
     raw = jax.device_put(model.synth_raw(per_stream))
     total = cfg.n_streams * per_stream
 
