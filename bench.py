@@ -45,40 +45,22 @@ def main() -> None:
     min_secs = 3.0 if on_accel else 0.5
 
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
-    n_rot = 16  # rotate chunk phases so nothing constant-folds
 
     # every iteration's FULL output is reduced into the carried scalar
     # that the timing fetch observes: the tunneled runtime materializes
     # lazily and only has to compute the fetched value's dependency
     # cone, so anything outside it can be skipped (measured up to 40x
-    # inflation when chaining through a single output element)
-    import jax.numpy as jnp
+    # inflation when chaining through a single output element).  The
+    # step construction (phase rotation + accumulator contract) is
+    # shared with the stretch-config suite.
+    from bench_suite import _step_for
 
-    if on_accel and model.pallas_supported():
-        bases = [
-            jax.device_put(np.asarray(model.stream_bases(k * chunk, chunk + cfg.taps)))
-            for k in range(n_rot)
-        ]
-
-        @jax.jit
-        def _acc(raw, b, acc):
-            return acc + jnp.sum(model.step_stream_pallas(raw, b))
-
-        def step(i, acc):
-            return _acc(raw, bases[i % n_rot], acc)
-
-        label = "fused pallas cs8 decode+shift+lowpass(dec32,taps400)+stft64"
-    else:
-        thetas = model.theta0(np.arange(n_rot, dtype=np.int64) * chunk)
-
-        @jax.jit
-        def _acc(raw, theta, acc):
-            return acc + jnp.sum(model.step_stream(raw, theta))
-
-        def step(i, acc):
-            return _acc(raw, jnp.float32(thetas[i % n_rot]), acc)
-
-        label = "fused cs8 decode+shift+lowpass(dec32,taps400)+stft64"
+    step = _step_for(model, chunk, on_accel)(raw)
+    label = (
+        "fused pallas cs8 decode+shift+lowpass(dec32,taps400)+stft64"
+        if on_accel and model.pallas_supported()
+        else "fused cs8 decode+shift+lowpass(dec32,taps400)+stft64"
+    )
 
     msps = measure_msps_acc(step, chunk, min_secs)
     line = {

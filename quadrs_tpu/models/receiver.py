@@ -116,11 +116,13 @@ class PipelineModel:
         plus a decimated-rate output twiddle, no per-sample mix at all.
         (The matmul impls would pay 2x for complex taps, so they keep the
         table-based _mix_stream.)"""
+        from quadrs_tpu.ops.fir import is_spectral
+
         if self.cfg.fir_impl in ("overlap_save", "os_poly"):
             return True
         if self.cfg.fir_impl != "auto":
             return False
-        return -(-self.cfg.taps // self.cfg.decimate) > 64
+        return is_spectral(self.cfg.taps, self.cfg.decimate)
 
     @cached_property
     def _premixed_taps(self) -> np.ndarray:

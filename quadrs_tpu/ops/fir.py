@@ -77,6 +77,15 @@ def _real_dot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST)
 
 
+def is_spectral(size: int, d: int) -> bool:
+    """True when ``auto`` routes a (taps, decimate) pair to a
+    frequency-domain impl.  The single source of truth for the
+    crossover — models.receiver premixes the NCO into complex taps
+    exactly when this holds, and complex taps are free only in the
+    spectral impls."""
+    return -(-size // d) > 64
+
+
 def fir_decimate(
     x: jnp.ndarray,
     taps: np.ndarray,
@@ -103,8 +112,23 @@ def fir_decimate(
     size = len(taps)
     d = int(decimate)
 
-    if np.iscomplexobj(taps) and impl in ("direct", "polyphase", "banded"):
-        # two real-taps passes: sum_j x[..]*(hr[j] + i*hi[j])
+    if impl == "auto":
+        if is_spectral(size, d):
+            # polyphase overlap-save: decimated-rate FFTs via the
+            # four-step matmul split (1830 -> 2266 Msps on the v5e
+            # power=2000 chain vs plain overlap_save, before premixing)
+            impl = "os_poly"
+        elif d >= 4:
+            # measured on v5e: the polyphase's m shifted adds scale worse
+            # than the banded matmul's FLOP overhead for long outputs
+            impl = "banded" if n_out >= (1 << 18) and d >= 8 else "polyphase"
+        else:
+            impl = "direct"
+
+    if np.iscomplexobj(taps) and impl not in ("overlap_save", "os_poly"):
+        # two real-taps passes: sum_j x[..]*(hr[j] + i*hi[j]).  Must run
+        # AFTER auto resolution or a time-domain impl would silently
+        # cast the taps to f32 and drop the imaginary part.
         hr = np.ascontiguousarray(taps.real, dtype=np.float32)
         hi = np.ascontiguousarray(taps.imag, dtype=np.float32)
         return (
@@ -122,20 +146,6 @@ def fir_decimate(
     x = x[:, size - size // 2 :]
     if x.shape[1] < needed:
         x = jnp.pad(x, ((0, 0), (0, needed - x.shape[1])))
-
-    if impl == "auto":
-        m = -(-size // d)
-        if m > 64:
-            # polyphase overlap-save: decimated-rate FFTs via the
-            # four-step matmul split (1830 -> 2266 Msps on the v5e
-            # power=2000 chain vs plain overlap_save)
-            impl = "os_poly"
-        elif d >= 4:
-            # measured on v5e: the polyphase's m shifted adds scale worse
-            # than the banded matmul's FLOP overhead for long outputs
-            impl = "banded" if n_out >= (1 << 18) and d >= 8 else "polyphase"
-        else:
-            impl = "direct"
 
     if impl == "direct":
         # frames via row slices + concat, never an overlapping gather
@@ -257,9 +267,12 @@ def _overlap_save_poly(
     # shrink with m2 until the raw frame (m2*d samples) hits VMEM
     # pressure around 256K.  Sweep at md=125/d=32: m2 512/1024/2048/4096
     # -> 2656/2742/3326/3868 Msps, 8192 craters to 2351.  Target a 128K-
-    # sample raw frame, capped at 4096 bins, floored by 2x the subfilter.
+    # sample raw frame, capped at 4096 bins, floored by 2x the subfilter
+    # — but never larger than one frame covering every requested output
+    # (small per-read conformance pulls would otherwise pay for a
+    # benchmark-sized frame of zero padding).
     base = max(min(131072 // d, 4096), 512)
-    m2 = 1 << (max(2 * md, base) - 1).bit_length()
+    m2 = 1 << (max(2 * md, min(base, n_out + md - 1)) - 1).bit_length()
     hop2 = m2 - md + 1  # valid correlation outputs per frame
     n_frames = -(-n_out // hop2)
 
@@ -279,11 +292,19 @@ def _overlap_save_poly(
     frames = _overlapped_frames(x, hop2 * d, m2 * d, n_frames)  # (B, F, m2*d)
     b = x.shape[0]
     ph = frames.reshape(b, n_frames, m2, d).transpose(0, 1, 3, 2)
-    a = _four_step_factor(m2)  # m2 is a power of two >= 512: always splits
-    sr, si = four_step_fft_planes(ph.real, ph.imag, a)  # (B, F, d, m2)
-    accr = jnp.sum(sr * hr - si * hi, axis=2)  # (B, F, m2)
-    acci = jnp.sum(sr * hi + si * hr, axis=2)
-    yr, yi = four_step_fft_planes(accr, acci, a, inverse=True)
+    a = _four_step_factor(m2)
+    if a is not None:
+        sr, si = four_step_fft_planes(ph.real, ph.imag, a)  # (B, F, d, m2)
+        accr = jnp.sum(sr * hr - si * hi, axis=2)  # (B, F, m2)
+        acci = jnp.sum(sr * hi + si * hr, axis=2)
+        yr, yi = four_step_fft_planes(accr, acci, a, inverse=True)
+    else:
+        # enormous subfilters (m2 > 1024^2) have no two-factor split with
+        # both matmuls <= 1024 wide; fall back to XLA's butterfly FFT
+        spec = jnp.fft.fft(jax.lax.complex(ph.real, ph.imag))
+        acc = jnp.sum(spec * jax.lax.complex(hr, hi), axis=2)
+        inv = jnp.fft.ifft(acc)
+        yr, yi = jnp.real(inv), jnp.imag(inv)
     y = jax.lax.complex(yr[:, :, :hop2], yi[:, :, :hop2])
     return y.reshape(b, n_frames * hop2)[:, :n_out].astype(jnp.complex64)
 

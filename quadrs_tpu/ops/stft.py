@@ -5,10 +5,13 @@ DFT, negative exponent) per strided window (``src/fft.rs:25-32``,
 ``src/ffts.rs:25``) and displays fftshifted magnitudes
 (``src/fft.rs:48-52``).
 
-On TPU, small-width FFTs over large batches are fastest as a dense DFT
-matmul on the MXU (a width-W DFT is a ``(B, W) @ (W, W)`` complex
-matmul; for the widths sparkfft uses, 4..1024, the systolic array beats
-a butterfly network).  Larger widths fall back to XLA's native FFT.
+On TPU, FFTs over large batches route by measured v5e crossovers
+(:func:`_auto_impl`): widths to 256 run as one dense DFT matmul on the
+MXU (``(B, W) @ (W, W)``); from 512 up a four-step two-factor split
+(:func:`four_step_fft_planes` — two skinny matmuls + a twiddle, ``a+b``
+MACs per sample instead of ``W``) beats both the dense matmul and XLA's
+butterfly FFT through at least 4096; unfactorable (prime-ish) widths
+fall back to XLA's native FFT.
 """
 
 from __future__ import annotations
@@ -63,7 +66,10 @@ def batched_fft(x: jnp.ndarray, *, impl: str = "auto") -> jnp.ndarray:
         return jnp.fft.fft(x).astype(jnp.complex64)
 
     if impl == "four_step":
-        yr, yi = four_step_fft_planes(x.real, x.imag, _four_step_factor(width))
+        a = _four_step_factor(width)
+        if a is None:
+            raise ValueError(f"width {width} has no four-step split")
+        yr, yi = four_step_fft_planes(x.real, x.imag, a)
         return jax.lax.complex(yr, yi)
 
     if impl == "matmul":
@@ -197,7 +203,10 @@ def stft_norms(
         rr = jnp.matmul(xr, fr, precision=p) - jnp.matmul(xi, fi, precision=p)
         ri = jnp.matmul(xr, fi, precision=p) + jnp.matmul(xi, fr, precision=p)
     elif impl == "four_step":
-        rr, ri = four_step_fft_planes(x.real, x.imag, _four_step_factor(width))
+        a = _four_step_factor(width)
+        if a is None:
+            raise ValueError(f"width {width} has no four-step split")
+        rr, ri = four_step_fft_planes(x.real, x.imag, a)
     else:
         spec = jnp.fft.fft(x)
         rr, ri = jnp.real(spec), jnp.imag(spec)
