@@ -119,9 +119,10 @@ def bench_waterfall(on_accel: bool) -> dict:
 
     cfg = WaterfallConfig(n_streams=64, fft_width=1024, stride=1024)
     model = WaterfallModel(cfg)
-    # measured on v5e: 2^15-2^16/stream is the sweet spot (7.2 Gsps);
-    # 2^17 loses ~7%, 2^18 craters to 3.8 Gsps
-    per_stream = (1 << 16) if on_accel else (1 << 14)
+    # measured on v5e with the fused Pallas kernel: 2^17/stream is the
+    # sweet spot (15.7-16.6 Gsps; 2^16 -> 11.2, 2^18 -> 12.9); the XLA
+    # fallback peaks lower and earlier (7.2 Gsps at 2^15-2^16)
+    per_stream = (1 << 17) if on_accel else (1 << 14)
     raw = jax.device_put(model.synth_raw(per_stream))
     total = cfg.n_streams * per_stream
 

@@ -28,6 +28,7 @@ class WaterfallConfig:
     stride: int = 1024
     fmt: FileFormat = FileFormat.COMPLEX_INT8
     windowing: str = "rectangular"  # or "blackman-harris"
+    frontend: str = "auto"  # auto | xla | pallas
 
 
 class WaterfallModel:
@@ -39,11 +40,34 @@ class WaterfallModel:
             else None
         )
 
+    def pallas_supported(self) -> bool:
+        """The fused kernel handles the bank's tiling configuration:
+        non-overlapping windows (stride == width) of 128*b bins."""
+        from quadrs_tpu.ops import waterfall_pallas as wp
+
+        return self.cfg.stride == self.cfg.fft_width and wp.supported(self.cfg.fft_width)
+
+    def _use_pallas(self) -> bool:
+        if self.cfg.frontend == "pallas":
+            return True
+        if self.cfg.frontend == "xla":
+            return False
+        return jax.default_backend() == "tpu" and self.pallas_supported()
+
     def step(self, raw: jnp.ndarray) -> jnp.ndarray:
         """(S, 2, n) native planes -> (S, windows, fft_width) f32 norms."""
         cfg = self.cfg
         n = raw.shape[-1]
         n_windows = (n - cfg.fft_width) // cfg.stride + 1
+        if self._use_pallas():
+            from quadrs_tpu.ops.waterfall_pallas import WaterfallSpec, fused_waterfall
+
+            spec = WaterfallSpec(
+                fmt=cfg.fmt, width=cfg.fft_width, windowing=cfg.windowing
+            )
+            return fused_waterfall(
+                raw, spec, n_windows, interpret=jax.default_backend() != "tpu"
+            )
         re = decode_plane(raw[:, 0, :], cfg.fmt, xp=jnp)
         im = decode_plane(raw[:, 1, :], cfg.fmt, xp=jnp)
         x = pack_complex(re, im, xp=jnp)  # (S, n)

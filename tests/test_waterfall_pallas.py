@@ -1,0 +1,92 @@
+"""Fused waterfall kernel (decode -> window -> four-step DFT -> norms)
+vs the XLA chain.  Runs interpreted on the CPU rig; `QUADRS_TEST_TPU=1`
+compiles it through Mosaic on the attached chip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadrs_tpu.formats import FileFormat
+from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+from quadrs_tpu.ops.waterfall_pallas import WaterfallSpec, fused_waterfall, supported
+
+
+@pytest.mark.parametrize(
+    "width,fmt,windowing",
+    [
+        (1024, FileFormat.COMPLEX_INT8, "rectangular"),
+        (1024, FileFormat.COMPLEX_INT8, "blackman-harris"),
+        (256, FileFormat.COMPLEX_UINT8, "rectangular"),
+        (512, FileFormat.COMPLEX_INT16, "blackman-harris"),
+        (2048, FileFormat.COMPLEX_FLOAT32, "rectangular"),
+    ],
+)
+def test_fused_waterfall_matches_xla(width, fmt, windowing):
+    cfg = WaterfallConfig(
+        n_streams=3, fft_width=width, stride=width, fmt=fmt,
+        windowing=windowing, frontend="xla",
+    )
+    model = WaterfallModel(cfg)
+    nw = 5
+    raw = model.synth_raw(nw * width + 17, seed=2)  # partial tail dropped
+    want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+
+    spec = WaterfallSpec(fmt=fmt, width=width, windowing=windowing)
+    got = np.asarray(
+        jax.jit(
+            lambda p: fused_waterfall(
+                p, spec, nw, interpret=jax.default_backend() != "tpu"
+            )
+        )(jnp.asarray(raw))
+    )
+    assert got.shape == want.shape == (3, nw, width)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5 * want.max())
+
+
+def test_fused_waterfall_window_tile_padding():
+    """Window counts that don't fill a 128-window tile (and ones that
+    span several tiles) both drop the padding exactly."""
+    cfg = WaterfallConfig(n_streams=2, fft_width=256, stride=256, frontend="xla")
+    model = WaterfallModel(cfg)
+    for nw in (1, 127, 128, 200):
+        raw = model.synth_raw(nw * 256, seed=3)
+        want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+        spec = WaterfallSpec(fmt=cfg.fmt, width=256)
+        got = np.asarray(
+            jax.jit(
+                lambda p, nw=nw: fused_waterfall(
+                    p, spec, nw, interpret=jax.default_backend() != "tpu"
+                )
+            )(jnp.asarray(raw))
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5 * want.max())
+
+
+def test_model_frontend_selection():
+    assert WaterfallModel(WaterfallConfig()).pallas_supported()
+    # overlapping windows and odd widths stay on the XLA path
+    assert not WaterfallModel(WaterfallConfig(stride=512)).pallas_supported()
+    assert not WaterfallModel(WaterfallConfig(fft_width=96, stride=96)).pallas_supported()
+    assert not supported(8192)
+    with pytest.raises(ValueError):
+        fused_waterfall(
+            jnp.zeros((1, 2, 96), jnp.int8),
+            WaterfallSpec(fmt=FileFormat.COMPLEX_INT8, width=96),
+            1,
+        )
+
+
+def test_model_step_pallas_equals_xla():
+    """The model's frontend='pallas' (interpreted off-TPU) equals its
+    XLA step, peak search included."""
+    xla = WaterfallModel(WaterfallConfig(n_streams=2, frontend="xla"))
+    pal = WaterfallModel(WaterfallConfig(n_streams=2, frontend="pallas"))
+    raw = xla.synth_raw(3 * 1024, seed=4)
+    a = np.asarray(xla.jit_step()(jnp.asarray(raw)))
+    b = np.asarray(pal.jit_step()(jnp.asarray(raw)))
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5 * a.max())
+    ia, ma = xla.search(jnp.asarray(raw))
+    ib, mb = pal.search(jnp.asarray(raw))
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(ma), rtol=2e-5)
