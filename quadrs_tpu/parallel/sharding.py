@@ -111,6 +111,53 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "
     return jax.jit(step)
 
 
+def make_sharded_waterfall_step(model, mesh: Mesh, frontend: str | None = None):
+    """Multi-chip waterfall bank: streams shard over 'stream', the sample
+    axis over 'time'.  With ``stride == fft_width`` (the bank's tiling
+    configuration) windows never straddle a shard boundary, so there is
+    no halo at all — the whole bank is embarrassingly parallel and the
+    only constraint is that each time-shard's slice is a whole number of
+    windows.  Takes (S, 2, n_local*T) native planes sharded
+    ``P('stream', None, 'time')``; returns (S, windows, width) norms
+    with the window axis sharded over 'time'.
+
+    ``frontend`` overrides the model's auto selection ('xla'/'pallas');
+    the fused Pallas kernel runs per-shard unchanged.
+    """
+    import dataclasses
+
+    cfg = model.cfg
+    if cfg.stride != cfg.fft_width:
+        raise ValueError(
+            "sharded waterfall requires stride == fft_width (overlapping "
+            "windows would straddle shard boundaries)"
+        )
+    local_model = (
+        model
+        if frontend is None
+        else type(model)(dataclasses.replace(cfg, frontend=frontend))
+    )
+
+    def local_step(raw_local):
+        if raw_local.shape[2] % cfg.fft_width:
+            raise ValueError(
+                f"per-shard slice of {raw_local.shape[2]} samples is not a "
+                f"whole number of {cfg.fft_width}-sample windows"
+            )
+        return local_model.step(raw_local)
+
+    uses_pallas = local_model._use_pallas()
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("stream", None, "time"),),
+        out_specs=P("stream", "time", None),
+        # pallas_call doesn't annotate varying-mesh-axes metadata yet
+        check_vma=not uses_pallas,
+    )
+    return jax.jit(step)
+
+
 def plan_shard_phases(model: PipelineModel, n_local: int, n_time: int, n_stream: int = 1):
     """Host-side exact phases for each (stream, time-shard) start offset."""
     offs = np.arange(n_time, dtype=np.int64) * n_local

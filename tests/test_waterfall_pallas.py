@@ -90,3 +90,34 @@ def test_model_step_pallas_equals_xla():
     ib, mb = pal.search(jnp.asarray(raw))
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
     np.testing.assert_allclose(np.asarray(mb), np.asarray(ma), rtol=2e-5)
+
+
+@pytest.mark.parametrize("frontend", ["xla", "pallas"])
+def test_sharded_waterfall_matches_single_device(frontend):
+    """(stream, time)-sharded bank equals the single-device step — no
+    halo: windows tile shard boundaries exactly."""
+    from quadrs_tpu.parallel.sharding import make_mesh, make_sharded_waterfall_step, shard_chunk
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(n_time=4, n_stream=2)
+    cfg = WaterfallConfig(n_streams=2, fft_width=256, stride=256, frontend=frontend)
+    model = WaterfallModel(cfg)
+    n_local = 3 * 256
+    raw = model.synth_raw(4 * n_local, seed=5)  # (2, 2, 4*n_local)
+    want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+
+    step = make_sharded_waterfall_step(model, mesh)
+    out = np.asarray(step(shard_chunk(raw, mesh)))
+    assert out.shape == want.shape
+    np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5 * want.max())
+
+
+def test_sharded_waterfall_rejects_overlap():
+    from quadrs_tpu.parallel.sharding import make_mesh, make_sharded_waterfall_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    model = WaterfallModel(WaterfallConfig(fft_width=1024, stride=512))
+    with pytest.raises(ValueError, match="stride"):
+        make_sharded_waterfall_step(model, make_mesh(n_time=4, n_stream=2))
