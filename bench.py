@@ -18,7 +18,6 @@ import json
 import os
 
 import jax
-import numpy as np
 
 
 def main() -> None:

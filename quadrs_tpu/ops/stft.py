@@ -66,10 +66,7 @@ def batched_fft(x: jnp.ndarray, *, impl: str = "auto") -> jnp.ndarray:
         return jnp.fft.fft(x).astype(jnp.complex64)
 
     if impl == "four_step":
-        a = _four_step_factor(width)
-        if a is None:
-            raise ValueError(f"width {width} has no four-step split")
-        yr, yi = four_step_fft_planes(x.real, x.imag, a)
+        yr, yi = four_step_fft_planes(x.real, x.imag, _require_four_step(width))
         return jax.lax.complex(yr, yi)
 
     if impl == "matmul":
@@ -113,6 +110,13 @@ def _four_step_factor(width: int) -> int | None:
         if best is None or abs(math.log2(a / target)) < abs(math.log2(best / target)):
             best = a
     return best
+
+
+def _require_four_step(width: int) -> int:
+    a = _four_step_factor(width)
+    if a is None:
+        raise ValueError(f"width {width} has no four-step split")
+    return a
 
 
 def four_step_fft_planes(
@@ -203,10 +207,7 @@ def stft_norms(
         rr = jnp.matmul(xr, fr, precision=p) - jnp.matmul(xi, fi, precision=p)
         ri = jnp.matmul(xr, fi, precision=p) + jnp.matmul(xi, fr, precision=p)
     elif impl == "four_step":
-        a = _four_step_factor(width)
-        if a is None:
-            raise ValueError(f"width {width} has no four-step split")
-        rr, ri = four_step_fft_planes(x.real, x.imag, a)
+        rr, ri = four_step_fft_planes(x.real, x.imag, _require_four_step(width))
     else:
         spec = jnp.fft.fft(x)
         rr, ri = jnp.real(spec), jnp.imag(spec)

@@ -59,6 +59,13 @@ def supported(width: int) -> bool:
     return width % 128 == 0 and 2 <= width // 128 <= 32
 
 
+def _lane_broadcast(m: np.ndarray) -> np.ndarray:
+    """(128, b) table -> (128, b*_WIN_TILE): repeat each q column across
+    the tile's windows (the kernel's (r, q*128 + w) layout)."""
+    b = m.shape[1]
+    return np.repeat(m[:, :, None], _WIN_TILE, axis=2).reshape(128, b * _WIN_TILE)
+
+
 @functools.lru_cache(maxsize=8)
 def _plan(spec: WaterfallSpec):
     """Resident tables in kernel layout (f32 planes, f64-evaluated)."""
@@ -69,23 +76,16 @@ def _plan(spec: WaterfallSpec):
     f1 = np.exp(-2j * np.pi * np.outer(p, p) / 128.0)
     # twiddle W_N^{qr} in the (r, q*128 + w) layout, broadcast over w
     q = np.arange(b)
-    tw = np.exp(-2j * np.pi * np.outer(p, q) / float(width))  # (r, q)
-    tw = np.repeat(tw[:, :, None], _WIN_TILE, axis=2).reshape(128, b * _WIN_TILE)
+    tw = _lane_broadcast(np.exp(-2j * np.pi * np.outer(p, q) / float(width)))
     # stage-2 scalars F_b[q, s] = W_b^{qs}
     f2 = np.exp(-2j * np.pi * np.outer(q, q) / float(b))
     # window table w[n], n = b*p + q, in the (p, q*128 + w) layout
+    win = None
     if spec.windowing in ("blackman-harris", "blackmanharris"):
         from quadrs_tpu.ops.stft import blackman_harris_window
 
         wn = blackman_harris_window(width).astype(np.float64)
-    else:
-        wn = None
-    win = None
-    if wn is not None:
-        wt = wn.reshape(128, b)  # [p, q]
-        win = np.repeat(wt[:, :, None], _WIN_TILE, axis=2).reshape(
-            128, b * _WIN_TILE
-        ).astype(np.float32)
+        win = _lane_broadcast(wn.reshape(128, b)).astype(np.float32)
 
     to32 = lambda m: (m.real.astype(np.float32), m.imag.astype(np.float32))
     return to32(f1), to32(tw), f2, win
