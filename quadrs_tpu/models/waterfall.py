@@ -41,11 +41,12 @@ class WaterfallModel:
         )
 
     def pallas_supported(self) -> bool:
-        """The fused kernel handles the bank's tiling configuration:
-        non-overlapping windows (stride == width) of 128*b bins."""
+        """The fused kernel handles 128*b-bin windows at any stride
+        (stride == width is a free reshape; other strides build the
+        window matrix from native-dtype row slices in XLA)."""
         from quadrs_tpu.ops import waterfall_pallas as wp
 
-        return self.cfg.stride == self.cfg.fft_width and wp.supported(self.cfg.fft_width)
+        return wp.supported(self.cfg.fft_width)
 
     def _use_pallas(self) -> bool:
         if self.cfg.frontend == "pallas":
@@ -66,7 +67,11 @@ class WaterfallModel:
                 fmt=cfg.fmt, width=cfg.fft_width, windowing=cfg.windowing
             )
             return fused_waterfall(
-                raw, spec, n_windows, interpret=jax.default_backend() != "tpu"
+                raw,
+                spec,
+                n_windows,
+                stride=cfg.stride,
+                interpret=jax.default_backend() != "tpu",
             )
         re = decode_plane(raw[:, 0, :], cfg.fmt, xp=jnp)
         im = decode_plane(raw[:, 1, :], cfg.fmt, xp=jnp)

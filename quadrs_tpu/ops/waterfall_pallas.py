@@ -150,16 +150,25 @@ def fused_waterfall(
     spec: WaterfallSpec,
     n_windows: int,
     *,
+    stride: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(S, 2, n) native planes -> (S, n_windows, width) f32 fftshifted
-    norms via the fused kernel.  Non-overlapping windows (stride ==
-    width, the bank's configuration); trailing samples are dropped."""
+    norms via the fused kernel.  ``stride`` defaults to ``width``
+    (the bank's non-overlap tiling, a free reshape); other strides —
+    overlapped or skipping — build the window matrix from native-dtype
+    row slices in XLA (never a gather) and run the same kernel, paying
+    only the width/stride input inflation.  Trailing samples that don't
+    fill a window are dropped."""
     from jax.experimental import pallas as pl
 
     width = spec.width
     if not supported(width):
         raise ValueError(f"fused waterfall requires width = 128*b (b in 2..32), got {width}")
+    if stride is None:
+        stride = width
+    if stride <= 0:
+        raise ValueError("stride must be positive")
     b = width // 128
     s_streams = planes.shape[0]
     (f1r, f1i), (twr, twi), _, win = _plan(spec)
@@ -168,9 +177,17 @@ def fused_waterfall(
     groups = -(-total_w // _WIN_TILE)
     pad_w = groups * _WIN_TILE - total_w
 
-    # pre-arrangement: (S, 2, n) -> (2, p=128, G, b, 128w) -> 2D lanes
-    x = planes[:, :, : n_windows * width].reshape(s_streams, 2, n_windows, width)
-    x = jnp.transpose(x, (1, 0, 2, 3)).reshape(2, total_w, width)
+    # pre-arrangement: (S, 2, n) -> (2, windows, width) -> 2D lanes
+    if stride == width:
+        x = planes[:, :, : n_windows * width].reshape(s_streams, 2, n_windows, width)
+        x = jnp.transpose(x, (1, 0, 2, 3)).reshape(2, total_w, width)
+    else:
+        from quadrs_tpu.ops.fir import _overlapped_frames
+
+        flat = planes.reshape(s_streams * 2, planes.shape[-1])
+        frames = _overlapped_frames(flat, stride, width, n_windows)
+        frames = frames.reshape(s_streams, 2, n_windows, width)
+        x = jnp.transpose(frames, (1, 0, 2, 3)).reshape(2, total_w, width)
     if pad_w:
         x = jnp.pad(x, ((0, 0), (0, pad_w), (0, 0)))
     # n = b*p + q: window-major -> [g, w, p, q] -> (p, g, q, w)

@@ -65,8 +65,8 @@ def test_fused_waterfall_window_tile_padding():
 
 def test_model_frontend_selection():
     assert WaterfallModel(WaterfallConfig()).pallas_supported()
-    # overlapping windows and odd widths stay on the XLA path
-    assert not WaterfallModel(WaterfallConfig(stride=512)).pallas_supported()
+    assert WaterfallModel(WaterfallConfig(stride=512)).pallas_supported()
+    # widths that aren't 128*b stay on the XLA path
     assert not WaterfallModel(WaterfallConfig(fft_width=96, stride=96)).pallas_supported()
     assert not supported(8192)
     with pytest.raises(ValueError):
@@ -75,6 +75,32 @@ def test_model_frontend_selection():
             WaterfallSpec(fmt=FileFormat.COMPLEX_INT8, width=96),
             1,
         )
+
+
+@pytest.mark.parametrize("stride", [256, 769, 1024, 1536])
+def test_fused_waterfall_strided(stride):
+    """Overlapped (stride < width) and skipping (stride > width)
+    spectrograms through the kernel match the XLA chain."""
+    cfg = WaterfallConfig(
+        n_streams=2, fft_width=1024, stride=stride, frontend="xla",
+        windowing="blackman-harris",
+    )
+    model = WaterfallModel(cfg)
+    n = 6 * 1024 + 11
+    nw = (n - 1024) // stride + 1
+    raw = model.synth_raw(n, seed=6)
+    want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+    spec = WaterfallSpec(fmt=cfg.fmt, width=1024, windowing=cfg.windowing)
+    got = np.asarray(
+        jax.jit(
+            lambda p: fused_waterfall(
+                p, spec, nw, stride=stride,
+                interpret=jax.default_backend() != "tpu",
+            )
+        )(jnp.asarray(raw))
+    )
+    assert got.shape == want.shape == (2, nw, 1024)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5 * want.max())
 
 
 def test_model_step_pallas_equals_xla():
