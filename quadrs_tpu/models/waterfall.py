@@ -85,12 +85,33 @@ class WaterfallModel:
 
     def search(self, raw: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Spectrogram search: per (stream, window) the peak bin and its
-        magnitude — the device-side reduction for scanning many bands."""
+        magnitude — the device-side reduction for scanning many bands.
+        Through the fused kernel the reduction happens in VMEM and the
+        spectrogram itself never touches HBM."""
         return self._jit_search()(raw)
 
     @functools.cache
     def _jit_search(self):
+        cfg = self.cfg
+
         def run(r):
+            if self._use_pallas():
+                from quadrs_tpu.ops.waterfall_pallas import (
+                    WaterfallSpec,
+                    fused_waterfall_search,
+                )
+
+                n_windows = (r.shape[-1] - cfg.fft_width) // cfg.stride + 1
+                spec = WaterfallSpec(
+                    fmt=cfg.fmt, width=cfg.fft_width, windowing=cfg.windowing
+                )
+                return fused_waterfall_search(
+                    r,
+                    spec,
+                    n_windows,
+                    stride=cfg.stride,
+                    interpret=jax.default_backend() != "tpu",
+                )
             norms = self.step(r)
             return jnp.argmax(norms, axis=-1), jnp.max(norms, axis=-1)
 

@@ -91,18 +91,19 @@ def _plan(spec: WaterfallSpec):
     return to32(f1), to32(tw), f2, win
 
 
-def _kernel(spec: WaterfallSpec):
+def _kernel(spec: WaterfallSpec, search: bool = False):
     from quadrs_tpu.ops.frontend_pallas import _decode_ref
 
-    b = spec.width // 128
+    width = spec.width
+    b = width // 128
     _, _, f2, _ = _plan(spec)
 
     def kernel(re_ref, im_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, *rest):
         if spec.windowing in ("blackman-harris", "blackmanharris"):
-            win_ref, out_ref = rest
+            win_ref, *out_refs = rest
         else:
-            (out_ref,) = rest
             win_ref = None
+            out_refs = list(rest)
 
         xr = _decode_ref(re_ref[:], spec.fmt)
         xi = _decode_ref(im_ref[:], spec.fmt)
@@ -125,6 +126,8 @@ def _kernel(spec: WaterfallSpec):
         twr, twi = twr_ref[:], twi_ref[:]
         zr, zi = zr * twr - zi * twi, zr * twi + zi * twr
 
+        best_val = None
+        best_j = None
         # stage 2: X[s][r, w] = sum_q F_b[q, s] * Z'[r, (q, w)] — b^2
         # scalar-constant FMAs over 128-aligned lane slices, then the
         # magnitude; pages land in natural bin order k = r + 128*s
@@ -140,7 +143,32 @@ def _kernel(spec: WaterfallSpec):
                 ti = cr * ziq + ci * zrq
                 accr = tr if accr is None else accr + tr
                 acci = ti if acci is None else acci + ti
-            out_ref[0, s] = jnp.sqrt(accr * accr + acci * acci)
+            mag = jnp.sqrt(accr * accr + acci * acci)
+            if not search:
+                out_refs[0][0, s] = mag
+                continue
+            # peak search without writing norms: per page, the max and —
+            # matching XLA argmax-over-shifted-norms tie order exactly —
+            # the smallest fftshifted bin index holding it (int32 math:
+            # Mosaic's iota only exists for integer types)
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (128, _WIN_TILE), 0)
+            j_page = jnp.remainder(r_iota + (128 * s + width // 2), width)
+            m_s = jnp.max(mag, axis=0, keepdims=True)  # (1, W)
+            j_s = jnp.min(
+                jnp.where(mag == m_s, j_page, width), axis=0, keepdims=True
+            )
+            if best_val is None:
+                best_val, best_j = m_s, j_s
+            else:
+                upd = m_s > best_val
+                tie = m_s == best_val
+                best_j = jnp.where(
+                    upd, j_s, jnp.where(tie, jnp.minimum(best_j, j_s), best_j)
+                )
+                best_val = jnp.maximum(best_val, m_s)
+        if search:
+            out_refs[0][0] = best_val
+            out_refs[1][0] = best_j
 
     return kernel
 
@@ -160,6 +188,68 @@ def fused_waterfall(
     row slices in XLA (never a gather) and run the same kernel, paying
     only the width/stride input inflation.  Trailing samples that don't
     fill a window are dropped."""
+    inputs, in_specs, groups, total_w = _prearranged(planes, spec, n_windows, stride)
+    from jax.experimental import pallas as pl
+
+    width = spec.width
+    b = width // 128
+    s_streams = planes.shape[0]
+    out = pl.pallas_call(
+        _kernel(spec),
+        grid=(groups,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, b, 128, _WIN_TILE), lambda t: (t, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((groups, b, 128, _WIN_TILE), jnp.float32),
+        interpret=interpret,
+    )(*inputs)
+
+    # epilogue: (G, s, r, w) -> (window, k); flat (s, r) IS k = r + 128*s,
+    # then one transpose to window-major and the fftshift half-swap
+    norms = out.reshape(groups, width, _WIN_TILE)
+    norms = jnp.transpose(norms, (0, 2, 1)).reshape(groups * _WIN_TILE, width)
+    norms = norms[:total_w]
+    half = width // 2
+    norms = jnp.concatenate([norms[:, half:], norms[:, :half]], axis=1)
+    return norms.reshape(s_streams, n_windows, width)
+
+
+def fused_waterfall_search(
+    planes: jax.Array,
+    spec: WaterfallSpec,
+    n_windows: int,
+    *,
+    stride: int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Peak search without materializing the spectrogram: per (stream,
+    window) the fftshifted argmax bin and its magnitude, reduced inside
+    the kernel — the f32 norms (the dominant HBM write of the norms
+    kernel) never leave VMEM.  Ties resolve to the lowest shifted bin,
+    exactly like ``jnp.argmax`` over the shifted norms."""
+    inputs, in_specs, groups, total_w = _prearranged(planes, spec, n_windows, stride)
+    from jax.experimental import pallas as pl
+
+    s_streams = planes.shape[0]
+    val, j = pl.pallas_call(
+        _kernel(spec, search=True),
+        grid=(groups,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, 1, _WIN_TILE), lambda t: (t, 0, 0))] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((groups, 1, _WIN_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((groups, 1, _WIN_TILE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    val = val.reshape(groups * _WIN_TILE)[:total_w].reshape(s_streams, n_windows)
+    idx = j.reshape(groups * _WIN_TILE)[:total_w].reshape(s_streams, n_windows)
+    return idx, val
+
+
+def _prearranged(planes, spec: WaterfallSpec, n_windows: int, stride: int | None):
+    """Shared XLA-side input staging: window matrix -> the kernel's
+    (p on sublanes, (group, q, window) on lanes) 2D layout, plus the
+    resident tables and their BlockSpecs."""
     from jax.experimental import pallas as pl
 
     width = spec.width
@@ -206,21 +296,4 @@ def fused_waterfall(
     if win is not None:
         inputs.append(jnp.asarray(win))
         in_specs.append(pl.BlockSpec((128, b * _WIN_TILE), lambda t: (0, 0)))
-
-    out = pl.pallas_call(
-        _kernel(spec),
-        grid=(groups,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, b, 128, _WIN_TILE), lambda t: (t, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((groups, b, 128, _WIN_TILE), jnp.float32),
-        interpret=interpret,
-    )(*inputs)
-
-    # epilogue: (G, s, r, w) -> (window, k); flat (s, r) IS k = r + 128*s,
-    # then one transpose to window-major and the fftshift half-swap
-    norms = out.reshape(groups, width, _WIN_TILE)
-    norms = jnp.transpose(norms, (0, 2, 1)).reshape(groups * _WIN_TILE, width)
-    norms = norms[:total_w]
-    half = width // 2
-    norms = jnp.concatenate([norms[:, half:], norms[:, :half]], axis=1)
-    return norms.reshape(s_streams, n_windows, width)
+    return inputs, in_specs, groups, total_w

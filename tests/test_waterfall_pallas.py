@@ -147,3 +147,49 @@ def test_sharded_waterfall_rejects_overlap():
     model = WaterfallModel(WaterfallConfig(fft_width=1024, stride=512))
     with pytest.raises(ValueError, match="stride"):
         make_sharded_waterfall_step(model, make_mesh(n_time=4, n_stream=2))
+
+
+@pytest.mark.parametrize(
+    "width,stride,fmt",
+    [
+        (1024, 1024, FileFormat.COMPLEX_INT8),
+        (256, 128, FileFormat.COMPLEX_INT16),
+        (512, 512, FileFormat.COMPLEX_FLOAT32),
+    ],
+)
+def test_fused_waterfall_search(width, stride, fmt):
+    """In-kernel peak search equals argmax/max over the shifted norms,
+    tie-break included."""
+    from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_search
+
+    cfg = WaterfallConfig(
+        n_streams=3, fft_width=width, stride=stride, fmt=fmt, frontend="xla"
+    )
+    xm = WaterfallModel(cfg)
+    n = 5 * width + 13
+    raw = xm.synth_raw(n, seed=11)
+    nw = (n - width) // stride + 1
+    norms = np.asarray(xm.jit_step()(jnp.asarray(raw)))
+    spec = WaterfallSpec(fmt=fmt, width=width)
+    gi, gm = jax.jit(
+        lambda p: fused_waterfall_search(
+            p, spec, nw, stride=stride, interpret=jax.default_backend() != "tpu"
+        )
+    )(jnp.asarray(raw))
+    np.testing.assert_array_equal(np.asarray(gi), np.argmax(norms, axis=-1))
+    np.testing.assert_allclose(np.asarray(gm), np.max(norms, axis=-1), rtol=2e-5)
+
+
+def test_fused_waterfall_search_ties():
+    """All-zero windows: every bin ties at 0 and argmax must be bin 0,
+    like jnp.argmax."""
+    from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_search
+
+    raw = np.zeros((1, 2, 512), np.int8)
+    spec = WaterfallSpec(fmt=FileFormat.COMPLEX_INT8, width=256)
+    gi, gm = jax.jit(
+        lambda p: fused_waterfall_search(
+            p, spec, 2, interpret=jax.default_backend() != "tpu"
+        )
+    )(jnp.asarray(raw))
+    assert np.all(np.asarray(gi) == 0) and np.all(np.asarray(gm) == 0)
