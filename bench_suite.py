@@ -188,6 +188,14 @@ def bench_disk_staging(on_accel: bool) -> dict:
     import time
 
     from quadrs_tpu.stream_runner import StreamRunner
+    from quadrs_tpu.utils.profiling import sync_fetch
+
+    # drain queued device work first: the staging path is pure host C++
+    # and on a single-core rig it otherwise competes with the jax
+    # runtime threads finishing earlier benches (observed 9x swings)
+    import jax.numpy as jnp
+
+    sync_fetch(jax.jit(lambda: jnp.zeros(8))())
 
     model, src, _ = _sustained_setup(on_accel)
     runner = StreamRunner(src, model, chunk_samples=1 << 22)
