@@ -6,8 +6,9 @@ the stretch configurations (BASELINE.json configs 2-4) plus the
 sustained disk->chip run and prints one JSON line each:
 
 * ``cs16-sustained``  — on-chip cs16 decode -> shift -> lowpass(dec 64)
-* ``long-fir``        — power=2000 (4000 taps) overlap-save chain
-* ``waterfall-64xcs8``— 64 parallel cs8 streams, 1024-pt strided STFT
+* ``long-fir``        — power=2000 (4000 taps) spectral chain
+* ``waterfall-64xcs8``— 64 parallel cs8 streams, 1024-pt STFT (fused kernel)
+* ``waterfall-search``— the same bank reduced to peak bins in-kernel
 * ``disk-sustained``  — a 1G-sample cs8 capture streamed from an actual
   file through StreamRunner (C++ ring prefetch -> host staging ->
   device), the end-to-end number the HBM-resident headline can't show
@@ -143,6 +144,37 @@ def bench_waterfall(on_accel: bool) -> dict:
     }
 
 
+def bench_waterfall_search(on_accel: bool) -> dict:
+    """BASELINE config 5's stated purpose — spectrogram *search*: per
+    (stream, window) peak bin + magnitude.  Through the fused kernel the
+    reduction happens in VMEM and the spectrogram never touches HBM."""
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+
+    import jax.numpy as jnp
+
+    cfg = WaterfallConfig(n_streams=64, fft_width=1024, stride=1024)
+    model = WaterfallModel(cfg)
+    per_stream = (1 << 17) if on_accel else (1 << 14)
+    raw = jax.device_put(model.synth_raw(per_stream))
+    total = cfg.n_streams * per_stream
+    sj = model._jit_search()
+
+    @jax.jit
+    def _acc(raw, acc):
+        i, m = sj(raw)
+        return acc + jnp.sum(m) + jnp.sum(i.astype(jnp.float32))
+
+    msps = measure_msps_acc(
+        lambda i, acc: _acc(raw, acc), total, 2.0 if on_accel else 0.3, min_iters=2
+    )
+    return {
+        "metric": "64x cs8 waterfall peak search (in-kernel reduction)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip (aggregate)",
+        "vs_baseline": round(msps / 100.0, 2),
+    }
+
+
 def _sustained_capture(n_samples: int) -> str:
     """A synthetic cs8 capture file, cached across runs (2 bytes/sample)."""
     path = f"/tmp/quadrs-sustained-{n_samples}.sr21M.cs8"
@@ -266,6 +298,7 @@ def suite(on_accel: bool) -> list[dict]:
         bench_cs16_sustained(on_accel),
         bench_long_fir(on_accel),
         bench_waterfall(on_accel),
+        bench_waterfall_search(on_accel),
         bench_disk_staging(on_accel),
         bench_disk_sustained(on_accel),
     ]
@@ -277,6 +310,7 @@ def main() -> None:
         bench_cs16_sustained,
         bench_long_fir,
         bench_waterfall,
+        bench_waterfall_search,
         bench_disk_staging,
         bench_disk_sustained,
     ):
