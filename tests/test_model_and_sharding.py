@@ -310,3 +310,36 @@ def test_spectral_premixed_stream_matches_reference():
     a = np.asarray(model.jit_step_stream(raw, th))
     b = np.asarray(td.jit_step_stream(raw, th))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4 * b.max())
+
+
+def test_spectral_premixed_random_configs():
+    """Property test: for random long-taps configs and stream offsets the
+    premixed spectral step matches the mix+time-domain path."""
+    import dataclasses
+
+    rng = np.random.default_rng(21)
+    for case in range(4):
+        d = int(rng.choice([4, 8, 16]))
+        taps = int(d * rng.integers(65, 90))  # md in (64, 90]: spectral
+        fft_width = int(rng.choice([8, 16]))
+        cfg = dataclasses.replace(
+            CFG,
+            decimate=d,
+            taps=taps,
+            fft_width=fft_width,
+            shift_freq=int(rng.integers(1, 400_000)),
+            lp_freq=int(rng.integers(5_000, 60_000)),
+        )
+        spectral = PipelineModel(cfg)
+        timedom = PipelineModel(dataclasses.replace(cfg, fir_impl="polyphase"))
+        assert spectral._spectral_fir and not timedom._spectral_fir
+        n_local = d * fft_width * 3
+        raw = spectral.synth_raw(n_local + taps, seed=100 + case)
+        off = int(rng.integers(0, 1 << 40))
+        th = np.float32(spectral.theta0(np.int64(off)))
+        a = np.asarray(spectral.jit_step_stream(raw, th))
+        b = np.asarray(timedom.jit_step_stream(raw, th))
+        np.testing.assert_allclose(
+            a, b, rtol=3e-4, atol=3e-4 * b.max(),
+            err_msg=f"case {case}: d={d} taps={taps} off={off}",
+        )
