@@ -41,7 +41,9 @@ def main() -> None:
 
     # 4M-sample chunks measured fastest on v5e; larger chunks lose ~20%
     chunk = (1 << 22) if on_accel else (1 << 20)
-    min_secs = 3.0 if on_accel else 0.5
+    # tunnel throughput wanders ±20% one-sided; more best-of reps narrow
+    # the artifact's downside without changing what is measured
+    min_secs = 4.5 if on_accel else 0.5
 
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
 
@@ -61,7 +63,7 @@ def main() -> None:
         else "fused cs8 decode+shift+lowpass(dec32,taps400)+stft64"
     )
 
-    msps = measure_msps_acc(step, chunk, min_secs)
+    msps = measure_msps_acc(step, chunk, min_secs, reps=3 if on_accel else 2)
     line = {
         "metric": label + " throughput",
         "value": round(msps, 1),

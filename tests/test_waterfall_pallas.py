@@ -193,3 +193,40 @@ def test_fused_waterfall_search_ties():
         )
     )(jnp.asarray(raw))
     assert np.all(np.asarray(gi) == 0) and np.all(np.asarray(gm) == 0)
+
+
+def test_fused_waterfall_fuzz():
+    """Random (width, stride, format, windowing, stream count) configs:
+    kernel vs XLA chain."""
+    rng = np.random.default_rng(31)
+    for case in range(6):
+        b = int(rng.choice([2, 3, 4, 8, 16]))
+        width = 128 * b
+        stride = int(rng.choice([width, width // 2, width + 64, 3 * width // 4]))
+        fmt = rng.choice(list(FileFormat))
+        windowing = str(rng.choice(["rectangular", "blackman-harris"]))
+        n_streams = int(rng.integers(1, 5))
+        cfg = WaterfallConfig(
+            n_streams=n_streams, fft_width=width, stride=stride,
+            fmt=fmt, windowing=windowing, frontend="xla",
+        )
+        model = WaterfallModel(cfg)
+        n = int(rng.integers(width, 4 * width + 200))
+        if n < width:
+            continue
+        nw = (n - width) // stride + 1
+        raw = model.synth_raw(n, seed=40 + case)
+        want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+        spec = WaterfallSpec(fmt=fmt, width=width, windowing=windowing)
+        got = np.asarray(
+            jax.jit(
+                lambda p, spec=spec, nw=nw, stride=stride: fused_waterfall(
+                    p, spec, nw, stride=stride,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            )(jnp.asarray(raw))
+        )
+        np.testing.assert_allclose(
+            got, want, rtol=3e-5, atol=3e-5 * max(want.max(), 1e-6),
+            err_msg=f"case {case}: w={width} s={stride} fmt={fmt} win={windowing}",
+        )
