@@ -53,7 +53,22 @@ class WaterfallModel:
             return True
         if self.cfg.frontend == "xla":
             return False
+        if self.cfg.frontend != "auto":
+            raise ValueError(
+                f"unknown frontend {self.cfg.frontend!r}: use auto|xla|pallas"
+            )
         return jax.default_backend() == "tpu" and self.pallas_supported()
+
+    def _fused_args(self, n: int):
+        """Shared kernel-dispatch arguments for step() and search():
+        (spec, n_windows, stride, interpret) — one place so the window
+        count formula and interpret policy can't drift apart."""
+        from quadrs_tpu.ops.waterfall_pallas import WaterfallSpec
+
+        cfg = self.cfg
+        spec = WaterfallSpec(fmt=cfg.fmt, width=cfg.fft_width, windowing=cfg.windowing)
+        n_windows = (n - cfg.fft_width) // cfg.stride + 1
+        return spec, n_windows, cfg.stride, jax.default_backend() != "tpu"
 
     def step(self, raw: jnp.ndarray) -> jnp.ndarray:
         """(S, 2, n) native planes -> (S, windows, fft_width) f32 norms."""
@@ -61,17 +76,11 @@ class WaterfallModel:
         n = raw.shape[-1]
         n_windows = (n - cfg.fft_width) // cfg.stride + 1
         if self._use_pallas():
-            from quadrs_tpu.ops.waterfall_pallas import WaterfallSpec, fused_waterfall
+            from quadrs_tpu.ops.waterfall_pallas import fused_waterfall
 
-            spec = WaterfallSpec(
-                fmt=cfg.fmt, width=cfg.fft_width, windowing=cfg.windowing
-            )
+            spec, n_windows, stride, interpret = self._fused_args(n)
             return fused_waterfall(
-                raw,
-                spec,
-                n_windows,
-                stride=cfg.stride,
-                interpret=jax.default_backend() != "tpu",
+                raw, spec, n_windows, stride=stride, interpret=interpret
             )
         re = decode_plane(raw[:, 0, :], cfg.fmt, xp=jnp)
         im = decode_plane(raw[:, 1, :], cfg.fmt, xp=jnp)
@@ -92,25 +101,13 @@ class WaterfallModel:
 
     @functools.cache
     def _jit_search(self):
-        cfg = self.cfg
-
         def run(r):
             if self._use_pallas():
-                from quadrs_tpu.ops.waterfall_pallas import (
-                    WaterfallSpec,
-                    fused_waterfall_search,
-                )
+                from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_search
 
-                n_windows = (r.shape[-1] - cfg.fft_width) // cfg.stride + 1
-                spec = WaterfallSpec(
-                    fmt=cfg.fmt, width=cfg.fft_width, windowing=cfg.windowing
-                )
+                spec, n_windows, stride, interpret = self._fused_args(r.shape[-1])
                 return fused_waterfall_search(
-                    r,
-                    spec,
-                    n_windows,
-                    stride=cfg.stride,
-                    interpret=jax.default_backend() != "tpu",
+                    r, spec, n_windows, stride=stride, interpret=interpret
                 )
             norms = self.step(r)
             return jnp.argmax(norms, axis=-1), jnp.max(norms, axis=-1)

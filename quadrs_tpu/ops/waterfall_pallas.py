@@ -168,7 +168,11 @@ def _kernel(spec: WaterfallSpec, search: bool = False):
                 best_val = jnp.maximum(best_val, m_s)
         if search:
             out_refs[0][0] = best_val
-            out_refs[1][0] = best_j
+            # NaN magnitudes make every `mag == m_s` comparison false and
+            # would leak the out-of-range sentinel `width`; clamp so the
+            # returned bin is always indexable (the magnitude output still
+            # carries the NaN for the caller to notice)
+            out_refs[1][0] = jnp.minimum(best_j, width - 1)
 
     return kernel
 
@@ -205,11 +209,11 @@ def fused_waterfall(
 
     # epilogue: (G, s, r, w) -> (window, k); flat (s, r) IS k = r + 128*s,
     # then one transpose to window-major and the fftshift half-swap
+    from quadrs_tpu.ops.stft import fftshift
+
     norms = out.reshape(groups, width, _WIN_TILE)
     norms = jnp.transpose(norms, (0, 2, 1)).reshape(groups * _WIN_TILE, width)
-    norms = norms[:total_w]
-    half = width // 2
-    norms = jnp.concatenate([norms[:, half:], norms[:, :half]], axis=1)
+    norms = fftshift(norms[:total_w])
     return norms.reshape(s_streams, n_windows, width)
 
 

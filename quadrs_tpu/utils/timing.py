@@ -43,6 +43,13 @@ def measure_msps_acc(
     run(1)  # warmup / compile
     per = max(run(2) / 2, 1e-5)
     best = 0.0
+    # The linearity check applies to any real benchmark (multi-second
+    # min_secs) regardless of how small its windows came out — a tiny t1
+    # there means the calibration itself was off and must retry, not
+    # that the check should be waived.  Only explicit smoke runs
+    # (min_secs < 0.5, e.g. unit tests) skip it when the window sits
+    # below dispatch jitter (~tens of ms on the tunneled runtime).
+    strict = min_secs >= 0.5
     for attempt in range(4):
         n1 = max(min_iters, min(4096, int(min_secs / per / (2 * max(1, reps)))))
         n2 = 3 * n1
@@ -52,10 +59,7 @@ def measure_msps_acc(
             # honesty check: a 3x window must take ~3x the time.  A ratio
             # far off means the runtime skipped or deferred work (or the
             # calibration was off) and the difference is meaningless.
-            # Only meaningful when the window rises above dispatch jitter
-            # (~tens of ms on the tunneled runtime); real benches use
-            # multi-second windows where the check bites.
-            if t1 >= 0.05 and not (1.8 <= t2 / max(t1, 1e-9) <= 5.0):
+            if (strict or t1 >= 0.05) and not (1.8 <= t2 / max(t1, 1e-9) <= 5.0):
                 per = max((t1 + t2) / (n1 + n2), 1e-5)
                 break
             msps = (n2 - n1) * samples_per_step / max(t2 - t1, 1e-9) / 1e6

@@ -176,8 +176,18 @@ def test_fused_waterfall_search(width, stride, fmt):
             p, spec, nw, stride=stride, interpret=jax.default_backend() != "tpu"
         )
     )(jnp.asarray(raw))
-    np.testing.assert_array_equal(np.asarray(gi), np.argmax(norms, axis=-1))
-    np.testing.assert_allclose(np.asarray(gm), np.max(norms, axis=-1), rtol=2e-5)
+    # the kernel and the XLA chain are different DFT factorizations, so
+    # near-tied bins may legitimately pick different peaks: accept an
+    # index mismatch only where the two bins' magnitudes agree to f32
+    # rounding
+    gi, gm = np.asarray(gi), np.asarray(gm)
+    want_i = np.argmax(norms, axis=-1)
+    picked = np.take_along_axis(norms, gi[..., None], axis=-1)[..., 0]
+    top = np.max(norms, axis=-1)
+    same = gi == want_i
+    near_tie = np.abs(picked - top) <= 2e-5 * np.maximum(top, 1e-9)
+    assert np.all(same | near_tie)
+    np.testing.assert_allclose(gm, top, rtol=2e-5)
 
 
 def test_fused_waterfall_search_ties():
@@ -212,8 +222,6 @@ def test_fused_waterfall_fuzz():
         )
         model = WaterfallModel(cfg)
         n = int(rng.integers(width, 4 * width + 200))
-        if n < width:
-            continue
         nw = (n - width) // stride + 1
         raw = model.synth_raw(n, seed=40 + case)
         want = np.asarray(model.jit_step()(jnp.asarray(raw)))
@@ -230,3 +238,9 @@ def test_fused_waterfall_fuzz():
             got, want, rtol=3e-5, atol=3e-5 * max(want.max(), 1e-6),
             err_msg=f"case {case}: w={width} s={stride} fmt={fmt} win={windowing}",
         )
+
+
+def test_unknown_frontend_rejected():
+    model = WaterfallModel(WaterfallConfig(frontend="palas"))
+    with pytest.raises(ValueError, match="unknown frontend"):
+        model.jit_step()(jnp.zeros((1, 2, 1024), jnp.int8))
