@@ -37,6 +37,70 @@ class RunStats:
         return self.samples_in / self.seconds / 1e6 if self.seconds else 0.0
 
 
+class WaterfallRunner:
+    """Stream capture files through the waterfall bank (BASELINE config
+    5 from disk): each chunk is a whole number of window *starts*, so
+    chunking is invisible in the output — a ``width - stride`` lookahead
+    covers windows that read past the chunk's last start.  ``sources``:
+    one or more :class:`SampleSource` of equal length/format (the bank's
+    streams).  ``on_norms(first_window_index, norms)`` receives
+    (S, windows, width) f32 rows per chunk.
+    """
+
+    def __init__(self, sources, model, chunk_windows: int = 1 << 11):
+        sources = list(sources) if isinstance(sources, (list, tuple)) else [sources]
+        cfg = model.cfg
+        if len(sources) != cfg.n_streams:
+            raise ValueError(
+                f"{len(sources)} sources for a {cfg.n_streams}-stream bank"
+            )
+        for s in sources:
+            if s.format is not cfg.fmt:
+                raise ValueError(f"source format {s.format} != bank format {cfg.fmt}")
+        if len({s.length for s in sources}) != 1:
+            raise ValueError("bank sources must have equal lengths")
+        self.sources = sources
+        self.model = model
+        self.chunk_windows = max(1, chunk_windows)
+        self._lookahead = max(0, cfg.fft_width - cfg.stride)
+
+    def run(self, on_norms=None, start_window: int = 0, max_chunks=None) -> RunStats:
+        import time
+
+        cfg = self.model.cfg
+        length = self.sources[0].length
+        total_windows = (
+            (length - cfg.fft_width) // cfg.stride + 1
+            if length >= cfg.fft_width
+            else 0
+        )
+        stats = RunStats()
+        t0 = time.perf_counter()
+        last = None
+        done = 0
+        w = start_window
+        while w < total_windows:
+            n_w = min(self.chunk_windows, total_windows - w)
+            lo = w * cfg.stride
+            hi = (w + n_w - 1) * cfg.stride + cfg.fft_width
+            planes = np.stack([s.stage(lo, hi) for s in self.sources])
+            norms = self.model.jit_step()(planes)
+            last = norms
+            stats.samples_in += (hi - lo) * len(self.sources)
+            stats.windows_out += norms.shape[0] * norms.shape[1]
+            if on_norms is not None:
+                on_norms(w, np.asarray(norms))
+            w += n_w
+            done += 1
+            if max_chunks is not None and done >= max_chunks:
+                break
+        if last is not None and on_norms is None:
+            sync_fetch(last)
+        stats.seconds = time.perf_counter() - t0
+        PROFILER.account("waterfall_runner", stats.samples_in, stats.seconds)
+        return stats
+
+
 class StreamRunner:
     """Drive one or more captures through the fused pipeline at full rate.
 

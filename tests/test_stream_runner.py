@@ -402,3 +402,39 @@ def test_pallas_frontend_runner_matches_xla():
     scale = max(float(v.max()) for v in a.values())
     for w in a:
         np.testing.assert_allclose(b[w], a[w], atol=3e-5 * scale, err_msg=f"window {w}")
+
+
+def test_waterfall_runner_matches_single_step(tmp_path):
+    """Bank-of-files streaming: chunked WaterfallRunner rows equal one
+    whole-capture step, for tiling and overlapped strides."""
+    import numpy as np
+
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.sources import SampleSource
+    from quadrs_tpu.stream_runner import WaterfallRunner
+
+    for stride in (256, 128):
+        cfg = WaterfallConfig(
+            n_streams=2, fft_width=256, stride=stride, fmt=FileFormat.COMPLEX_INT8
+        )
+        model = WaterfallModel(cfg)
+        n = 5 * 256 + 37
+        raw = model.synth_raw(n, seed=9)  # (2, 2, n)
+        srcs = []
+        for s in range(2):
+            p = tmp_path / f"bank{stride}-{s}.sr400.cs8"
+            inter = np.stack([raw[s][0], raw[s][1]], axis=1)  # re,im pairs
+            p.write_bytes(inter.astype(np.int8).tobytes())
+            srcs.append(SampleSource.from_file(str(p)))
+        want = np.asarray(model.jit_step()(raw))
+
+        rows = []
+        stats = WaterfallRunner(srcs, model, chunk_windows=3).run(
+            lambda w, r: rows.append((w, r))
+        )
+        got = np.concatenate([r for _, r in rows], axis=1)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+        assert stats.windows_out == want.shape[0] * want.shape[1]
+        assert rows[0][0] == 0 and rows[1][0] == 3
