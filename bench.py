@@ -54,9 +54,9 @@ def main() -> None:
     # inflation when chaining through a single output element).  The
     # step construction (phase rotation + accumulator contract) is
     # shared with the stretch-config suite.
-    from bench_suite import _step_for
+    from bench_suite import make_acc_step
 
-    step = _step_for(model, chunk, on_accel)(raw)
+    step = make_acc_step(model, chunk, on_accel)(raw)
     label = (
         "fused pallas cs8 decode+shift+lowpass(dec32,taps400)+stft64"
         if on_accel and model.pallas_supported()

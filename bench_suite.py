@@ -27,7 +27,7 @@ import numpy as np
 from quadrs_tpu.utils.timing import measure_msps_acc
 
 
-def _step_for(model, chunk, on_accel):
+def make_acc_step(model, chunk, on_accel):
     """Fused Pallas frontend on TPU when the config supports it; every
     iteration's full output is summed into the carried scalar so the
     lazily-materializing tunneled runtime cannot skip any of it (see
@@ -77,7 +77,7 @@ def bench_cs16_sustained(on_accel: bool) -> dict:
     model = PipelineModel(cfg)
     chunk = (1 << 24) if on_accel else (1 << 20)
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
-    step = _step_for(model, chunk, on_accel)(raw)
+    step = make_acc_step(model, chunk, on_accel)(raw)
     msps = measure_msps_acc(step, chunk, 2.0 if on_accel else 0.3, min_iters=2)
     return {
         "metric": "cs16 on-chip decode + shift + lowpass(dec64) + stft",
@@ -103,7 +103,7 @@ def bench_long_fir(on_accel: bool) -> dict:
     model = PipelineModel(cfg)
     chunk = (1 << 23) if on_accel else (1 << 19)
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
-    step = _step_for(model, chunk, on_accel)(raw)
+    step = make_acc_step(model, chunk, on_accel)(raw)
     msps = measure_msps_acc(step, chunk, 2.0 if on_accel else 0.3, min_iters=2)
     return {
         "metric": "power=2000 (4000-tap) lowpass chain",

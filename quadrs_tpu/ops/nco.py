@@ -22,23 +22,29 @@ class ExactNCO:
     def __init__(self, frequency: int, sample_rate: int):
         if sample_rate <= 0:
             raise ValueError("sample rate must be positive")
-        if sample_rate >= (1 << 31):
-            # keeps (i % period) * f_mod < 2^62, inside int64
-            raise ValueError("sample rates >= 2^31 are not supported")
         self.frequency = int(frequency)
         self.sample_rate = int(sample_rate)
         g = math.gcd(abs(self.frequency), self.sample_rate)
         # gcd(0, sr) == sr, so a DC tone reduces every index to phase 0
         self.period = self.sample_rate // g
         self.f_mod = self.frequency % self.sample_rate
+        # int64 fast path needs (i % period) * f_mod < 2^63; rates past
+        # 2^31 (the reference accepts any u64, src/shift.rs:28) take the
+        # arbitrary-precision host path — same exact reduction, Python
+        # ints, only planned table sizes so the cost is negligible
+        self._bigint = self.sample_rate >= (1 << 31)
 
     def angles(self, idx, dtype=np.float32) -> np.ndarray:
         """Exact angles for absolute sample indices ``idx``.
 
-        ``idx`` may be any int64-safe array or scalar; indices are first
+        ``idx`` may be any int-safe array or scalar; indices are first
         reduced mod the period so the modular product never overflows
-        int64 (period < 2^31, f_mod < 2^31).
+        (int64 when sr < 2^31, Python bigints above — exact either way).
         """
+        if self._bigint:
+            i = np.asarray(idx).astype(object) % self.period
+            frac = (i * self.f_mod) % self.sample_rate
+            return (frac.astype(np.float64) * (TAU / self.sample_rate)).astype(dtype)
         i = np.asarray(idx, dtype=np.int64) % self.period
         frac = (i * self.f_mod) % self.sample_rate
         return (frac.astype(np.float64) * (TAU / self.sample_rate)).astype(dtype)

@@ -37,6 +37,50 @@ class RunStats:
         return self.samples_in / self.seconds / 1e6 if self.seconds else 0.0
 
 
+def _background(gen, depth: int = 2):
+    """Run a generator on a daemon thread, yielding its items through a
+    bounded queue: staging (pread + numpy copies + device_put) overlaps
+    the consumer's device compute.  If the consumer abandons the
+    generator, the producer notices (stop event) instead of pinning
+    buffers; producer exceptions surface in the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _DONE = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def fill():
+        try:
+            for item in gen:
+                if not put(item):
+                    return
+            put(_DONE)
+        except BaseException as e:  # surface staging errors to the consumer
+            put(e)
+
+    t = threading.Thread(target=fill, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():
+            q.get_nowait()
+
+
 class WaterfallRunner:
     """Stream capture files through the waterfall bank (BASELINE config
     5 from disk): each chunk is a whole number of window *starts*, so
@@ -45,6 +89,13 @@ class WaterfallRunner:
     one or more :class:`SampleSource` of equal length/format (the bank's
     streams).  ``on_norms(first_window_index, norms)`` receives
     (S, windows, width) f32 rows per chunk.
+
+    Staging runs on a background thread (double-buffered against device
+    compute), and :meth:`run_search` streams the in-kernel peak search —
+    per (stream, window) the fftshifted argmax bin and magnitude, with
+    the spectrogram never leaving VMEM on the fused path — so BASELINE
+    config 5's "spectrogram search" is served from disk, not just an
+    HBM-resident bench.
     """
 
     def __init__(self, sources, model, chunk_windows: int = 1 << 11):
@@ -64,9 +115,8 @@ class WaterfallRunner:
         self.chunk_windows = max(1, chunk_windows)
         self._lookahead = max(0, cfg.fft_width - cfg.stride)
 
-    def run(self, on_norms=None, start_window: int = 0, max_chunks=None) -> RunStats:
-        import time
-
+    def _staged_chunks(self, start_window: int):
+        """(first_window, n_windows, (S, 2, span) planes) per chunk."""
         cfg = self.model.cfg
         length = self.sources[0].length
         total_windows = (
@@ -74,28 +124,68 @@ class WaterfallRunner:
             if length >= cfg.fft_width
             else 0
         )
-        stats = RunStats()
-        t0 = time.perf_counter()
-        last = None
-        done = 0
         w = start_window
         while w < total_windows:
             n_w = min(self.chunk_windows, total_windows - w)
             lo = w * cfg.stride
+            # last window start + width (== advance + the overlap
+            # lookahead when stride <= width; never reads past EOF)
             hi = (w + n_w - 1) * cfg.stride + cfg.fft_width
-            planes = np.stack([s.stage(lo, hi) for s in self.sources])
-            norms = self.model.jit_step()(planes)
-            last = norms
-            stats.samples_in += (hi - lo) * len(self.sources)
-            stats.windows_out += norms.shape[0] * norms.shape[1]
-            if on_norms is not None:
-                on_norms(w, np.asarray(norms))
+            yield w, n_w, np.stack([s.stage(lo, hi) for s in self.sources])
             w += n_w
+
+    def run(self, on_norms=None, start_window: int = 0, max_chunks=None) -> RunStats:
+        return self._run(self.model.jit_step(), on_norms, start_window, max_chunks)
+
+    def run_search(self, on_peaks=None, start_window: int = 0, max_chunks=None) -> RunStats:
+        """Like :meth:`run` but through the peak-search reduction:
+        ``on_peaks(first_window_index, (idx, val))`` receives per chunk
+        the (S, windows) int32 fftshifted peak bins and f32 magnitudes
+        (``WaterfallModel.search`` applied chunkwise — identical to the
+        single-shot search over the whole capture)."""
+        return self._run(self.model._jit_search(), on_peaks, start_window, max_chunks)
+
+    def _run(self, step, emit, start_window: int, max_chunks) -> RunStats:
+        import time
+
+        import jax.numpy as jnp
+
+        stats = RunStats()
+        t0 = time.perf_counter()
+        # with no callback the outputs would be dead cones a lazily-
+        # materializing runtime may skip (CLAUDE.md): fold every chunk's
+        # full output into one accumulator the closing fetch observes
+        acc = jnp.float32(0.0) if emit is None else None
+        done = 0
+        first = True
+        chunks = _background(self._staged_chunks(start_window))
+        for w, n_w, planes in chunks:
+            out = step(planes)
+            # overlapped strides re-stage width-stride samples per chunk;
+            # count each stream sample once (the lookahead once, up front)
+            stats.samples_in += (
+                n_w * self.model.cfg.stride + (self._lookahead if first else 0)
+            ) * len(self.sources)
+            first = False
+            if isinstance(out, tuple):  # search: (idx, val)
+                idx, val = out
+                stats.windows_out += idx.shape[0] * idx.shape[1]
+                if emit is None:
+                    acc = acc + jnp.sum(val) + jnp.sum(idx.astype(jnp.float32))
+                else:
+                    emit(w, (np.asarray(idx), np.asarray(val)))
+            else:
+                stats.windows_out += out.shape[0] * out.shape[1]
+                if emit is None:
+                    acc = acc + jnp.sum(out)
+                else:
+                    emit(w, np.asarray(out))
             done += 1
             if max_chunks is not None and done >= max_chunks:
+                chunks.close()
                 break
-        if last is not None and on_norms is None:
-            sync_fetch(last)
+        if acc is not None:
+            sync_fetch(acc)
         stats.seconds = time.perf_counter() - t0
         PROFILER.account("waterfall_runner", stats.samples_in, stats.seconds)
         return stats
@@ -242,42 +332,7 @@ class StreamRunner:
         if getattr(self.source, "native", None) is not None:
             yield from self._chunks_native(start_off)
             return
-        q: queue.Queue = queue.Queue(maxsize=depth)
-        _DONE = object()
-        stop = threading.Event()
-
-        def put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def fill():
-            try:
-                for item in self._chunks(start_off):
-                    if not put(item):
-                        return
-                put(_DONE)
-            except BaseException as e:  # surface staging errors to the consumer
-                put(e)
-
-        t = threading.Thread(target=fill, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is _DONE:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
-            while not q.empty():
-                q.get_nowait()
+        yield from _background(self._chunks(start_off), depth)
 
     def run(
         self,
@@ -356,7 +411,12 @@ class StreamRunner:
         last shard, so every window is exact and chunks advance by their
         full length; the ragged tail (where the continuation would cross
         EOF) runs single-device per stream with decoded-domain masking.
-        Resume is exact: phases are planned from absolute offsets."""
+        Resume is exact: phases are planned from absolute offsets.
+
+        Staging (pread + stack + the sharded device_put) runs on a
+        background thread, double-buffered against the mesh compute —
+        the multi-chip path overlaps host work with device work just
+        like the single-device ring prefetcher does."""
         from quadrs_tpu.parallel.sharding import replicate_tail, shard_chunk
 
         model = self.model
@@ -369,30 +429,45 @@ class StreamRunner:
         length = self.source.length
         single = n_stream == 1
         last = None
-        off = start_off
         done_chunks = 0
-        while off + n + halo <= length:
+
+        def staged():
+            off = start_off
+            while off + n + halo <= length:
+                planes = np.stack([s.stage(off, off + n) for s in self.sources])
+                tails = np.stack(
+                    [s.stage(off + n, off + n + halo) for s in self.sources]
+                )
+                theta = np.broadcast_to(
+                    model.theta0(
+                        off + np.arange(n_time, dtype=np.int64) * n_local
+                    )[None],
+                    (n_stream, n_time),
+                ).copy()
+                # device placement happens here, on the staging thread:
+                # the transfers overlap the consumer's mesh compute
+                yield off, (
+                    shard_chunk(planes, self.mesh),
+                    shard_chunk(theta, self.mesh),
+                    replicate_tail(tails, self.mesh),
+                )
+                off += n
+
+        off = start_off
+        chunks = _background(staged())
+        for off, args in chunks:
             if max_chunks is not None and done_chunks >= max_chunks:
+                chunks.close()
                 return last
             done_chunks += 1
-            planes = np.stack([s.stage(off, off + n) for s in self.sources])
-            tails = np.stack([s.stage(off + n, off + n + halo) for s in self.sources])
-            theta = np.broadcast_to(
-                model.theta0(off + np.arange(n_time, dtype=np.int64) * n_local)[None],
-                (n_stream, n_time),
-            ).copy()
-            out = self._sharded_step(
-                shard_chunk(planes, self.mesh),
-                shard_chunk(theta, self.mesh),
-                replicate_tail(tails, self.mesh),
-            )
+            out = self._sharded_step(*args)
             last = out
             stats.samples_in += n * n_stream
             stats.windows_out += out.shape[0] * out.shape[1]
             if on_windows is not None:
                 rows = np.asarray(out)
                 on_windows(off // self._win_raw, rows[0] if single else rows)
-            off += n
+        off = off + n if stats.samples_in else start_off
         # ragged tail, single-device per stream (lockstep offsets)
         while off < length - cfg.taps:
             m = (length - off) // self._win_raw * self._win_raw

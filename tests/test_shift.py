@@ -63,3 +63,31 @@ def test_shift_short_read_passthrough():
     got, valid = Shift(src, 10, 48_000).read_at(90, 64)
     assert valid == 10
     assert np.all(got[10:] == 0)
+
+
+def test_shift_huge_sample_rate():
+    # the reference's f64 NCO accepts any u64 rate (src/shift.rs:28);
+    # ExactNCO's bigint path covers sr >= 2^31 (`-sr 3G` parses fine)
+    sr = 3_000_000_000
+    src, osrc = _capture(sr=sr)
+    got, _ = Shift(src, 280_000, sr).read_at(0, 2048)
+    want = OracleShift(osrc, 280_000, sr).read_at(0, 2048)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_exact_nco_bigint_reduction():
+    # bigint path must agree with the exact closed form at huge absolute
+    # offsets, including rates past 2^63 (u64 range)
+    from quadrs_tpu.ops.nco import TAU, ExactNCO
+
+    for f, sr in [(280_000, 3_000_000_000), (123_457, (1 << 63) + 9)]:
+        nco = ExactNCO(f, sr)
+        idx = np.asarray([0, 1, 7, 3_000_000_000_017, (1 << 62) + 5], dtype=np.int64)
+        got = nco.angles(idx, dtype=np.float64)
+        want = np.asarray(
+            [float((int(i) * f) % sr) * (TAU / sr) for i in idx], dtype=np.float64
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        # cis tables go through the same path
+        c, s = nco.cis(idx)
+        np.testing.assert_allclose(c, np.cos(want).astype(np.float32), atol=2e-7)

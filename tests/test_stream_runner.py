@@ -438,3 +438,115 @@ def test_waterfall_runner_matches_single_step(tmp_path):
         np.testing.assert_array_equal(got, want)
         assert stats.windows_out == want.shape[0] * want.shape[1]
         assert rows[0][0] == 0 and rows[1][0] == 3
+        # overlapped strides must not double-count the re-staged overlap
+        n_windows = want.shape[1]
+        assert stats.samples_in == (n_windows * stride + (256 - stride)) * 2
+
+
+def test_waterfall_runner_search_matches_single_shot():
+    """Streaming peak search == single-shot model.search over the whole
+    capture (BASELINE config 5's spectrogram search, served from chunks)."""
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.sources import SampleSource
+    from quadrs_tpu.stream_runner import WaterfallRunner
+
+    for stride in (256, 128):
+        cfg = WaterfallConfig(
+            n_streams=2, fft_width=256, stride=stride, fmt=FileFormat.COMPLEX_INT8
+        )
+        model = WaterfallModel(cfg)
+        n = 5 * 256 + 37
+        raw = model.synth_raw(n, seed=11)
+        srcs = [
+            SampleSource(
+                np.stack([raw[s][0], raw[s][1]], axis=1).astype(np.int8).reshape(-1).view(np.uint8),
+                cfg.fmt,
+                400,
+            )
+            for s in range(2)
+        ]
+        want_idx, want_val = (np.asarray(a) for a in model.search(raw))
+
+        got = []
+        stats = WaterfallRunner(srcs, model, chunk_windows=3).run_search(
+            lambda w, iv: got.append((w, iv))
+        )
+        idx = np.concatenate([iv[0] for _, iv in got], axis=1)
+        val = np.concatenate([iv[1] for _, iv in got], axis=1)
+        np.testing.assert_array_equal(idx, want_idx)
+        np.testing.assert_array_equal(val, want_val)
+        assert stats.windows_out == want_idx.shape[0] * want_idx.shape[1]
+
+
+def test_sharded_runner_fuzz_matches_single_device():
+    """Randomized property test: StreamRunner(mesh) == single-device
+    across random (taps, decimate, fft_width, chunk, n_stream) draws."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs >=8 virtual devices")
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.default_rng(0xF022)
+    for trial in range(5):
+        decimate = int(rng.choice([2, 3, 5, 8, 16]))
+        taps = int(rng.integers(3, 40)) * decimate // 2 * 2 + 2  # even-ish, > decimate
+        fft_width = int(rng.choice([16, 32, 64]))
+        while taps // 2 // decimate >= fft_width:
+            fft_width *= 2
+        n_stream = int(rng.choice([1, 2]))
+        n_time = int(rng.choice([2, 4]))
+        cfg = PipelineConfig(
+            sample_rate=1_000_000,
+            shift_freq=int(rng.integers(1_000, 400_000)),
+            lp_freq=50_000,
+            decimate=decimate,
+            taps=taps,
+            fft_width=fft_width,
+            fmt=FileFormat.COMPLEX_FLOAT32,
+        )
+        model = PipelineModel(cfg)
+        win_raw = decimate * fft_width
+        n = win_raw * int(rng.integers(16, 40)) + int(rng.integers(0, 2 * taps))
+        chunk = win_raw * int(rng.integers(2, 10))
+        label = f"trial {trial}: d={decimate} taps={taps} w={fft_width} s={n_stream}x{n_time} chunk={chunk} n={n}"
+
+        srcs, singles = [], []
+        for _s in range(n_stream):
+            data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+            inter = np.empty((n, 2), dtype=np.float32)
+            inter[:, 0] = data.real
+            inter[:, 1] = data.imag
+            src = SampleSource(inter.reshape(-1).view(np.uint8), cfg.fmt, cfg.sample_rate)
+            srcs.append(src)
+            rows: dict[int, np.ndarray] = {}
+            StreamRunner(src, model, chunk_samples=chunk).run(
+                lambda w0, norms, rows=rows: rows.update(
+                    {w0 + i: norms[i] for i in range(len(norms))}
+                )
+            )
+            singles.append(rows)
+
+        mesh = make_mesh(n_time=n_time, n_stream=n_stream)
+        bank: dict[int, np.ndarray] = {}
+
+        def on_rows(w0, norms):
+            if n_stream == 1:
+                norms = norms[None] if norms.ndim == 2 else norms
+            for i in range(norms.shape[1]):
+                bank[w0 + i] = norms[:, i]
+
+        StreamRunner(
+            srcs if n_stream > 1 else srcs[0], model, chunk_samples=chunk, mesh=mesh
+        ).run(on_rows)
+        for s in range(n_stream):
+            assert set(bank) == set(singles[s]), label
+            scale = max(float(v.max()) for v in singles[s].values()) or 1.0
+            for w in bank:
+                np.testing.assert_allclose(
+                    bank[w][s],
+                    singles[s][w],
+                    atol=3e-4 * scale,
+                    err_msg=f"{label} s={s} w={w}",
+                )
