@@ -63,13 +63,28 @@ def main() -> None:
         else "fused cs8 decode+shift+lowpass(dec32,taps400)+stft64"
     )
 
-    msps = measure_msps_acc(step, chunk, min_secs, reps=3 if on_accel else 2)
+    tstats: dict = {}
+    msps = measure_msps_acc(
+        step, chunk, min_secs, reps=3 if on_accel else 2, stats_out=tstats
+    )
     line = {
         "metric": label + " throughput",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip",
         "vs_baseline": round(msps / 100.0, 2),
+        **tstats,
     }
+    # roofline position: algorithmic GFLOP/s + minimal HBM traffic
+    # (BASELINE.json's metric line names "FIR+FFT GFLOP/s")
+    from bench_suite import chain_flops_per_sample, roofline
+
+    line.update(
+        roofline(
+            msps,
+            chain_flops_per_sample(cfg.taps, cfg.decimate, cfg.fft_width),
+            cfg.fmt.pair_bytes + 4.0 / cfg.decimate,
+        )
+    )
 
     # fold the stretch configs + the sustained disk->chip run into the
     # same line so every round's artifact carries all five metrics

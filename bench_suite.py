@@ -19,12 +19,53 @@ Timing uses scalar-fetch differencing (see bench.py).
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import jax
 import numpy as np
 
 from quadrs_tpu.utils.timing import measure_msps_acc
+
+# -- roofline constants (TPU v5e, public specs) -----------------------------
+# 197 TFLOP/s bf16 MXU peak; f32 matmuls at Precision.HIGHEST run as
+# ~6 bf16 passes, so the f32 ceiling is ~197/6.  HBM: 819 GB/s.
+V5E_BF16_TFLOPS = 197.0
+V5E_F32_TFLOPS = V5E_BF16_TFLOPS / 6.0
+V5E_HBM_GBPS = 819.0
+
+
+def chain_flops_per_sample(taps: int, decimate: int, fft_width: int, mixed: bool = True) -> float:
+    """Algorithmic (direct-form-equivalent) FLOPs per *input* sample of
+    the shift -> FIR(decimate) -> STFT chain: complex NCO mix 6; real-tap
+    complex FIR 4·taps per output at rate 1/D; complex FFT by the
+    standard 5·W·log2(W) convention plus 4·W for the norms.  This counts
+    useful work, independent of implementation (overlap-save or four-
+    step kernels do fewer/other executed ops — DESIGN.md discusses)."""
+    f = 6.0 if mixed else 0.0
+    f += 4.0 * taps / decimate
+    f += (5.0 * math.log2(fft_width) + 4.0) / decimate
+    return f
+
+
+def stft_flops_per_sample(fft_width: int, stride: int) -> float:
+    """Waterfall bank: FFT + norms per input sample at window stride."""
+    return (5.0 * fft_width * math.log2(fft_width) + 4.0 * fft_width) / stride
+
+
+def roofline(msps: float, flops_ps: float, bytes_ps: float) -> dict:
+    """Annotate a measured rate with its roofline position: algorithmic
+    GFLOP/s (and % of the v5e f32-matmul ceiling) plus minimal HBM
+    traffic GB/s (native input read + f32 output write, the fused-kernel
+    traffic model; XLA-chain intermediates add more)."""
+    g = msps * 1e6 * flops_ps / 1e9
+    bw = msps * 1e6 * bytes_ps / 1e9
+    return {
+        "gflops": round(g, 1),
+        "pct_f32_matmul_peak": round(100.0 * g / (V5E_F32_TFLOPS * 1e3), 2),
+        "hbm_gbps": round(bw, 1),
+        "pct_hbm_peak": round(100.0 * bw / V5E_HBM_GBPS, 2),
+    }
 
 
 def make_acc_step(model, chunk, on_accel):
@@ -78,13 +119,25 @@ def bench_cs16_sustained(on_accel: bool) -> dict:
     chunk = (1 << 24) if on_accel else (1 << 20)
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
     step = make_acc_step(model, chunk, on_accel)(raw)
-    msps = measure_msps_acc(step, chunk, 2.0 if on_accel else 0.3, min_iters=2)
-    return {
+    tstats: dict = {}
+    msps = measure_msps_acc(
+        step, chunk, 2.0 if on_accel else 0.3, min_iters=2, stats_out=tstats
+    )
+    entry = {
         "metric": "cs16 on-chip decode + shift + lowpass(dec64) + stft",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip",
         "vs_baseline": round(msps / 100.0, 2),
+        **tstats,
     }
+    entry.update(
+        roofline(
+            msps,
+            chain_flops_per_sample(cfg.taps, cfg.decimate, cfg.fft_width),
+            cfg.fmt.pair_bytes + 4.0 / cfg.decimate,
+        )
+    )
+    return entry
 
 
 def bench_long_fir(on_accel: bool) -> dict:
@@ -104,13 +157,25 @@ def bench_long_fir(on_accel: bool) -> dict:
     chunk = (1 << 23) if on_accel else (1 << 19)
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
     step = make_acc_step(model, chunk, on_accel)(raw)
-    msps = measure_msps_acc(step, chunk, 2.0 if on_accel else 0.3, min_iters=2)
-    return {
+    tstats: dict = {}
+    msps = measure_msps_acc(
+        step, chunk, 2.0 if on_accel else 0.3, min_iters=2, stats_out=tstats
+    )
+    entry = {
         "metric": "power=2000 (4000-tap) lowpass chain",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip",
         "vs_baseline": round(msps / 100.0, 2),
+        **tstats,
     }
+    entry.update(
+        roofline(
+            msps,
+            chain_flops_per_sample(cfg.taps, cfg.decimate, cfg.fft_width),
+            cfg.fmt.pair_bytes + 4.0 / cfg.decimate,
+        )
+    )
+    return entry
 
 
 def bench_waterfall(on_accel: bool) -> dict:
@@ -135,13 +200,25 @@ def bench_waterfall(on_accel: bool) -> dict:
     def step(i, acc):
         return _acc(raw, acc)
 
-    msps = measure_msps_acc(step, total, 2.0 if on_accel else 0.3, min_iters=2)
-    return {
+    tstats: dict = {}
+    msps = measure_msps_acc(
+        step, total, 2.0 if on_accel else 0.3, min_iters=2, stats_out=tstats
+    )
+    entry = {
         "metric": "64x parallel cs8 fused decode + 1024-pt strided STFT",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip (aggregate)",
         "vs_baseline": round(msps / 100.0, 2),
+        **tstats,
     }
+    entry.update(
+        roofline(
+            msps,
+            stft_flops_per_sample(cfg.fft_width, cfg.stride),
+            cfg.fmt.pair_bytes + 4.0 * cfg.fft_width / cfg.stride,
+        )
+    )
+    return entry
 
 
 def bench_waterfall_search(on_accel: bool) -> dict:
@@ -164,15 +241,30 @@ def bench_waterfall_search(on_accel: bool) -> dict:
         i, m = sj(raw)
         return acc + jnp.sum(m) + jnp.sum(i.astype(jnp.float32))
 
+    tstats: dict = {}
     msps = measure_msps_acc(
-        lambda i, acc: _acc(raw, acc), total, 2.0 if on_accel else 0.3, min_iters=2
+        lambda i, acc: _acc(raw, acc),
+        total,
+        2.0 if on_accel else 0.3,
+        min_iters=2,
+        stats_out=tstats,
     )
-    return {
+    entry = {
         "metric": "64x cs8 waterfall peak search (in-kernel reduction)",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip (aggregate)",
         "vs_baseline": round(msps / 100.0, 2),
+        **tstats,
     }
+    entry.update(
+        roofline(
+            msps,
+            stft_flops_per_sample(cfg.fft_width, cfg.stride),
+            # search output: one (bin, mag) pair per window — ~0 bytes/sample
+            cfg.fmt.pair_bytes + 8.0 / cfg.fft_width,
+        )
+    )
+    return entry
 
 
 def _sustained_capture(n_samples: int) -> str:
@@ -293,6 +385,119 @@ def bench_disk_sustained(on_accel: bool) -> dict:
     }
 
 
+def bench_long_fir_sustained(on_accel: bool) -> dict:
+    """BASELINE config 4 *as written*: the power=2000 (4000-tap) FFT-
+    convolution chain over a 1G-sample synthetic capture, end-to-end
+    from disk through StreamRunner (C++ ring prefetch -> host staging ->
+    device overlap-save chain).  Two numbers: the end-to-end rate
+    (tunnel-transfer-bound on this rig, labeled) and the disk->host
+    staging feed rate with this chain's lookahead (the framework-owned
+    half).  The HBM-resident compute rate for the same chain is the
+    separate ``power=2000`` suite entry."""
+    import time
+
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+    from quadrs_tpu.sources import SampleSource
+    from quadrs_tpu.stream_runner import StreamRunner
+    from quadrs_tpu.utils.profiling import sync_fetch
+
+    import jax.numpy as jnp
+
+    n = (1 << 30) if on_accel else (1 << 23)
+    path = _sustained_capture(n)
+    cfg = PipelineConfig(
+        sample_rate=21_000_000,
+        shift_freq=280_000,
+        lp_freq=50_000,
+        decimate=32,
+        taps=4000,  # lowpass -power 2000
+        fft_width=64,
+        fmt=FileFormat.COMPLEX_INT8,
+    )
+    model = PipelineModel(cfg)
+    src = SampleSource.from_file(path)
+    chunk = 1 << 22
+
+    # framework-owned half: disk -> host staging feed at this chain's
+    # 6000-sample lookahead (pure host C++; drain device queue first)
+    sync_fetch(jax.jit(lambda: jnp.zeros(8))())
+    runner = StreamRunner(src, model, chunk_samples=chunk)
+    cap = 64 if on_accel else 2
+
+    def feed_pass() -> float:
+        t0 = time.perf_counter()
+        fed = 0
+        it = runner._prefetched(0)
+        for i, (_off, planes, _valid) in enumerate(it):
+            fed += planes.shape[1] - runner._lookahead
+            if i + 1 >= cap:
+                break
+        it.close()
+        return fed / (time.perf_counter() - t0) / 1e6
+
+    staging_msps = max(feed_pass() for _ in range(3))
+
+    # end-to-end: bounded pass at steady state (a full 1G pass was
+    # demonstrated on hardware; see STATUS.md)
+    e2e_cap = 8 if on_accel else 2
+    stats = StreamRunner(src, model, chunk_samples=chunk).run(max_chunks=e2e_cap)
+    return {
+        "metric": "sustained power=2000 chain over the 1G-sample capture "
+        "(disk->chip; transfer-bound by the tunneled runtime on this rig)"
+        if on_accel
+        else "sustained power=2000 chain from disk (CPU-rig scale)",
+        "value": round(stats.msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(stats.msps / 100.0, 2),
+        "staging_msps": round(staging_msps, 1),
+        "samples_total": n,
+    }
+
+
+def bench_staging_workers(on_accel: bool) -> dict:
+    """Worker-count scaling of the C++ ring prefetcher: raw disk->host
+    feed rate (pread + deinterleave + overlap re-read, no device work)
+    per n_workers.  On a single-core rig the curve is flat by
+    construction — the table records that honestly (host_cores says
+    why); on many-core hosts it is the parallel-reader scaling proof."""
+    import time
+
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.sources import SampleSource
+
+    # reuse the 1G capture the disk benches already cached
+    n = (1 << 30) if on_accel else (1 << 23)
+    src = SampleSource.from_file(_sustained_capture(n))
+    if src.native is None:
+        return {"metric": "prefetcher worker scaling", "value": 0.0, "unit": "Msamples/sec", "error": "native loader unavailable"}
+    chunk = 1 << 22
+    cap = max(2, min(48, n // chunk))
+    table = {}
+    for workers in (1, 2, 4):
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fed = 0
+            it = src.native.prefetch(chunk, start_off=0, overlap=4000, n_workers=workers)
+            for i, (_off, planes) in enumerate(it):
+                fed += chunk
+                if i + 1 >= cap:
+                    break
+            it.close()
+            best = max(best, fed / (time.perf_counter() - t0) / 1e6)
+        table[str(workers)] = round(best, 1)
+    peak = max(table.values())
+    return {
+        "metric": "disk->host prefetcher feed rate vs n_workers",
+        "value": peak,
+        "unit": "Msamples/sec",
+        "vs_baseline": round(peak / 100.0, 2),
+        "workers_msps": table,
+        "host_cores": os.cpu_count(),
+    }
+
+
 def suite(on_accel: bool) -> list[dict]:
     return [
         bench_cs16_sustained(on_accel),
@@ -301,6 +506,8 @@ def suite(on_accel: bool) -> list[dict]:
         bench_waterfall_search(on_accel),
         bench_disk_staging(on_accel),
         bench_disk_sustained(on_accel),
+        bench_long_fir_sustained(on_accel),
+        bench_staging_workers(on_accel),
     ]
 
 
@@ -313,6 +520,8 @@ def main() -> None:
         bench_waterfall_search,
         bench_disk_staging,
         bench_disk_sustained,
+        bench_long_fir_sustained,
+        bench_staging_workers,
     ):
         print(json.dumps(fn(on_accel)), flush=True)
 

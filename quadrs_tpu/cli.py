@@ -36,9 +36,27 @@ Formats:
 """
 
 
+def _select_platform() -> None:
+    """Honor ``QUADRS_PLATFORM`` (e.g. ``cpu``) before first jax use.
+
+    Tunneled-accelerator rigs ignore the ``JAX_PLATFORMS`` env var (the
+    plugin pins itself); ``jax.config.update`` is the only switch that
+    works there, and interactive CLI runs over small captures are
+    dispatch-bound on a tunnel anyway — ``QUADRS_PLATFORM=cpu`` keeps
+    them local."""
+    import os
+
+    want = os.environ.get("QUADRS_PLATFORM")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
     us = "quadjax"
+    _select_platform()
 
     try:
         commands = argmod.parse(argv)
