@@ -59,7 +59,7 @@ def main() -> None:
     step = make_acc_step(model, chunk, on_accel)(raw)
     label = (
         "fused pallas cs8 decode+shift+lowpass(dec32,taps400)+stft64"
-        if on_accel and model.pallas_supported()
+        if on_accel and model.pallas_preferred()
         else "fused cs8 decode+shift+lowpass(dec32,taps400)+stft64"
     )
 

@@ -75,7 +75,7 @@ def make_acc_step(model, chunk, on_accel):
     bench.py / measure_msps_acc)."""
     import jax.numpy as jnp
 
-    if on_accel and model.pallas_supported():
+    if on_accel and model.pallas_preferred():
         bases = [
             jax.device_put(np.asarray(model.stream_bases(k * chunk, chunk + model.cfg.taps)))
             for k in range(16)
@@ -208,6 +208,52 @@ def bench_waterfall(on_accel: bool) -> dict:
         "metric": "64x parallel cs8 fused decode + 1024-pt strided STFT",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip (aggregate)",
+        "vs_baseline": round(msps / 100.0, 2),
+        **tstats,
+    }
+    entry.update(
+        roofline(
+            msps,
+            stft_flops_per_sample(cfg.fft_width, cfg.stride),
+            cfg.fmt.pair_bytes + 4.0 * cfg.fft_width / cfg.stride,
+        )
+    )
+    return entry
+
+
+def bench_waterfall_strided(on_accel: bool) -> dict:
+    """Config 5's *strided* STFT at 4x overlap (1024-pt, stride 256):
+    the in-kernel class-row window assembly reads and decodes each input
+    sample once regardless of overlap (the round-2 XLA pre-arrangement
+    paid ~2x: 1923 Msps; in-kernel measured 3155)."""
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+
+    import jax.numpy as jnp
+
+    cfg = WaterfallConfig(n_streams=64, fft_width=1024, stride=256)
+    model = WaterfallModel(cfg)
+    # smaller per-stream chunks win for the overlapped kernel (measured
+    # 2^16 -> 3155, 2^17 -> 2412 Msps input)
+    per_stream = (1 << 16) if on_accel else (1 << 13)
+    raw = jax.device_put(model.synth_raw(per_stream))
+    total = cfg.n_streams * per_stream
+
+    @jax.jit
+    def _acc(raw, acc):
+        return acc + jnp.sum(model.step(raw))
+
+    tstats: dict = {}
+    msps = measure_msps_acc(
+        lambda i, acc: _acc(raw, acc),
+        total,
+        2.0 if on_accel else 0.3,
+        min_iters=2,
+        stats_out=tstats,
+    )
+    entry = {
+        "metric": "64x cs8 strided waterfall (1024-pt, stride 256: 4x overlap; input rate)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip (aggregate input)",
         "vs_baseline": round(msps / 100.0, 2),
         **tstats,
     }
@@ -503,6 +549,7 @@ def suite(on_accel: bool) -> list[dict]:
         bench_cs16_sustained(on_accel),
         bench_long_fir(on_accel),
         bench_waterfall(on_accel),
+        bench_waterfall_strided(on_accel),
         bench_waterfall_search(on_accel),
         bench_disk_staging(on_accel),
         bench_disk_sustained(on_accel),
@@ -517,6 +564,7 @@ def main() -> None:
         bench_cs16_sustained,
         bench_long_fir,
         bench_waterfall,
+        bench_waterfall_strided,
         bench_waterfall_search,
         bench_disk_staging,
         bench_disk_sustained,

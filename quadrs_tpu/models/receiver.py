@@ -218,14 +218,41 @@ class PipelineModel:
         )
 
     def pallas_supported(self) -> bool:
+        """Capability: the fused frontend *can* run this config.
+
+        Transposed kernel envelope: any decimate to 64 (the polyphase
+        axis lives on sublanes) and up to 128 subfilters — the round-3
+        group-accumulated diagonal reduction keeps peak VMEM O(32)
+        subfilters regardless of filter length (tiles scale down past 32
+        subfilters, see ``frontend_pallas._tout_t``), so power=2000 at
+        d=32 (m_sub=125) and non-dividing decimates all compile and run
+        (hardware-verified at d=3,6,8,12,32 / m_sub up to 125)."""
         from quadrs_tpu.ops import frontend_pallas as fp
 
-        # VMEM budget at the kernel's 8K-output tiles: long filters
-        # (many polyphase subfilters) blow the 16MB scoped limit —
-        # measured: m_sub=125 OOMs, m_sub<=13 comfortable; 32 is the
-        # conservative cap.  Larger filters take the XLA overlap-save.
         m_sub = -(-self.cfg.taps // self.cfg.decimate)
-        return fp.supported(self.cfg.decimate) and m_sub <= 32
+        return fp.supported_t(self.cfg.decimate) and m_sub <= 128
+
+    def pallas_preferred(self) -> bool:
+        """Auto-routing choice: run the fused frontend only where it
+        measured faster than the XLA chain on v5e (round 3):
+
+        * m_sub <= 32 with 128-dividing decimate — the round-2 proven
+          wins (headline cs8 4120 vs ~2400 Msps);
+        * tiny non-dividing decimates (d <= 8), where the XLA matmul
+          impls crater (d=3: 45 Msps XLA vs 805 fused; d=6 cf32:
+          758 vs 944);
+        * everything longer routes XLA: d=8/m_sub=50 measured 1689
+          fused vs 2356 XLA, and the m_sub>64 spectral os_poly chain
+          beats direct-form fused (cf32 power=2000: 3829 vs 2180)."""
+        if not self.pallas_supported():
+            return False
+        from quadrs_tpu.ops import frontend_pallas as fp
+
+        d = self.cfg.decimate
+        m_sub = -(-self.cfg.taps // d)
+        if fp.supported(d):
+            return m_sub <= 32
+        return d <= 8
 
     def stream_bases(self, global_start: int, n_chunk: int) -> np.ndarray:
         """Host-exact per-tile NCO bases for :meth:`step_stream_pallas` of

@@ -102,8 +102,17 @@ class FrontendSpec:
 
 
 def supported(decimate: int) -> bool:
-    # d=128 blocks alone approach the 16MB VMEM budget at the 8K tile
+    """v1 (banded) kernel support: decimate must divide 128 so lhs rows
+    land on row boundaries."""
     return decimate in (1, 2, 4, 8, 16, 32, 64)
+
+
+def supported_t(decimate: int) -> bool:
+    """Transposed (v2) kernel support: the polyphase axis lives on
+    sublanes, so ANY decimate works (the (d, N) block's sublane dim
+    equals the array dim — hardware-verified compiled at d=3,5,6,12);
+    >64 only bounds VMEM at the 8K tile."""
+    return 1 <= decimate <= 64
 
 
 @functools.lru_cache(maxsize=8)
@@ -317,8 +326,20 @@ def _tout_t(spec: FrontendSpec) -> int:
     setup), but the f32 input's 4x VMEM footprint favors smaller tiles.
     Measured on v5e (4M-sample chunks, dec 32, 400 taps):
     cf32 2907/3276/3002 Msps at 2K/4K/8K; cs8 4277/4937 at 4K/8K;
-    cs16 3787/4953 at 4K/8K; 16K+ tiles fail to compile (VMEM)."""
-    return 4096 if spec.fmt is FileFormat.COMPLEX_FLOAT32 else 8192
+    cs16 3787/4953 at 4K/8K; 16K+ tiles fail to compile (VMEM).
+
+    Long filters scale the tile down: the group-accumulated diagonal
+    reduction keeps live subfilter products O(32), but each group's
+    (32, tout+128) product plus the roll temporaries still grow with
+    tout (m_sub=50 at tout 8192 measured 19.4M scoped vs the 16M
+    limit)."""
+    base = 4096 if spec.fmt is FileFormat.COMPLEX_FLOAT32 else 8192
+    m_sub = -(-len(spec.taps) // spec.decimate)
+    if m_sub > 64:
+        base //= 4
+    elif m_sub > 32:
+        base //= 2
+    return max(1024, base)
 
 
 @functools.lru_cache(maxsize=8)
@@ -428,21 +449,37 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
 
         hp = hp_ref[:]
         p_hi = jax.lax.Precision.HIGHEST
-        c2r = jnp.dot(hp, mre, precision=p_hi, preferred_element_type=jnp.float32)
-        c2i = jnp.dot(hp, mim, precision=p_hi, preferred_element_type=jnp.float32)
+        # subfilters in groups of <=32: each group is one thin MXU matmul
+        # whose (g, tout+128) product is rolled/summed into the output
+        # before the next group materializes — peak VMEM stays O(group),
+        # lifting the filter-length cap from 32 to 128 subfilters
+        # (power=2000 at d=32 has m_sub=125)
+        g_rows = min(32, hp.shape[0])
 
-        def diag_rows(c2):
-            # y[i] = sum_m c2[m, i+m]: align each subfilter row with a
-            # roll, then one sublane reduction — O(m_sub) vector ops
-            # instead of O(m_sub * tout/128) tiny slice-adds
-            rows = [c2[0:1]]
-            for m in range(1, m_sub):
-                rows.append(jnp.roll(c2[m : m + 1], -m, axis=1))
-            z = jnp.concatenate(rows, axis=0)
+        def diag_rows(c2, g0):
+            # y[i] = sum_m c2[m-g0, i+m]: align each subfilter row with
+            # a roll, then one sublane reduction — O(g) vector ops
+            rows = []
+            for m in range(g0, min(g0 + g_rows, m_sub)):
+                row = c2[m - g0 : m - g0 + 1]
+                # roll(x, 0) emits a zero-width slice Mosaic rejects
+                rows.append(jnp.roll(row, -m, axis=1) if m else row)
+            z = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
             return jnp.sum(z, axis=0, keepdims=True)[:, :tout]  # (1, tout)
 
-        ore_ref[0] = diag_rows(c2r)
-        oim_ref[0] = diag_rows(c2i)
+        accr = None
+        acci = None
+        for g0 in range(0, m_sub, g_rows):
+            hg = hp[g0 : g0 + g_rows]
+            c2r = jnp.dot(hg, mre, precision=p_hi, preferred_element_type=jnp.float32)
+            c2i = jnp.dot(hg, mim, precision=p_hi, preferred_element_type=jnp.float32)
+            pr = diag_rows(c2r, g0)
+            pi = diag_rows(c2i, g0)
+            accr = pr if accr is None else accr + pr
+            acci = pi if acci is None else acci + pi
+
+        ore_ref[0] = accr
+        oim_ref[0] = acci
 
     return kernel
 
@@ -465,8 +502,8 @@ def fused_frontend_t(
     from jax.experimental.pallas import tpu as pltpu
 
     d = spec.decimate
-    if not supported(d):
-        raise ValueError(f"pallas frontend requires decimate | 128, got {d}")
+    if not supported_t(d):
+        raise ValueError(f"transposed pallas frontend requires 1 <= decimate <= 64, got {d}")
     m_sub, m_pad, hp, cdm, sdm, cdh, sdh = _plan_t(spec)
     tout = _tout_t(spec)
 

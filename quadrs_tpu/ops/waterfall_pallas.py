@@ -30,6 +30,14 @@ stage-1 layout.  No NCO here — the waterfall bank has no mixer.
 Grid tiles are 128 windows; window counts pad up to a tile and the
 epilogue drops the padding.  Conformance: matches ``stft_norms`` (the
 XLA path) to ~1e-6 relative; pinned by ``tests/test_waterfall_pallas.py``.
+
+Strided windows (stride != width): 128-multiple strides assemble the
+window matrix IN KERNEL from contiguous class-row slices (see the
+strided section below) — measured 3155 Msps of input at 4x overlap on
+v5e vs 1923 for the round-2 XLA pre-arrangement; other strides keep the
+pre-arranged path.  The in-kernel peak search currently runs on the
+tiled/pre-arranged layout only (its windows live on lanes, where the
+reduction is a cheap sublane fold).
 """
 
 from __future__ import annotations
@@ -187,11 +195,15 @@ def fused_waterfall(
 ) -> jnp.ndarray:
     """(S, 2, n) native planes -> (S, n_windows, width) f32 fftshifted
     norms via the fused kernel.  ``stride`` defaults to ``width``
-    (the bank's non-overlap tiling, a free reshape); other strides —
-    overlapped or skipping — build the window matrix from native-dtype
-    row slices in XLA (never a gather) and run the same kernel, paying
-    only the width/stride input inflation.  Trailing samples that don't
+    (the bank's non-overlap tiling, a free reshape); strides that are a
+    multiple of 128 — overlapped or skipping — assemble the windows IN
+    KERNEL from contiguous class-row slices (each input sample read and
+    decoded once, no width/stride inflation; see the strided section
+    above); remaining strides build the window matrix from native-dtype
+    row slices in XLA (never a gather).  Trailing samples that don't
     fill a window are dropped."""
+    if stride is not None and stride != spec.width and _strided_supported(spec.width, stride):
+        return _fused_waterfall_strided(planes, spec, n_windows, stride, interpret)
     inputs, in_specs, groups, total_w = _prearranged(planes, spec, n_windows, stride)
     from jax.experimental import pallas as pl
 
@@ -248,6 +260,188 @@ def fused_waterfall_search(
     val = val.reshape(groups * _WIN_TILE)[:total_w].reshape(s_streams, n_windows)
     idx = j.reshape(groups * _WIN_TILE)[:total_w].reshape(s_streams, n_windows)
     return idx, val
+
+
+# ---------------------------------------------------------------------------
+# Strided (overlapped/skipping) windows, assembled IN KERNEL.
+#
+# The pre-arranged path below pays width/stride input inflation plus u8
+# transposes in XLA (~2x at 4x overlap).  For stride = 128*s_r the
+# window matrix never needs to exist: decompose the in-window index as
+# n = 128*q + p (q on rows-of-128, p on lanes).  Window w's q-th row is
+# stream row w*s_r + q, so after a row-level class split by residue mod
+# s_r (one XLA row transpose, no inflation — rows stay 128-sample
+# contiguous), a tile of 128 windows needs only CONTIGUOUS 128-row
+# slices of each class, offset by q // s_r:
+#
+#   X_w[s' + b*r] = sum_p W_128^{pr} * sum_q T[q,s'][p] * class_{q%s_r}[w + q//s_r, p]
+#   T[q,s'][p] = W_b^{q s'} * W_N^{p s'} * win[128*q + p]
+#
+# * stage A: b^2 resident-complex-lane-table FMAs over (128, 128)
+#   slices — the W_N^{ps'} twiddle and the window function fold into
+#   the tables for free;
+# * stage B: one (128w, 128p) @ (128p, 128r) MXU matmul per s' (full
+#   128-contraction, same total MACs as the tiled kernel's stage 1);
+# * output pages (s', w, r) flatten to bins k = s' + b*r, one f32
+#   epilogue transpose + fftshift like the tiled path.
+#
+# Each input sample is read and decoded ONCE regardless of overlap.
+# ---------------------------------------------------------------------------
+
+_HALO_ROWS = 32  # covers q//s_r <= 31 for any b <= 32; legal sublane tile
+
+
+def _strided_supported(width: int, stride: int) -> bool:
+    return supported(width) and stride % 128 == 0 and stride > 0
+
+
+@functools.lru_cache(maxsize=8)
+def _plan_strided(spec: WaterfallSpec):
+    """Resident tables for the in-kernel strided path: T[q*b+s', p]
+    (complex, f64-evaluated) and the stage-B F128 matrix."""
+    width = spec.width
+    b = width // 128
+    p = np.arange(128)
+    f1 = np.exp(-2j * np.pi * np.outer(p, p) / 128.0)
+    win = np.ones(width, dtype=np.float64)
+    if spec.windowing in ("blackman-harris", "blackmanharris"):
+        from quadrs_tpu.ops.stft import blackman_harris_window
+
+        win = blackman_harris_window(width).astype(np.float64)
+    t = np.empty((b * b, 128), dtype=np.complex128)
+    for q in range(b):
+        for s in range(b):
+            # W_b^{qs} * W_N^{ps} * win[128q + p]
+            t[q * b + s] = (
+                np.exp(-2j * np.pi * ((q * s) / float(b) + p * s / float(width)))
+                * win[128 * q : 128 * (q + 1)]
+            )
+    to32 = lambda m: (m.real.astype(np.float32), m.imag.astype(np.float32))
+    return to32(f1), to32(t)
+
+
+def _kernel_strided(spec: WaterfallSpec, s_r: int):
+    from quadrs_tpu.ops.frontend_pallas import _decode_ref
+
+    width = spec.width
+    b = width // 128
+
+    def kernel(re_ref, im_ref, hre_ref, him_ref, tr_ref, ti_ref, f1r_ref, f1i_ref, out_ref):
+        p_hi = jax.lax.Precision.HIGHEST
+        # decode each class block once: (s_r, 128 + _HALO_ROWS, 128) f32
+        xr = [
+            jnp.concatenate(
+                [_decode_ref(re_ref[0, c], spec.fmt), _decode_ref(hre_ref[0, c], spec.fmt)],
+                axis=0,
+            )
+            for c in range(s_r)
+        ]
+        xi = [
+            jnp.concatenate(
+                [_decode_ref(im_ref[0, c], spec.fmt), _decode_ref(him_ref[0, c], spec.fmt)],
+                axis=0,
+            )
+            for c in range(s_r)
+        ]
+        tr, ti = tr_ref[:], ti_ref[:]
+        f1r, f1i = f1r_ref[:], f1i_ref[:]
+        # hoist the sublane-offset window slices out of the s' loop:
+        # each (class, offset) pair is sliced once, not once per s'
+        # (misaligned sublane slices cost rotate work on the VPU)
+        ys = [
+            (xr[q % s_r][q // s_r : q // s_r + 128], xi[q % s_r][q // s_r : q // s_r + 128])
+            for q in range(b)
+        ]
+        for s in range(b):
+            ar = None
+            ai = None
+            for q in range(b):
+                vr, vi = ys[q]
+                cr = tr[q * b + s : q * b + s + 1]  # (1, 128) lane row
+                ci = ti[q * b + s : q * b + s + 1]
+                wr = vr * cr - vi * ci
+                wi = vr * ci + vi * cr
+                ar = wr if ar is None else ar + wr
+                ai = wi if ai is None else ai + wi
+            # stage B: (128w, 128p) @ (128p, 128r); F128 symmetric
+            zr = jnp.dot(ar, f1r, precision=p_hi, preferred_element_type=jnp.float32) - jnp.dot(
+                ai, f1i, precision=p_hi, preferred_element_type=jnp.float32
+            )
+            zi = jnp.dot(ar, f1i, precision=p_hi, preferred_element_type=jnp.float32) + jnp.dot(
+                ai, f1r, precision=p_hi, preferred_element_type=jnp.float32
+            )
+            out_ref[0, 0, s] = jnp.sqrt(zr * zr + zi * zi)
+
+    return kernel
+
+
+def _fused_waterfall_strided(
+    planes: jax.Array,
+    spec: WaterfallSpec,
+    n_windows: int,
+    stride: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+
+    width = spec.width
+    b = width // 128
+    s_r = stride // 128
+    s_streams = planes.shape[0]
+    (f1r, f1i), (tr, ti) = _plan_strided(spec)
+
+    tiles = -(-n_windows // _WIN_TILE)
+    j_rows = tiles * _WIN_TILE + _HALO_ROWS  # per-class rows incl. halo pad
+    need = j_rows * s_r * 128
+    n = planes.shape[-1]
+    x = planes if n >= need else jnp.pad(planes, ((0, 0), (0, 0), (0, need - n)))
+    # class split: rows of 128 -> [j, c, p] -> class-major (no inflation)
+    x = x[:, :, :need].reshape(s_streams, 2, j_rows, s_r, 128)
+    x = jnp.transpose(x, (1, 0, 3, 2, 4))  # (2, S, s_r, J, 128)
+
+    hb = _HALO_ROWS
+    in_specs = [
+        pl.BlockSpec((1, s_r, _WIN_TILE, 128), lambda si, t: (si, 0, t, 0)),
+        pl.BlockSpec((1, s_r, _WIN_TILE, 128), lambda si, t: (si, 0, t, 0)),
+        pl.BlockSpec((1, s_r, hb, 128), lambda si, t: (si, 0, (t + 1) * (_WIN_TILE // hb), 0)),
+        pl.BlockSpec((1, s_r, hb, 128), lambda si, t: (si, 0, (t + 1) * (_WIN_TILE // hb), 0)),
+        pl.BlockSpec((b * b, 128), lambda si, t: (0, 0)),
+        pl.BlockSpec((b * b, 128), lambda si, t: (0, 0)),
+        pl.BlockSpec((128, 128), lambda si, t: (0, 0)),
+        pl.BlockSpec((128, 128), lambda si, t: (0, 0)),
+    ]
+    out = pl.pallas_call(
+        _kernel_strided(spec, s_r),
+        grid=(s_streams, tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, b, _WIN_TILE, 128), lambda si, t: (si, t, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (s_streams, tiles, b, _WIN_TILE, 128), jnp.float32
+        ),
+        interpret=interpret,
+    )(
+        x[0],
+        x[1],
+        x[0],
+        x[1],
+        jnp.asarray(tr),
+        jnp.asarray(ti),
+        jnp.asarray(f1r),
+        jnp.asarray(f1i),
+    )
+
+    # pages (s', w, r) -> (w, k) with k = s' + b*r: transpose to
+    # (w, r, s') then flatten, one f32 pass like the tiled epilogue
+    from quadrs_tpu.ops.stft import fftshift
+
+    norms = jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(
+        s_streams, tiles * _WIN_TILE, width
+    )[:, :n_windows]
+    return fftshift(norms.reshape(s_streams * n_windows, width)).reshape(
+        s_streams, n_windows, width
+    )
 
 
 def _prearranged(planes, spec: WaterfallSpec, n_windows: int, stride: int | None):

@@ -399,9 +399,10 @@ class StreamRunner:
             return True
         if self.frontend != "auto":
             return False
-        # every format wins through the fused kernel on v5e (cf32 since
-        # the per-format tile sizing: 3.2 vs 2.2 Gsps through XLA)
-        return jax.devices()[0].platform == "tpu" and self.model.pallas_supported()
+        # measured auto choice: fused kernel where it wins on v5e (every
+        # format at m_sub <= 32 and tiny non-dividing decimates), XLA
+        # matmul/os_poly chains elsewhere — see pallas_preferred
+        return jax.devices()[0].platform == "tpu" and self.model.pallas_preferred()
 
     def _run_sharded(
         self, on_windows, stats: RunStats, start_off: int = 0, max_chunks=None

@@ -1,4 +1,5 @@
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -110,8 +111,67 @@ def test_fused_frontend_phase_matches_at_offset():
 
 def test_supported_decimations():
     assert supported(32) and supported(8) and supported(64)
-    # 128 exceeds the VMEM budget at the 8K tile; non-divisors rejected
+    # v1 (banded): 128 exceeds the VMEM budget; non-divisors rejected
     assert not supported(128) and not supported(24) and not supported(3)
+    # v2 (transposed): any decimate to 64 — the polyphase axis is on
+    # sublanes, so nothing requires d | 128
+    from quadrs_tpu.ops.frontend_pallas import supported_t
+
+    assert supported_t(3) and supported_t(5) and supported_t(12) and supported_t(64)
+    assert not supported_t(0) and not supported_t(65)
+
+
+@pytest.mark.parametrize(
+    "fmt,decimate,taps",
+    [
+        (FileFormat.COMPLEX_INT8, 3, 40),        # non-dividing decimate
+        (FileFormat.COMPLEX_UINT8, 5, 77),       # odd taps, odd decimate
+        (FileFormat.COMPLEX_INT16, 12, 200),
+        (FileFormat.COMPLEX_INT8, 8, 400),       # CLI default -decimate 8, power 200
+        (FileFormat.COMPLEX_FLOAT32, 32, 4000),  # power=2000: m_sub=125 multi-group
+    ],
+)
+def test_widened_envelope_matches_stream(fmt, decimate, taps):
+    """Round-3 envelope: non-dividing decimates and long filters (up to
+    128 subfilters, group-accumulated) through the transposed kernel
+    must equal the XLA step_stream, including a masked ragged tail."""
+    cfg = PipelineConfig(
+        sample_rate=1_000_000,
+        shift_freq=12_500,
+        lp_freq=50_000,
+        decimate=decimate,
+        taps=taps,
+        fft_width=64,
+        fmt=fmt,
+    )
+    model = PipelineModel(cfg)
+    assert model.pallas_supported()
+    n = decimate * 64 * 5 + taps + 29
+    raw = model.synth_raw(n, seed=17)
+    theta0 = model.theta0(np.asarray([0]))[0]
+    want = np.asarray(
+        model.jit_step_stream(jnp.asarray(raw), jnp.float32(theta0), np.int32(n))
+    )
+    got = np.asarray(
+        model.jit_step_stream_pallas(
+            jnp.asarray(raw), jnp.asarray(model.stream_bases(0, n))
+        )
+    )
+    scale = max(np.abs(want).max(), 1e-3)
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale)
+    # ragged tail: pad raw with zero bytes, mask in the decoded domain
+    pad = np.pad(raw, ((0, 0), (0, 3 * decimate * 64)))
+    want2 = np.asarray(
+        model.jit_step_stream(jnp.asarray(pad), jnp.float32(theta0), np.int32(n))
+    )
+    got2 = np.asarray(
+        model.jit_step_stream_pallas(
+            jnp.asarray(pad),
+            jnp.asarray(model.stream_bases(0, pad.shape[1])),
+            n_valid=n,
+        )
+    )
+    np.testing.assert_allclose(got2, want2, atol=5e-5 * scale)
 
 
 @pytest.mark.parametrize(

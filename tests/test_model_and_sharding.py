@@ -253,6 +253,38 @@ def test_pallas_supported_respects_subfilter_limit():
     assert not PipelineModel(cfg).pallas_supported()
 
 
+def test_pallas_preferred_routing():
+    """Auto-routing follows the measured v5e crossovers: fused frontend
+    for m_sub<=32 dividing decimates and tiny non-dividing ones; XLA
+    (matmul / spectral os_poly) elsewhere.  Everything preferred must
+    also be supported (capability superset)."""
+
+    def model(d, taps):
+        return PipelineModel(
+            PipelineConfig(
+                sample_rate=21_000_000,
+                shift_freq=280_000,
+                lp_freq=50_000,
+                decimate=d,
+                taps=taps,
+                fft_width=64,
+                fmt=FileFormat.COMPLEX_INT8,
+            )
+        )
+
+    assert model(32, 400).pallas_preferred()  # headline: m_sub=13
+    assert model(3, 40).pallas_preferred()  # XLA craters at d=3 (45 Msps)
+    assert model(6, 100).pallas_preferred()
+    assert not model(12, 200).pallas_preferred()  # XLA measured faster
+    assert not model(8, 400).pallas_preferred()  # m_sub=50: XLA faster
+    assert not model(32, 4000).pallas_preferred()  # os_poly beats direct
+    assert model(32, 4000).pallas_supported()  # …but fused CAN run it
+    assert model(8, 400).pallas_supported()
+    for d, taps in [(32, 400), (3, 40), (8, 400), (32, 4000)]:
+        m = model(d, taps)
+        assert not m.pallas_preferred() or m.pallas_supported()
+
+
 def test_sharded_odd_taps_matches_single_device():
     if len(jax.devices()) < 4:
         pytest.skip("needs >=4 virtual devices")

@@ -77,10 +77,12 @@ def test_model_frontend_selection():
         )
 
 
-@pytest.mark.parametrize("stride", [256, 769, 1024, 1536])
+@pytest.mark.parametrize("stride", [128, 256, 769, 1024, 1536])
 def test_fused_waterfall_strided(stride):
     """Overlapped (stride < width) and skipping (stride > width)
-    spectrograms through the kernel match the XLA chain."""
+    spectrograms through the kernel match the XLA chain.  128-multiple
+    strides take the in-kernel class-row assembly (each sample read
+    once); 769 exercises the XLA pre-arranged fallback."""
     cfg = WaterfallConfig(
         n_streams=2, fft_width=1024, stride=stride, frontend="xla",
         windowing="blackman-harris",
@@ -100,6 +102,37 @@ def test_fused_waterfall_strided(stride):
         )(jnp.asarray(raw))
     )
     assert got.shape == want.shape == (2, nw, 1024)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5 * want.max())
+
+
+@pytest.mark.parametrize(
+    "fmt",
+    [FileFormat.COMPLEX_UINT8, FileFormat.COMPLEX_INT16, FileFormat.COMPLEX_FLOAT32],
+)
+def test_strided_inkernel_formats(fmt):
+    """The in-kernel strided assembly decodes every format correctly
+    (cu8/cs16 offsets included) and routes for any 128-multiple stride."""
+    from quadrs_tpu.ops.waterfall_pallas import _strided_supported
+
+    assert _strided_supported(512, 128) and _strided_supported(512, 1152)
+    assert not _strided_supported(512, 769)
+    cfg = WaterfallConfig(
+        n_streams=2, fft_width=512, stride=128, fmt=fmt, frontend="xla"
+    )
+    model = WaterfallModel(cfg)
+    n = 4 * 512 + 99
+    nw = (n - 512) // 128 + 1
+    raw = model.synth_raw(n, seed=13)
+    want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+    spec = WaterfallSpec(fmt=fmt, width=512, windowing="rectangular")
+    got = np.asarray(
+        jax.jit(
+            lambda p: fused_waterfall(
+                p, spec, nw, stride=128, interpret=jax.default_backend() != "tpu"
+            )
+        )(jnp.asarray(raw))
+    )
+    assert got.shape == want.shape == (2, nw, 512)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5 * want.max())
 
 
