@@ -241,7 +241,13 @@ def fused_waterfall_search(
     window) the fftshifted argmax bin and its magnitude, reduced inside
     the kernel — the f32 norms (the dominant HBM write of the norms
     kernel) never leave VMEM.  Ties resolve to the lowest shifted bin,
-    exactly like ``jnp.argmax`` over the shifted norms."""
+    exactly like ``jnp.argmax`` over the shifted norms.  128-multiple
+    strides run the in-kernel window assembly (lane reductions per
+    page); others pre-arrange in XLA like the norms path."""
+    if stride is not None and stride != spec.width and _strided_supported(spec.width, stride):
+        return _fused_waterfall_strided(
+            planes, spec, n_windows, stride, interpret, search=True
+        )
     inputs, in_specs, groups, total_w = _prearranged(planes, spec, n_windows, stride)
     from jax.experimental import pallas as pl
 
@@ -320,13 +326,13 @@ def _plan_strided(spec: WaterfallSpec):
     return to32(f1), to32(t)
 
 
-def _kernel_strided(spec: WaterfallSpec, s_r: int):
+def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False):
     from quadrs_tpu.ops.frontend_pallas import _decode_ref
 
     width = spec.width
     b = width // 128
 
-    def kernel(re_ref, im_ref, hre_ref, him_ref, tr_ref, ti_ref, f1r_ref, f1i_ref, out_ref):
+    def kernel(re_ref, im_ref, hre_ref, him_ref, tr_ref, ti_ref, f1r_ref, f1i_ref, *out_refs):
         p_hi = jax.lax.Precision.HIGHEST
         # decode each class block once: (s_r, 128 + _HALO_ROWS, 128) f32
         xr = [
@@ -352,6 +358,8 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int):
             (xr[q % s_r][q // s_r : q // s_r + 128], xi[q % s_r][q // s_r : q // s_r + 128])
             for q in range(b)
         ]
+        best_val = None
+        best_j = None
         for s in range(b):
             ar = None
             ai = None
@@ -370,7 +378,35 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int):
             zi = jnp.dot(ar, f1i, precision=p_hi, preferred_element_type=jnp.float32) + jnp.dot(
                 ai, f1r, precision=p_hi, preferred_element_type=jnp.float32
             )
-            out_ref[0, 0, s] = jnp.sqrt(zr * zr + zi * zi)
+            mag = jnp.sqrt(zr * zr + zi * zi)
+            if not search:
+                out_refs[0][0, 0, s] = mag
+                continue
+            # per page (windows on SUBLANES, bins on lanes): the lane
+            # max and — matching XLA argmax-over-shifted-norms tie
+            # order — the smallest fftshifted bin index holding it
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (_WIN_TILE, 128), 1)
+            j_page = jnp.remainder(b * r_iota + (s + width // 2), width)
+            m_s = jnp.max(mag, axis=1, keepdims=True)  # (W, 1)
+            j_s = jnp.min(jnp.where(mag == m_s, j_page, width), axis=1, keepdims=True)
+            if best_val is None:
+                best_val, best_j = m_s, j_s
+            else:
+                upd = m_s > best_val
+                tie = m_s == best_val
+                best_j = jnp.where(
+                    upd, j_s, jnp.where(tie, jnp.minimum(best_j, j_s), best_j)
+                )
+                best_val = jnp.maximum(best_val, m_s)
+        if search:
+            # outputs are (W, 128) blocks with the per-window scalar
+            # broadcast across lanes (a (W, 1) lane write is not a legal
+            # tile); the epilogue reads lane 0
+            out_refs[0][0, 0] = jnp.broadcast_to(best_val, (_WIN_TILE, 128))
+            # NaN clamp: see the tiled search kernel
+            out_refs[1][0, 0] = jnp.broadcast_to(
+                jnp.minimum(best_j, width - 1), (_WIN_TILE, 128)
+            )
 
     return kernel
 
@@ -381,7 +417,8 @@ def _fused_waterfall_strided(
     n_windows: int,
     stride: int,
     interpret: bool,
-) -> jnp.ndarray:
+    search: bool = False,
+):
     from jax.experimental import pallas as pl
 
     width = spec.width
@@ -410,16 +447,25 @@ def _fused_waterfall_strided(
         pl.BlockSpec((128, 128), lambda si, t: (0, 0)),
         pl.BlockSpec((128, 128), lambda si, t: (0, 0)),
     ]
+    if search:
+        out_specs = [
+            pl.BlockSpec((1, 1, _WIN_TILE, 128), lambda si, t: (si, t, 0, 0))
+        ] * 2
+        out_shape = [
+            jax.ShapeDtypeStruct((s_streams, tiles, _WIN_TILE, 128), jnp.float32),
+            jax.ShapeDtypeStruct((s_streams, tiles, _WIN_TILE, 128), jnp.int32),
+        ]
+    else:
+        out_specs = pl.BlockSpec((1, 1, b, _WIN_TILE, 128), lambda si, t: (si, t, 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct(
+            (s_streams, tiles, b, _WIN_TILE, 128), jnp.float32
+        )
     out = pl.pallas_call(
-        _kernel_strided(spec, s_r),
+        _kernel_strided(spec, s_r, search=search),
         grid=(s_streams, tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, b, _WIN_TILE, 128), lambda si, t: (si, t, 0, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (s_streams, tiles, b, _WIN_TILE, 128), jnp.float32
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(
         x[0],
@@ -431,6 +477,12 @@ def _fused_waterfall_strided(
         jnp.asarray(f1r),
         jnp.asarray(f1i),
     )
+
+    if search:
+        val, j = out
+        val = val[..., 0].reshape(s_streams, tiles * _WIN_TILE)[:, :n_windows]
+        idx = j[..., 0].reshape(s_streams, tiles * _WIN_TILE)[:, :n_windows]
+        return idx, val
 
     # pages (s', w, r) -> (w, k) with k = s' + b*r: transpose to
     # (w, r, s') then flatten, one f32 pass like the tiled epilogue

@@ -354,9 +354,15 @@ class StreamRunner:
         """
         import time
 
+        import jax.numpy as jnp
+
         model = self.model
         stats = RunStats()
         t0 = time.perf_counter()
+        # with no callback, every chunk's output would be a dead cone a
+        # lazily-materializing runtime may skip (CLAUDE.md): fold each
+        # chunk's full output into one accumulator the closing fetch
+        # observes, so stats.msps cannot be inflated by skipped chunks
         last = None
         done_chunks = 0
         if self._sharded_step is None:
@@ -372,11 +378,13 @@ class StreamRunner:
                 else:
                     theta0 = model.theta0(np.asarray([off]))[0]
                     norms = model.jit_step_stream(planes, theta0, np.int32(valid))
-                last = norms
                 stats.samples_in += planes.shape[1] - self._lookahead
                 stats.windows_out += norms.shape[0]
                 if on_windows is not None:
                     on_windows(off // self._win_raw, np.asarray(norms))
+                else:
+                    s = jnp.sum(norms)
+                    last = s if last is None else last + s
                 done_chunks += 1
                 if max_chunks is not None and done_chunks >= max_chunks:
                     # break before pulling (and staging) the next chunk
@@ -454,6 +462,8 @@ class StreamRunner:
                 )
                 off += n
 
+        import jax.numpy as jnp
+
         off = start_off
         chunks = _background(staged())
         for off, args in chunks:
@@ -462,12 +472,15 @@ class StreamRunner:
                 return last
             done_chunks += 1
             out = self._sharded_step(*args)
-            last = out
             stats.samples_in += n * n_stream
             stats.windows_out += out.shape[0] * out.shape[1]
             if on_windows is not None:
                 rows = np.asarray(out)
                 on_windows(off // self._win_raw, rows[0] if single else rows)
+            else:
+                # fold every chunk into the fetched cone (see run())
+                s = jnp.sum(out)
+                last = s if last is None else last + s
         off = off + n if stats.samples_in else start_off
         # ragged tail, single-device per stream (lockstep offsets)
         while off < length - cfg.taps:
@@ -483,7 +496,9 @@ class StreamRunner:
                     planes = np.pad(planes, ((0, 0), (0, m + self._lookahead - valid)))
                 norms = model.jit_step_stream(planes, theta0, np.int32(valid))
                 rows.append(norms)
-                last = norms
+                if on_windows is None:
+                    s_sum = jnp.sum(norms)
+                    last = s_sum if last is None else last + s_sum
             stats.samples_in += m * n_stream
             stats.windows_out += rows[0].shape[0] * n_stream
             if on_windows is not None:

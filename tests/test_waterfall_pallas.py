@@ -188,6 +188,9 @@ def test_sharded_waterfall_rejects_overlap():
         (1024, 1024, FileFormat.COMPLEX_INT8),
         (256, 128, FileFormat.COMPLEX_INT16),
         (512, 512, FileFormat.COMPLEX_FLOAT32),
+        (1024, 256, FileFormat.COMPLEX_INT8),  # strided in-kernel search
+        (256, 384, FileFormat.COMPLEX_UINT8),  # skipping stride, in-kernel
+        (512, 257, FileFormat.COMPLEX_INT8),  # non-128-multiple: pre-arranged
     ],
 )
 def test_fused_waterfall_search(width, stride, fmt):
