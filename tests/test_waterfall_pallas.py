@@ -276,6 +276,52 @@ def test_fused_waterfall_fuzz():
         )
 
 
+def test_strided_inkernel_fuzz():
+    """Randomized sweep of the in-kernel strided path (norms + search)
+    across width/stride/format/length draws, vs the XLA chain."""
+    rng = np.random.default_rng(0xA11A)
+    for _ in range(6):
+        width = int(rng.choice([256, 512, 1024]))
+        s_r = int(rng.integers(1, max(2, width // 128) + 2))
+        stride = 128 * s_r
+        fmt = FileFormat(rng.choice([f.value for f in FileFormat]))
+        n = width + int(rng.integers(0, 5)) * stride + int(rng.integers(0, 200))
+        nw = (n - width) // stride + 1
+        label = f"w={width} s={stride} fmt={fmt} n={n} nw={nw}"
+        cfg = WaterfallConfig(
+            n_streams=2, fft_width=width, stride=stride, fmt=fmt, frontend="xla"
+        )
+        model = WaterfallModel(cfg)
+        raw = model.synth_raw(n, seed=int(rng.integers(1 << 30)))
+        want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+        spec = WaterfallSpec(fmt=fmt, width=width, windowing="rectangular")
+        interp = jax.default_backend() != "tpu"
+        got = np.asarray(
+            jax.jit(
+                lambda p: fused_waterfall(p, spec, nw, stride=stride, interpret=interp)
+            )(jnp.asarray(raw))
+        )
+        np.testing.assert_allclose(
+            got, want, rtol=2e-5, atol=2e-5 * want.max(), err_msg=label
+        )
+        from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_search
+
+        gi, gv = (
+            np.asarray(a)
+            for a in jax.jit(
+                lambda p: fused_waterfall_search(
+                    p, spec, nw, stride=stride, interpret=interp
+                )
+            )(jnp.asarray(raw))
+        )
+        wi = np.argmax(want, axis=-1)
+        picked = np.take_along_axis(want, gi[..., None], axis=-1)[..., 0]
+        top = np.max(want, axis=-1)
+        ok = (gi == wi) | (np.abs(picked - top) <= 2e-5 * np.maximum(top, 1e-9))
+        assert np.all(ok), label
+        np.testing.assert_allclose(gv, top, rtol=2e-5, err_msg=label)
+
+
 def test_unknown_frontend_rejected():
     model = WaterfallModel(WaterfallConfig(frontend="palas"))
     with pytest.raises(ValueError, match="unknown frontend"):
