@@ -238,11 +238,10 @@ class PipelineModel:
 
         * m_sub <= 32 with 128-dividing decimate — the round-2 proven
           wins (headline cs8 4120 vs ~2400 Msps);
-        * m_sub 33..64 at d in {16, 32} — measured wins (d=32/m_sub=50:
-          3577 fused vs 1937 XLA; d=16/m_sub=40 cs8: 2813 vs 2414; the
-          band's other corners are parity within tunnel noise), but NOT
-          d=8 (m_sub=50: 1689 fused vs 2356 XLA) or d=64 (m_sub=64:
-          4607 vs 4714);
+        * m_sub 33..64 at d=32 (cs8 3577 vs 1937 XLA; cf32 2317 vs
+          1940), and at d=16 for the integer formats (cs8 2813 vs 2414;
+          cs16 parity) — but NOT cf32 at d=16 (1972 vs 2363), d=8
+          (m_sub=50: 1689 vs 2356) or d=64 (m_sub=64: 4607 vs 4714);
         * tiny non-dividing decimates (d <= 8), where the XLA matmul
           impls crater (d=3: 45 Msps XLA vs 805 fused; d=6 cf32:
           758 vs 944);
@@ -256,7 +255,12 @@ class PipelineModel:
         d = self.cfg.decimate
         m_sub = -(-self.cfg.taps // d)
         if fp.supported(d):
-            return m_sub <= 32 or (m_sub <= 64 and d in (16, 32))
+            if m_sub <= 32:
+                return True
+            band = d == 32 or (
+                d == 16 and self.cfg.fmt is not FileFormat.COMPLEX_FLOAT32
+            )
+            return m_sub <= 64 and band
         return d <= 8
 
     def stream_bases(self, global_start: int, n_chunk: int) -> np.ndarray:

@@ -277,9 +277,21 @@ def test_pallas_preferred_routing():
     assert model(6, 100).pallas_preferred()
     assert not model(12, 200).pallas_preferred()  # XLA measured faster
     assert not model(8, 400).pallas_preferred()  # m_sub=50 at d=8: XLA faster
-    assert model(16, 640).pallas_preferred()  # m_sub=40 at d=16: fused wins
+    assert model(16, 640).pallas_preferred()  # m_sub=40 at d=16 cs8: fused wins
     assert model(32, 1600).pallas_preferred()  # m_sub=50 at d=32: fused 1.85x
     assert not model(64, 4096).pallas_preferred()  # m_sub=64 at d=64: parity
+    cf32 = PipelineModel(
+        PipelineConfig(
+            sample_rate=21_000_000,
+            shift_freq=280_000,
+            lp_freq=50_000,
+            decimate=16,
+            taps=640,
+            fft_width=64,
+            fmt=FileFormat.COMPLEX_FLOAT32,
+        )
+    )
+    assert not cf32.pallas_preferred()  # cf32 at d=16/m_sub=40: XLA faster
     assert not model(32, 4000).pallas_preferred()  # os_poly beats direct
     assert model(32, 4000).pallas_supported()  # …but fused CAN run it
     assert model(8, 400).pallas_supported()
