@@ -3,17 +3,25 @@
 ``bench.py`` prints the single headline line for the driver (with this
 suite folded into its ``suite`` field); standalone, this module measures
 the stretch configurations (BASELINE.json configs 2-4) plus the
-sustained disk->chip run and prints one JSON line each:
+sustained disk paths and prints one JSON line each:
 
-* ``cs16-sustained``  — on-chip cs16 decode -> shift -> lowpass(dec 64)
-* ``long-fir``        — power=2000 (4000 taps) spectral chain
-* ``waterfall-64xcs8``— 64 parallel cs8 streams, 1024-pt STFT (fused kernel)
-* ``waterfall-search``— the same bank reduced to peak bins in-kernel
-* ``disk-sustained``  — a 1G-sample cs8 capture streamed from an actual
-  file through StreamRunner (C++ ring prefetch -> host staging ->
-  device), the end-to-end number the HBM-resident headline can't show
+* ``cs16-sustained``   — on-chip cs16 decode -> shift -> lowpass(dec 64)
+* ``long-fir``         — power=2000 (4000 taps) spectral chain
+* ``waterfall-64xcs8`` — 64 parallel cs8 streams, 1024-pt STFT (fused kernel)
+* ``waterfall-strided``— the same bank at 4x window overlap (in-kernel
+  assembly; carries the strided ``search_msps`` too)
+* ``waterfall-search`` — the bank reduced to peak bins in-kernel
+* ``disk-staging``     — disk->host feed rate over the 1G-sample capture
+* ``disk-sustained``   — the 1G-sample cs8 capture streamed end-to-end
+  through StreamRunner (C++ ring prefetch -> host staging -> device)
+* ``long-fir-sustained`` — BASELINE config 4 as written: the power=2000
+  chain over the 1G-sample capture from disk
+* ``staging-workers``  — prefetcher feed rate vs n_workers
 
-Timing uses scalar-fetch differencing (see bench.py).
+Compute entries carry roofline annotations (algorithmic GFLOP/s, % of
+the v5e f32-matmul ceiling, minimal HBM GB/s) and the observed
+timing-linearity ratio; timing uses the full-output accumulator harness
+(see bench.py / utils.timing).
 """
 
 from __future__ import annotations

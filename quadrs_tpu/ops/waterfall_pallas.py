@@ -358,6 +358,12 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False):
             (xr[q % s_r][q // s_r : q // s_r + 128], xi[q % s_r][q // s_r : q // s_r + 128])
             for q in range(b)
         ]
+        # per-page stage A then one stage-B matmul per page.  (Stacking
+        # the b pages on sublanes into a single (b*128, 128) @ (128,
+        # 128) stage-B matmul was A/B'd on hardware and measured a
+        # wash — loop 3244/3202 vs batched 3095/3242 Msps — Mosaic
+        # already pipelines the per-page matmuls, so the simpler loop
+        # stays.)
         best_val = None
         best_j = None
         for s in range(b):
