@@ -261,7 +261,9 @@ class PipelineModel:
                 d == 16 and self.cfg.fmt is not FileFormat.COMPLEX_FLOAT32
             )
             return m_sub <= 64 and band
-        return d <= 8
+        # non-dividing: only the measured-win band; past 64 subfilters
+        # the spectral os_poly chain wins everywhere it was measured
+        return d <= 8 and m_sub <= 64
 
     def stream_bases(self, global_start: int, n_chunk: int) -> np.ndarray:
         """Host-exact per-tile NCO bases for :meth:`step_stream_pallas` of

@@ -34,10 +34,10 @@ XLA path) to ~1e-6 relative; pinned by ``tests/test_waterfall_pallas.py``.
 Strided windows (stride != width): 128-multiple strides assemble the
 window matrix IN KERNEL from contiguous class-row slices (see the
 strided section below) — measured 3155 Msps of input at 4x overlap on
-v5e vs 1923 for the round-2 XLA pre-arrangement; other strides keep the
-pre-arranged path.  The in-kernel peak search currently runs on the
-tiled/pre-arranged layout only (its windows live on lanes, where the
-reduction is a cheap sublane fold).
+v5e vs 1923 for the round-2 XLA pre-arrangement — and the peak search
+runs the same in-kernel layout (lane reductions per page; 4930 Msps
+input at 4x overlap).  Non-128-multiple strides keep the pre-arranged
+path for both.
 """
 
 from __future__ import annotations

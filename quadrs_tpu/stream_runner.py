@@ -161,10 +161,14 @@ class WaterfallRunner:
         chunks = _background(self._staged_chunks(start_window))
         for w, n_w, planes in chunks:
             out = step(planes)
-            # overlapped strides re-stage width-stride samples per chunk;
-            # count each stream sample once (the lookahead once, up front)
+            # count each staged stream sample once: overlapped strides
+            # (width > stride) re-stage width-stride samples per chunk
+            # (count the lookahead once, up front); skipping strides
+            # (width < stride) leave a stride-width gap unread after
+            # every chunk's last window (subtract it per chunk)
+            delta = self.model.cfg.fft_width - self.model.cfg.stride
             stats.samples_in += (
-                n_w * self.model.cfg.stride + (self._lookahead if first else 0)
+                n_w * self.model.cfg.stride + (delta if (first or delta < 0) else 0)
             ) * len(self.sources)
             first = False
             if isinstance(out, tuple):  # search: (idx, val)
