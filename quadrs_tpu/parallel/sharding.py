@@ -111,15 +111,31 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "
     return jax.jit(step)
 
 
+def waterfall_halo(cfg) -> int:
+    """Samples a waterfall time-shard needs past its local slice: the
+    window starting at its last stride cell reads ``fft_width - stride``
+    beyond the local extent (zero for tiling/skipping strides)."""
+    return max(0, cfg.fft_width - cfg.stride)
+
+
 def make_sharded_waterfall_step(model, mesh: Mesh, frontend: str | None = None):
     """Multi-chip waterfall bank: streams shard over 'stream', the sample
-    axis over 'time'.  With ``stride == fft_width`` (the bank's tiling
-    configuration) windows never straddle a shard boundary, so there is
-    no halo at all — the whole bank is embarrassingly parallel and the
-    only constraint is that each time-shard's slice is a whole number of
-    windows.  Takes (S, 2, n_local*T) native planes sharded
-    ``P('stream', None, 'time')``; returns (S, windows, width) norms
-    with the window axis sharded over 'time'.
+    axis over 'time'.  Takes (S, 2, n_local*T) native planes sharded
+    ``P('stream', None, 'time')`` with each time-shard's slice a whole
+    number of ``stride`` cells; returns (S, windows, width) norms with
+    the window axis sharded over 'time' — ``n_local // stride`` windows
+    per shard.
+
+    * ``stride >= fft_width`` (tiling/skipping): windows never leave
+      their stride cell, so the bank is embarrassingly parallel
+      (zero-halo; call with just the planes).
+    * ``stride < fft_width`` (overlapped): each shard's trailing windows
+      read ``fft_width - stride`` samples into its right neighbor — the
+      halo crosses ICI via ``ppermute`` exactly like the stream step,
+      and the call takes a second ``tail`` argument of shape
+      (S, 2, fft_width - stride), replicated over 'time': the true
+      continuation of the chunk (zeros at EOF — the caller drops the
+      windows that would read past the capture).
 
     ``frontend`` overrides the model's auto selection ('xla'/'pallas');
     the fused Pallas kernel runs per-shard unchanged.
@@ -127,34 +143,58 @@ def make_sharded_waterfall_step(model, mesh: Mesh, frontend: str | None = None):
     import dataclasses
 
     cfg = model.cfg
-    if cfg.stride != cfg.fft_width:
-        raise ValueError(
-            "sharded waterfall requires stride == fft_width (overlapping "
-            "windows would straddle shard boundaries)"
-        )
+    halo = waterfall_halo(cfg)
+    n_time = mesh.shape["time"]
     local_model = (
         model
         if frontend is None
         else type(model)(dataclasses.replace(cfg, frontend=frontend))
     )
 
-    def local_step(raw_local):
-        if raw_local.shape[2] % cfg.fft_width:
+    def check_local(n_local: int):
+        if n_local % cfg.stride:
             raise ValueError(
-                f"per-shard slice of {raw_local.shape[2]} samples is not a "
-                f"whole number of {cfg.fft_width}-sample windows"
+                f"per-shard slice of {n_local} samples is not a whole "
+                f"number of {cfg.stride}-sample stride cells"
             )
+
+    def local_step(raw_local):
+        check_local(raw_local.shape[2])
         return local_model.step(raw_local)
 
+    def local_step_halo(raw_local, tail_local):
+        check_local(raw_local.shape[2])
+        if raw_local.shape[2] < halo:
+            raise ValueError(
+                f"per-shard slice of {raw_local.shape[2]} samples is "
+                f"shorter than the {halo}-sample window halo"
+            )
+        perm = [(i, (i - 1) % n_time) for i in range(n_time)]
+        head = raw_local[:, :, :halo]
+        nbr = jax.lax.ppermute(head, "time", perm)
+        tail_local = jax.lax.pcast(tail_local, ("time",), to="varying")
+        is_last = jax.lax.axis_index("time") == n_time - 1
+        nbr = jnp.where(is_last, tail_local, nbr)
+        return local_model.step(jnp.concatenate([raw_local, nbr], axis=2))
+
     uses_pallas = local_model._use_pallas()
-    step = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P("stream", None, "time"),),
-        out_specs=P("stream", "time", None),
-        # pallas_call doesn't annotate varying-mesh-axes metadata yet
-        check_vma=not uses_pallas,
-    )
+    if halo == 0:
+        step = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P("stream", None, "time"),),
+            out_specs=P("stream", "time", None),
+            # pallas_call doesn't annotate varying-mesh-axes metadata yet
+            check_vma=not uses_pallas,
+        )
+    else:
+        step = jax.shard_map(
+            local_step_halo,
+            mesh=mesh,
+            in_specs=(P("stream", None, "time"), P("stream", None, None)),
+            out_specs=P("stream", "time", None),
+            check_vma=not uses_pallas,
+        )
     return jax.jit(step)
 
 

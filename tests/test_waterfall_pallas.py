@@ -172,14 +172,54 @@ def test_sharded_waterfall_matches_single_device(frontend):
     np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5 * want.max())
 
 
-def test_sharded_waterfall_rejects_overlap():
-    from quadrs_tpu.parallel.sharding import make_mesh, make_sharded_waterfall_step
+@pytest.mark.parametrize("stride", [128, 384])
+def test_sharded_waterfall_strided(stride):
+    """Overlapped strides shard with an ICI halo of width-stride samples
+    (true continuation fed to the last shard); skipping strides shard
+    zero-halo.  Both must equal the single-device step over the same
+    span."""
+    from quadrs_tpu.parallel.sharding import (
+        make_mesh,
+        make_sharded_waterfall_step,
+        replicate_tail,
+        shard_chunk,
+        waterfall_halo,
+    )
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
-    model = WaterfallModel(WaterfallConfig(fft_width=1024, stride=512))
+    mesh = make_mesh(n_time=4, n_stream=2)
+    cfg = WaterfallConfig(n_streams=2, fft_width=256, stride=stride, frontend="xla")
+    model = WaterfallModel(cfg)
+    halo = waterfall_halo(cfg)
+    n_local = 3 * stride
+    n = 4 * n_local
+    full = model.synth_raw(n + halo, seed=15)  # (2, 2, n + halo)
+    raw, tail = full[:, :, :n], full[:, :, n:]
+
+    # single-device reference over the same extended span, then keep
+    # the n // stride windows the sharded step emits
+    want = np.asarray(model.jit_step()(jnp.asarray(full)))[:, : n // stride]
+
+    step = make_sharded_waterfall_step(model, mesh)
+    if halo:
+        out = np.asarray(step(shard_chunk(raw, mesh), replicate_tail(tail, mesh)))
+    else:
+        out = np.asarray(step(shard_chunk(raw, mesh)))
+    assert out.shape == want.shape
+    np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5 * want.max())
+
+
+def test_sharded_waterfall_rejects_ragged_shards():
+    from quadrs_tpu.parallel.sharding import make_mesh, make_sharded_waterfall_step, shard_chunk
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    model = WaterfallModel(WaterfallConfig(n_streams=2, fft_width=1024, stride=1024))
+    step = make_sharded_waterfall_step(model, make_mesh(n_time=4, n_stream=2))
+    bad = model.synth_raw(4 * (1024 + 512), seed=3)  # shards not whole strides
     with pytest.raises(ValueError, match="stride"):
-        make_sharded_waterfall_step(model, make_mesh(n_time=4, n_stream=2))
+        step(shard_chunk(bad, make_mesh(n_time=4, n_stream=2)))
 
 
 @pytest.mark.parametrize(
