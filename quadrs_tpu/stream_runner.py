@@ -96,9 +96,17 @@ class WaterfallRunner:
     the spectrogram never leaving VMEM on the fused path — so BASELINE
     config 5's "spectrogram search" is served from disk, not just an
     HBM-resident bench.
+
+    With ``mesh`` (a ``(stream, time)`` mesh), chunks shard across the
+    pod slice: sources over the 'stream' axis, each chunk's sample axis
+    over 'time' — overlapped strides exchange their ``width - stride``
+    window halo over ICI with the true file continuation fed to the
+    last shard, so chunking and sharding are both invisible in the
+    output.  Search on a mesh reduces shard-locally over the sharded
+    norms.
     """
 
-    def __init__(self, sources, model, chunk_windows: int = 1 << 11):
+    def __init__(self, sources, model, chunk_windows: int = 1 << 11, mesh=None):
         sources = list(sources) if isinstance(sources, (list, tuple)) else [sources]
         cfg = model.cfg
         if len(sources) != cfg.n_streams:
@@ -114,16 +122,38 @@ class WaterfallRunner:
         self.model = model
         self.chunk_windows = max(1, chunk_windows)
         self._lookahead = max(0, cfg.fft_width - cfg.stride)
+        self.mesh = mesh
+        self._wstep = None
+        if mesh is not None:
+            from quadrs_tpu.parallel.sharding import make_sharded_waterfall_step
 
-    def _staged_chunks(self, start_window: int):
-        """(first_window, n_windows, (S, 2, span) planes) per chunk."""
+            if len(sources) % mesh.shape["stream"]:
+                raise ValueError(
+                    f"{len(sources)} sources do not shard over "
+                    f"{mesh.shape['stream']} 'stream' mesh rows"
+                )
+            n_time = mesh.shape["time"]
+            # each time-shard needs whole stride cells and must cover
+            # the overlap halo it sends left
+            quantum = n_time * max(1, -(-self._lookahead // cfg.stride))
+            self.chunk_windows = max(
+                quantum, self.chunk_windows // quantum * quantum
+            )
+            self._wstep = make_sharded_waterfall_step(model, mesh)
+
+    def _total_windows(self) -> int:
         cfg = self.model.cfg
         length = self.sources[0].length
-        total_windows = (
+        return (
             (length - cfg.fft_width) // cfg.stride + 1
             if length >= cfg.fft_width
             else 0
         )
+
+    def _staged_chunks(self, start_window: int):
+        """(first_window, n_valid, ((S, 2, span) planes,)) per chunk."""
+        cfg = self.model.cfg
+        total_windows = self._total_windows()
         w = start_window
         while w < total_windows:
             n_w = min(self.chunk_windows, total_windows - w)
@@ -131,18 +161,68 @@ class WaterfallRunner:
             # last window start + width (== advance + the overlap
             # lookahead when stride <= width; never reads past EOF)
             hi = (w + n_w - 1) * cfg.stride + cfg.fft_width
-            yield w, n_w, np.stack([s.stage(lo, hi) for s in self.sources])
+            yield w, n_w, (np.stack([s.stage(lo, hi) for s in self.sources]),)
+            w += n_w
+
+    def _staged_chunks_sharded(self, start_window: int):
+        """Mesh chunks: a fixed ``chunk_windows`` advance of whole
+        per-shard stride cells, with the true ``width - stride``
+        continuation staged as the halo tail (zeros at EOF — the
+        trailing windows reading them are past ``n_valid`` and
+        dropped).  Device placement happens here, on the staging
+        thread."""
+        from quadrs_tpu.parallel.sharding import replicate_tail, shard_chunk
+
+        cfg = self.model.cfg
+        halo = self._lookahead
+        total_windows = self._total_windows()
+        length = self.sources[0].length
+        n_w = self.chunk_windows
+        w = start_window
+        while w < total_windows:
+            lo = w * cfg.stride
+            hi = lo + n_w * cfg.stride
+            planes = np.stack([s.stage(lo, hi) for s in self.sources])
+            if planes.shape[-1] < n_w * cfg.stride:  # zero-pad past EOF
+                planes = np.pad(
+                    planes,
+                    ((0, 0), (0, 0), (0, n_w * cfg.stride - planes.shape[-1])),
+                )
+            args = [shard_chunk(planes, self.mesh)]
+            if halo:
+                tail = np.stack(
+                    [s.stage(min(hi, length), min(hi, length) + halo) for s in self.sources]
+                )
+                if tail.shape[-1] < halo:
+                    tail = np.pad(tail, ((0, 0), (0, 0), (0, halo - tail.shape[-1])))
+                args.append(replicate_tail(tail, self.mesh))
+            yield w, min(n_w, total_windows - w), tuple(args)
             w += n_w
 
     def run(self, on_norms=None, start_window: int = 0, max_chunks=None) -> RunStats:
-        return self._run(self.model.jit_step(), on_norms, start_window, max_chunks)
+        step = self._wstep if self._wstep is not None else self.model.jit_step()
+        return self._run(step, on_norms, start_window, max_chunks)
 
     def run_search(self, on_peaks=None, start_window: int = 0, max_chunks=None) -> RunStats:
         """Like :meth:`run` but through the peak-search reduction:
         ``on_peaks(first_window_index, (idx, val))`` receives per chunk
         the (S, windows) int32 fftshifted peak bins and f32 magnitudes
         (``WaterfallModel.search`` applied chunkwise — identical to the
-        single-shot search over the whole capture)."""
+        single-shot search over the whole capture).  On a mesh the
+        reduction runs shard-local over the sharded norms."""
+        if self._wstep is not None:
+            import jax
+            import jax.numpy as jnp
+
+            wstep = self._wstep
+
+            def sharded_search(*args):
+                norms = wstep(*args)
+                return jnp.argmax(norms, -1), jnp.max(norms, -1)
+
+            return self._run(
+                jax.jit(sharded_search), on_peaks, start_window, max_chunks
+            )
         return self._run(self.model._jit_search(), on_peaks, start_window, max_chunks)
 
     def _run(self, step, emit, start_window: int, max_chunks) -> RunStats:
@@ -158,9 +238,14 @@ class WaterfallRunner:
         acc = jnp.float32(0.0) if emit is None else None
         done = 0
         first = True
-        chunks = _background(self._staged_chunks(start_window))
-        for w, n_w, planes in chunks:
-            out = step(planes)
+        gen = (
+            self._staged_chunks_sharded(start_window)
+            if self._wstep is not None
+            else self._staged_chunks(start_window)
+        )
+        chunks = _background(gen)
+        for w, n_valid, args in chunks:
+            out = step(*args)
             # count each staged stream sample once: overlapped strides
             # (width > stride) re-stage width-stride samples per chunk
             # (count the lookahead once, up front); skipping strides
@@ -168,17 +253,19 @@ class WaterfallRunner:
             # every chunk's last window (subtract it per chunk)
             delta = self.model.cfg.fft_width - self.model.cfg.stride
             stats.samples_in += (
-                n_w * self.model.cfg.stride + (delta if (first or delta < 0) else 0)
+                n_valid * self.model.cfg.stride
+                + (delta if (first or delta < 0) else 0)
             ) * len(self.sources)
             first = False
             if isinstance(out, tuple):  # search: (idx, val)
-                idx, val = out
+                idx, val = (a[:, :n_valid] for a in out)
                 stats.windows_out += idx.shape[0] * idx.shape[1]
                 if emit is None:
                     acc = acc + jnp.sum(val) + jnp.sum(idx.astype(jnp.float32))
                 else:
                     emit(w, (np.asarray(idx), np.asarray(val)))
             else:
+                out = out[:, :n_valid]
                 stats.windows_out += out.shape[0] * out.shape[1]
                 if emit is None:
                     acc = acc + jnp.sum(out)
