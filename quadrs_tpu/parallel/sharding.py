@@ -118,7 +118,9 @@ def waterfall_halo(cfg) -> int:
     return max(0, cfg.fft_width - cfg.stride)
 
 
-def make_sharded_waterfall_step(model, mesh: Mesh, frontend: str | None = None):
+def make_sharded_waterfall_step(
+    model, mesh: Mesh, frontend: str | None = None, search: bool = False
+):
     """Multi-chip waterfall bank: streams shard over 'stream', the sample
     axis over 'time'.  Takes (S, 2, n_local*T) native planes sharded
     ``P('stream', None, 'time')`` with each time-shard's slice a whole
@@ -138,7 +140,11 @@ def make_sharded_waterfall_step(model, mesh: Mesh, frontend: str | None = None):
       windows that would read past the capture).
 
     ``frontend`` overrides the model's auto selection ('xla'/'pallas');
-    the fused Pallas kernel runs per-shard unchanged.
+    the fused Pallas kernel runs per-shard unchanged.  ``search=True``
+    returns the per-window peak ``(idx, val)`` instead of norms — the
+    reduction is per-window (shard-local), so each shard runs the
+    in-kernel peak search and the spectrogram never reaches HBM on the
+    fused path.
     """
     import dataclasses
 
@@ -158,9 +164,14 @@ def make_sharded_waterfall_step(model, mesh: Mesh, frontend: str | None = None):
                 f"number of {cfg.stride}-sample stride cells"
             )
 
+    def compute(block):
+        if search:
+            return local_model._jit_search()(block)
+        return local_model.step(block)
+
     def local_step(raw_local):
         check_local(raw_local.shape[2])
-        return local_model.step(raw_local)
+        return compute(raw_local)
 
     def local_step_halo(raw_local, tail_local):
         check_local(raw_local.shape[2])
@@ -175,15 +186,17 @@ def make_sharded_waterfall_step(model, mesh: Mesh, frontend: str | None = None):
         tail_local = jax.lax.pcast(tail_local, ("time",), to="varying")
         is_last = jax.lax.axis_index("time") == n_time - 1
         nbr = jnp.where(is_last, tail_local, nbr)
-        return local_model.step(jnp.concatenate([raw_local, nbr], axis=2))
+        return compute(jnp.concatenate([raw_local, nbr], axis=2))
 
     uses_pallas = local_model._use_pallas()
+    out_spec = P("stream", "time") if search else P("stream", "time", None)
+    out_specs = (out_spec, out_spec) if search else out_spec
     if halo == 0:
         step = jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=(P("stream", None, "time"),),
-            out_specs=P("stream", "time", None),
+            out_specs=out_specs,
             # pallas_call doesn't annotate varying-mesh-axes metadata yet
             check_vma=not uses_pallas,
         )
@@ -192,7 +205,7 @@ def make_sharded_waterfall_step(model, mesh: Mesh, frontend: str | None = None):
             local_step_halo,
             mesh=mesh,
             in_specs=(P("stream", None, "time"), P("stream", None, None)),
-            out_specs=P("stream", "time", None),
+            out_specs=out_specs,
             check_vma=not uses_pallas,
         )
     return jax.jit(step)

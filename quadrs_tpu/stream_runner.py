@@ -102,8 +102,8 @@ class WaterfallRunner:
     over 'time' — overlapped strides exchange their ``width - stride``
     window halo over ICI with the true file continuation fed to the
     last shard, so chunking and sharding are both invisible in the
-    output.  Search on a mesh reduces shard-locally over the sharded
-    norms.
+    output.  Search on a mesh runs the per-window reduction inside each
+    shard (the in-kernel peak search on the fused path).
     """
 
     def __init__(self, sources, model, chunk_windows: int = 1 << 11, mesh=None):
@@ -121,12 +121,20 @@ class WaterfallRunner:
         self.sources = sources
         self.model = model
         self.chunk_windows = max(1, chunk_windows)
-        self._lookahead = max(0, cfg.fft_width - cfg.stride)
         self.mesh = mesh
         self._wstep = None
-        if mesh is not None:
-            from quadrs_tpu.parallel.sharding import make_sharded_waterfall_step
+        self._wstep_search = None
+        if mesh is None:
+            self._lookahead = max(0, cfg.fft_width - cfg.stride)
+        else:
+            from quadrs_tpu.parallel.sharding import (
+                make_sharded_waterfall_step,
+                waterfall_halo,
+            )
 
+            # the sharded step's halo length is the same invariant —
+            # share the helper so the two cannot drift
+            self._lookahead = waterfall_halo(cfg)
             if len(sources) % mesh.shape["stream"]:
                 raise ValueError(
                     f"{len(sources)} sources do not shard over "
@@ -140,6 +148,11 @@ class WaterfallRunner:
                 quantum, self.chunk_windows // quantum * quantum
             )
             self._wstep = make_sharded_waterfall_step(model, mesh)
+            # built once: per-call jax.jit wrappers would recompile on
+            # every run_search invocation (seconds each on a tunnel)
+            self._wstep_search = make_sharded_waterfall_step(
+                model, mesh, search=True
+            )
 
     def _total_windows(self) -> int:
         cfg = self.model.cfg
@@ -151,17 +164,21 @@ class WaterfallRunner:
         )
 
     def _staged_chunks(self, start_window: int):
-        """(first_window, n_valid, ((S, 2, span) planes,)) per chunk."""
+        """(first_window, n_valid, newly_staged_real_samples,
+        ((S, 2, span) planes,)) per chunk."""
         cfg = self.model.cfg
         total_windows = self._total_windows()
         w = start_window
+        prev_hi = None
         while w < total_windows:
             n_w = min(self.chunk_windows, total_windows - w)
             lo = w * cfg.stride
             # last window start + width (== advance + the overlap
             # lookahead when stride <= width; never reads past EOF)
             hi = (w + n_w - 1) * cfg.stride + cfg.fft_width
-            yield w, n_w, (np.stack([s.stage(lo, hi) for s in self.sources]),)
+            new = hi - (lo if prev_hi is None else max(lo, prev_hi))
+            prev_hi = hi
+            yield w, n_w, new, (np.stack([s.stage(lo, hi) for s in self.sources]),)
             w += n_w
 
     def _staged_chunks_sharded(self, start_window: int):
@@ -170,7 +187,9 @@ class WaterfallRunner:
         continuation staged as the halo tail (zeros at EOF — the
         trailing windows reading them are past ``n_valid`` and
         dropped).  Device placement happens here, on the staging
-        thread."""
+        thread.  The staged-samples count covers everything real that
+        was read (stride gaps of skipping strides included — the mesh
+        path stages whole stride cells), each sample once."""
         from quadrs_tpu.parallel.sharding import replicate_tail, shard_chunk
 
         cfg = self.model.cfg
@@ -179,6 +198,7 @@ class WaterfallRunner:
         length = self.sources[0].length
         n_w = self.chunk_windows
         w = start_window
+        prev_hi = None
         while w < total_windows:
             lo = w * cfg.stride
             hi = lo + n_w * cfg.stride
@@ -196,7 +216,10 @@ class WaterfallRunner:
                 if tail.shape[-1] < halo:
                     tail = np.pad(tail, ((0, 0), (0, 0), (0, halo - tail.shape[-1])))
                 args.append(replicate_tail(tail, self.mesh))
-            yield w, min(n_w, total_windows - w), tuple(args)
+            span_end = min(hi + halo, length)
+            new = max(0, span_end - (lo if prev_hi is None else max(lo, prev_hi)))
+            prev_hi = span_end
+            yield w, min(n_w, total_windows - w), new, tuple(args)
             w += n_w
 
     def run(self, on_norms=None, start_window: int = 0, max_chunks=None) -> RunStats:
@@ -208,21 +231,12 @@ class WaterfallRunner:
         ``on_peaks(first_window_index, (idx, val))`` receives per chunk
         the (S, windows) int32 fftshifted peak bins and f32 magnitudes
         (``WaterfallModel.search`` applied chunkwise — identical to the
-        single-shot search over the whole capture).  On a mesh the
-        reduction runs shard-local over the sharded norms."""
-        if self._wstep is not None:
-            import jax
-            import jax.numpy as jnp
-
-            wstep = self._wstep
-
-            def sharded_search(*args):
-                norms = wstep(*args)
-                return jnp.argmax(norms, -1), jnp.max(norms, -1)
-
-            return self._run(
-                jax.jit(sharded_search), on_peaks, start_window, max_chunks
-            )
+        single-shot search over the whole capture).  On a mesh each
+        shard runs the per-window reduction locally (the in-kernel peak
+        search on the fused path — the spectrogram never reaches
+        HBM)."""
+        if self._wstep_search is not None:
+            return self._run(self._wstep_search, on_peaks, start_window, max_chunks)
         return self._run(self.model._jit_search(), on_peaks, start_window, max_chunks)
 
     def _run(self, step, emit, start_window: int, max_chunks) -> RunStats:
@@ -237,26 +251,18 @@ class WaterfallRunner:
         # full output into one accumulator the closing fetch observes
         acc = jnp.float32(0.0) if emit is None else None
         done = 0
-        first = True
         gen = (
             self._staged_chunks_sharded(start_window)
             if self._wstep is not None
             else self._staged_chunks(start_window)
         )
         chunks = _background(gen)
-        for w, n_valid, args in chunks:
+        for w, n_valid, new_samples, args in chunks:
             out = step(*args)
-            # count each staged stream sample once: overlapped strides
-            # (width > stride) re-stage width-stride samples per chunk
-            # (count the lookahead once, up front); skipping strides
-            # (width < stride) leave a stride-width gap unread after
-            # every chunk's last window (subtract it per chunk)
-            delta = self.model.cfg.fft_width - self.model.cfg.stride
-            stats.samples_in += (
-                n_valid * self.model.cfg.stride
-                + (delta if (first or delta < 0) else 0)
-            ) * len(self.sources)
-            first = False
+            # each generator reports the real stream samples it newly
+            # staged for this chunk (overlap re-staging counted once,
+            # skipping-stride gaps only where they were actually read)
+            stats.samples_in += new_samples * len(self.sources)
             if isinstance(out, tuple):  # search: (idx, val)
                 idx, val = (a[:, :n_valid] for a in out)
                 stats.windows_out += idx.shape[0] * idx.shape[1]

@@ -172,8 +172,10 @@ def test_sharded_waterfall_matches_single_device(frontend):
     np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5 * want.max())
 
 
-@pytest.mark.parametrize("stride", [128, 384])
-def test_sharded_waterfall_strided(stride):
+@pytest.mark.parametrize(
+    "stride,frontend", [(128, "xla"), (128, "pallas"), (384, "xla"), (384, "pallas")]
+)
+def test_sharded_waterfall_strided(stride, frontend):
     """Overlapped strides shard with an ICI halo of width-stride samples
     (true continuation fed to the last shard); skipping strides shard
     zero-halo.  Both must equal the single-device step over the same
@@ -189,7 +191,7 @@ def test_sharded_waterfall_strided(stride):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     mesh = make_mesh(n_time=4, n_stream=2)
-    cfg = WaterfallConfig(n_streams=2, fft_width=256, stride=stride, frontend="xla")
+    cfg = WaterfallConfig(n_streams=2, fft_width=256, stride=stride, frontend=frontend)
     model = WaterfallModel(cfg)
     halo = waterfall_halo(cfg)
     n_local = 3 * stride
