@@ -407,7 +407,12 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False):
         if search:
             # outputs are (W, 128) blocks with the per-window scalar
             # broadcast across lanes (a (W, 1) lane write is not a legal
-            # tile); the epilogue reads lane 0
+            # tile); the epilogue reads lane 0.  (A packed variant —
+            # 128 consecutive tiles sharing one revisited output block,
+            # each owning lane t % 128 — was A/B'd on hardware and
+            # measured a wash: 4815/4950 broadcast vs 4657/5146 packed
+            # Msps; the kernel is not HBM-bound, so the 128x write
+            # saving buys nothing and the simpler broadcast stays.)
             out_refs[0][0, 0] = jnp.broadcast_to(best_val, (_WIN_TILE, 128))
             # NaN clamp: see the tiled search kernel
             out_refs[1][0, 0] = jnp.broadcast_to(
