@@ -638,3 +638,26 @@ def test_sharded_runner_fuzz_matches_single_device():
                     atol=3e-4 * scale,
                     err_msg=f"{label} s={s} w={w}",
                 )
+
+
+def test_waterfall_runner_empty_and_past_end():
+    """Captures shorter than one window yield zero windows; resuming at
+    or past the last window is a clean no-op (stats all zero)."""
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.stream_runner import WaterfallRunner
+
+    cfg = WaterfallConfig(n_streams=1, fft_width=256, stride=128, fmt=FileFormat.COMPLEX_INT8)
+    model = WaterfallModel(cfg)
+    short = SampleSource(np.zeros(2 * 100, dtype=np.uint8), cfg.fmt, 400)
+    st = WaterfallRunner([short], model).run(lambda w, r: (_ for _ in ()).throw(AssertionError))
+    assert st.windows_out == 0 and st.samples_in == 0
+
+    ok = SampleSource(np.zeros(2 * 1024, dtype=np.uint8), cfg.fmt, 400)
+    total = (1024 - 256) // 128 + 1
+    st2 = WaterfallRunner([ok], model).run(
+        lambda w, r: (_ for _ in ()).throw(AssertionError), start_window=total
+    )
+    assert st2.windows_out == 0
+    # no-callback run still computes (honesty accumulator) and counts
+    st3 = WaterfallRunner([ok], model).run()
+    assert st3.windows_out == total
