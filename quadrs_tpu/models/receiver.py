@@ -238,10 +238,11 @@ class PipelineModel:
 
         * m_sub <= 32 with 128-dividing decimate — the round-2 proven
           wins (headline cs8 4120 vs ~2400 Msps);
-        * m_sub 33..64 at d=32 (cs8 3577 vs 1937 XLA; cf32 2317 vs
-          1940), and at d=16 for the integer formats (cs8 2813 vs 2414;
-          cs16 parity) — but NOT cf32 at d=16 (1972 vs 2363), d=8
-          (m_sub=50: 1689 vs 2356) or d=64 (m_sub=64: 4607 vs 4714);
+        * m_sub 33..64 at d=32 (cs8 3577 vs 1937 XLA; cu8 3535 vs
+          1959; cf32 2317 vs 1940), and at d=16 for the integer formats
+          (cs8 2813 vs 2414; cu8 2672 vs 2228; cs16 parity) — but NOT
+          cf32 at d=16 (1972 vs 2363), d=8 (m_sub=50: 1689 vs 2356) or
+          d=64 (m_sub=64: 4607 vs 4714);
         * tiny non-dividing decimates (d <= 8), where the XLA matmul
           impls crater (d=3: 45 Msps XLA vs 805 fused; d=6 cf32:
           758 vs 944);
