@@ -260,7 +260,7 @@ def bench_waterfall_strided(on_accel: bool) -> dict:
     )
     # the config's literal ask is strided *search*: same windows, peak
     # reduced per page in VMEM (measured 4930 Msps input vs 3155 norms)
-    sj = model._jit_search()
+    sj = model.jit_search()
 
     @jax.jit
     def _acc_s(raw, acc):
@@ -301,7 +301,7 @@ def bench_waterfall_search(on_accel: bool) -> dict:
     per_stream = (1 << 17) if on_accel else (1 << 14)
     raw = jax.device_put(model.synth_raw(per_stream))
     total = cfg.n_streams * per_stream
-    sj = model._jit_search()
+    sj = model.jit_search()
 
     @jax.jit
     def _acc(raw, acc):

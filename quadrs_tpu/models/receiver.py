@@ -316,6 +316,32 @@ class PipelineModel:
             yc[: n_windows * cfg.fft_width].reshape(n_windows, cfg.fft_width)
         )
 
+    # -- per-window peak search (the StreamRunner counterpart of
+    # WaterfallModel.search: scan the decimated channel for its peak) ----
+    @staticmethod
+    def _peak_reduce(norms: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(…, W) fftshifted norms -> ((…,) int32 argmax bin, (…,) f32
+        magnitude) — ties to the lowest shifted bin like jnp.argmax."""
+        return jnp.argmax(norms, axis=-1).astype(jnp.int32), jnp.max(norms, axis=-1)
+
+    def step_stream_search(
+        self,
+        raw: jnp.ndarray,
+        theta0: jnp.ndarray,
+        valid: jnp.ndarray | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """:meth:`step_stream` reduced per window: the fftshifted peak
+        bin and its magnitude for each STFT window of the decimated
+        chain — the "scan this channel for the peak" serving product
+        (XLA keeps the reduction fused with the STFT; the spectrogram
+        rows never round-trip through the host)."""
+        return self._peak_reduce(self.step_stream(raw, theta0, valid))
+
+    def step_stream_pallas_search(
+        self, raw: jnp.ndarray, bases: jnp.ndarray, n_valid: int | None = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        return self._peak_reduce(self.step_stream_pallas(raw, bases, n_valid))
+
     @cached_property
     def jit_step_windows(self):
         return jax.jit(self.step_windows)
@@ -327,6 +353,14 @@ class PipelineModel:
     @cached_property
     def jit_step_stream_pallas(self):
         return jax.jit(self.step_stream_pallas, static_argnames=("n_valid",))
+
+    @cached_property
+    def jit_step_stream_search(self):
+        return jax.jit(self.step_stream_search)
+
+    @cached_property
+    def jit_step_stream_pallas_search(self):
+        return jax.jit(self.step_stream_pallas_search, static_argnames=("n_valid",))
 
     # -- convenience ------------------------------------------------------
     def chunk_bytes(self, n_samples: int) -> int:

@@ -97,10 +97,13 @@ class WaterfallModel:
         magnitude — the device-side reduction for scanning many bands.
         Through the fused kernel the reduction happens in VMEM and the
         spectrogram itself never touches HBM."""
-        return self._jit_search()(raw)
+        return self.jit_search()(raw)
 
     @functools.cache
-    def _jit_search(self):
+    def jit_search(self):
+        """Jitted peak-search step, symmetric with :meth:`jit_step`:
+        (S, 2, n) native planes -> ((S, windows) int32 fftshifted peak
+        bins, (S, windows) f32 magnitudes)."""
         def run(r):
             if self._use_pallas():
                 from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_search

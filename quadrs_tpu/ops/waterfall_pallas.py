@@ -31,13 +31,15 @@ Grid tiles are 128 windows; window counts pad up to a tile and the
 epilogue drops the padding.  Conformance: matches ``stft_norms`` (the
 XLA path) to ~1e-6 relative; pinned by ``tests/test_waterfall_pallas.py``.
 
-Strided windows (stride != width): 128-multiple strides assemble the
-window matrix IN KERNEL from contiguous class-row slices (see the
-strided section below) — measured 3155 Msps of input at 4x overlap on
-v5e vs 1923 for the round-2 XLA pre-arrangement — and the peak search
-runs the same in-kernel layout (lane reductions per page; 4930 Msps
-input at 4x overlap).  Non-128-multiple strides keep the pre-arranged
-path for both.
+Strided windows (stride != width): overlapped 128-multiple strides
+assemble the window matrix IN KERNEL from contiguous class-row slices
+(see the strided section below) — measured 3155 Msps of input at 4x
+overlap on v5e vs 1923 for the round-2 XLA pre-arrangement — and the
+peak search runs the same in-kernel layout (lane reductions per page;
+4930 Msps input at 4x overlap).  Non-128-multiple and skipping strides
+keep the pre-arranged path for both (skipping strides read only the
+windows there — strictly less HBM traffic than staging whole stride
+cells).
 """
 
 from __future__ import annotations
@@ -195,13 +197,14 @@ def fused_waterfall(
 ) -> jnp.ndarray:
     """(S, 2, n) native planes -> (S, n_windows, width) f32 fftshifted
     norms via the fused kernel.  ``stride`` defaults to ``width``
-    (the bank's non-overlap tiling, a free reshape); strides that are a
-    multiple of 128 — overlapped or skipping — assemble the windows IN
-    KERNEL from contiguous class-row slices (each input sample read and
-    decoded once, no width/stride inflation; see the strided section
-    above); remaining strides build the window matrix from native-dtype
-    row slices in XLA (never a gather).  Trailing samples that don't
-    fill a window are dropped."""
+    (the bank's non-overlap tiling, a free reshape); OVERLAPPED strides
+    that are a multiple of 128 assemble the windows IN KERNEL from
+    contiguous class-row slices (each input sample read and decoded
+    once, no width/stride inflation; see the strided section above);
+    remaining strides — skipping strides included, where reading only
+    the windows is strictly less HBM traffic — build the window matrix
+    from native-dtype row slices in XLA (never a gather).  Trailing
+    samples that don't fill a window are dropped."""
     if stride is not None and stride != spec.width and _strided_supported(spec.width, stride):
         return _fused_waterfall_strided(planes, spec, n_windows, stride, interpret)
     inputs, in_specs, groups, total_w = _prearranged(planes, spec, n_windows, stride)
@@ -241,9 +244,10 @@ def fused_waterfall_search(
     window) the fftshifted argmax bin and its magnitude, reduced inside
     the kernel — the f32 norms (the dominant HBM write of the norms
     kernel) never leave VMEM.  Ties resolve to the lowest shifted bin,
-    exactly like ``jnp.argmax`` over the shifted norms.  128-multiple
-    strides run the in-kernel window assembly (lane reductions per
-    page); others pre-arrange in XLA like the norms path."""
+    exactly like ``jnp.argmax`` over the shifted norms.  Overlapped
+    128-multiple strides run the in-kernel window assembly (lane
+    reductions per page); others pre-arrange in XLA like the norms
+    path."""
     if stride is not None and stride != spec.width and _strided_supported(spec.width, stride):
         return _fused_waterfall_strided(
             planes, spec, n_windows, stride, interpret, search=True
@@ -298,7 +302,13 @@ _HALO_ROWS = 32  # covers q//s_r <= 31 for any b <= 32; legal sublane tile
 
 
 def _strided_supported(width: int, stride: int) -> bool:
-    return supported(width) and stride % 128 == 0 and stride > 0
+    """In-kernel assembly pays off only for OVERLAPPED strides: its
+    BlockSpecs stage whole stride cells, so for skipping strides
+    (stride > width) HBM traffic would inflate by ~stride/width — and
+    VMEM blocks grow with s_r — while the pre-arranged path reads only
+    the windows (deflating).  Overlapped 128-multiples are where the
+    no-inflation win applies (measured 1923 -> 3155 Msps at 4x)."""
+    return supported(width) and stride % 128 == 0 and 0 < stride < width
 
 
 @functools.lru_cache(maxsize=8)

@@ -44,7 +44,9 @@ def halo_samples(cfg) -> int:
     return max(cfg.taps, cfg.taps + half_up - cfg.decimate)
 
 
-def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "xla"):
+def make_sharded_stream_step(
+    model: PipelineModel, mesh: Mesh, frontend: str = "xla", search: bool = False
+):
     """Build the jitted multi-chip streaming step.
 
     Takes ``raw`` of shape (S, 2, n_local*T) native-dtype planes with
@@ -64,6 +66,11 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "
     ``frontend='pallas'`` runs each shard's local compute through the
     fused Pallas frontend (per-shard tile bases are ``theta0 +`` a
     constant exact-angle table, so phase coherence costs one f32 add).
+
+    ``search=True`` reduces each window to its fftshifted peak bin and
+    magnitude *inside the shard* (the reduction is per-window, so it
+    never crosses ICI): returns ((S, windows) int32, (S, windows) f32)
+    instead of the norms.
     """
     cfg = model.cfg
     halo_samps = halo_samples(cfg)
@@ -92,9 +99,16 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "
             # shard-local tile bases relative to the shard start
             deltas = jnp.asarray(model.stream_bases(0, n_chunk))
             bases = theta0_local[:, 0:1] + deltas[None, :]
-            return jax.vmap(model.step_stream_pallas)(block, bases)
-        return jax.vmap(model.step_stream)(block, theta0_local[:, 0])
+            norms = jax.vmap(model.step_stream_pallas)(block, bases)
+        else:
+            norms = jax.vmap(model.step_stream)(block, theta0_local[:, 0])
+        return model._peak_reduce(norms) if search else norms
 
+    out_spec = (
+        (P("stream", "time"), P("stream", "time"))
+        if search
+        else P("stream", "time", None)
+    )
     step = jax.shard_map(
         local_step,
         mesh=mesh,
@@ -103,7 +117,7 @@ def make_sharded_stream_step(model: PipelineModel, mesh: Mesh, frontend: str = "
             P("stream", "time"),
             P("stream", None, None),
         ),
-        out_specs=P("stream", "time", None),
+        out_specs=out_spec,
         # pallas_call doesn't annotate varying-mesh-axes metadata yet;
         # keep the check for the pure-XLA path
         check_vma=(frontend != "pallas"),
@@ -166,7 +180,7 @@ def make_sharded_waterfall_step(
 
     def compute(block):
         if search:
-            return local_model._jit_search()(block)
+            return local_model.jit_search()(block)
         return local_model.step(block)
 
     def local_step(raw_local):

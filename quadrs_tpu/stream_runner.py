@@ -163,14 +163,20 @@ class WaterfallRunner:
             else 0
         )
 
-    def _staged_chunks(self, start_window: int):
+    def _staged_chunks(self, start_window: int, limit: int | None = None):
         """(first_window, n_valid, newly_staged_real_samples,
-        ((S, 2, span) planes,)) per chunk."""
+        ((S, 2, span) planes,)) per chunk.  ``limit`` bounds how many
+        chunks are staged: the background thread must not run ahead of a
+        ``max_chunks``-bounded consumer and queue device work that will
+        only be abandoned (costly on tunneled rigs, where every queued
+        op must drain)."""
         cfg = self.model.cfg
         total_windows = self._total_windows()
         w = start_window
         prev_hi = None
-        while w < total_windows:
+        staged = 0
+        while w < total_windows and (limit is None or staged < limit):
+            staged += 1
             n_w = min(self.chunk_windows, total_windows - w)
             lo = w * cfg.stride
             # last window start + width (== advance + the overlap
@@ -181,15 +187,20 @@ class WaterfallRunner:
             yield w, n_w, new, (np.stack([s.stage(lo, hi) for s in self.sources]),)
             w += n_w
 
-    def _staged_chunks_sharded(self, start_window: int):
+    def _staged_chunks_sharded(self, start_window: int, limit: int | None = None):
         """Mesh chunks: a fixed ``chunk_windows`` advance of whole
         per-shard stride cells, with the true ``width - stride``
         continuation staged as the halo tail (zeros at EOF — the
         trailing windows reading them are past ``n_valid`` and
         dropped).  Device placement happens here, on the staging
-        thread.  The staged-samples count covers everything real that
-        was read (stride gaps of skipping strides included — the mesh
-        path stages whole stride cells), each sample once."""
+        thread; ``limit`` bounds staging like :meth:`_staged_chunks`.
+
+        Accounting uses the same convention as the single-device path —
+        new real samples up to the last valid window's end — so
+        ``RunStats.msps`` is comparable between the two paths.  For
+        skipping strides the mesh path *stages* whole stride cells
+        (trailing gap included); those extra staged-but-uncounted bytes
+        are a mesh-layout necessity, not consumed input."""
         from quadrs_tpu.parallel.sharding import replicate_tail, shard_chunk
 
         cfg = self.model.cfg
@@ -199,7 +210,9 @@ class WaterfallRunner:
         n_w = self.chunk_windows
         w = start_window
         prev_hi = None
-        while w < total_windows:
+        staged = 0
+        while w < total_windows and (limit is None or staged < limit):
+            staged += 1
             lo = w * cfg.stride
             hi = lo + n_w * cfg.stride
             planes = np.stack([s.stage(lo, hi) for s in self.sources])
@@ -216,10 +229,14 @@ class WaterfallRunner:
                 if tail.shape[-1] < halo:
                     tail = np.pad(tail, ((0, 0), (0, 0), (0, halo - tail.shape[-1])))
                 args.append(replicate_tail(tail, self.mesh))
-            span_end = min(hi + halo, length)
-            new = max(0, span_end - (lo if prev_hi is None else max(lo, prev_hi)))
-            prev_hi = span_end
-            yield w, min(n_w, total_windows - w), new, tuple(args)
+            n_valid = min(n_w, total_windows - w)
+            # same formula as _staged_chunks: last valid window start +
+            # width, capped at EOF (overlap with the previous chunk's
+            # span counted once)
+            acc_hi = min((w + n_valid - 1) * cfg.stride + cfg.fft_width, length)
+            new = max(0, acc_hi - (lo if prev_hi is None else max(lo, prev_hi)))
+            prev_hi = max(acc_hi, prev_hi or 0)
+            yield w, n_valid, new, tuple(args)
             w += n_w
 
     def run(self, on_norms=None, start_window: int = 0, max_chunks=None) -> RunStats:
@@ -237,7 +254,7 @@ class WaterfallRunner:
         HBM)."""
         if self._wstep_search is not None:
             return self._run(self._wstep_search, on_peaks, start_window, max_chunks)
-        return self._run(self.model._jit_search(), on_peaks, start_window, max_chunks)
+        return self._run(self.model.jit_search(), on_peaks, start_window, max_chunks)
 
     def _run(self, step, emit, start_window: int, max_chunks) -> RunStats:
         import time
@@ -252,9 +269,9 @@ class WaterfallRunner:
         acc = jnp.float32(0.0) if emit is None else None
         done = 0
         gen = (
-            self._staged_chunks_sharded(start_window)
+            self._staged_chunks_sharded(start_window, limit=max_chunks)
             if self._wstep is not None
-            else self._staged_chunks(start_window)
+            else self._staged_chunks(start_window, limit=max_chunks)
         )
         chunks = _background(gen)
         for w, n_valid, new_samples, args in chunks:
@@ -328,6 +345,7 @@ class StreamRunner:
         self.model = model
         self.mesh = mesh
         self._sharded_step = None
+        self._sharded_search_step = None
         self.frontend = frontend
         cfg = model.cfg
         self._win_raw = cfg.decimate * cfg.fft_width
@@ -449,6 +467,25 @@ class StreamRunner:
         pass ``start_window + windows_out // n_stream`` (``windows_out``
         counts across every stream of a bank).
         """
+        return self._run(on_windows, start_window, max_chunks, search=False)
+
+    def run_search(
+        self,
+        on_peaks: Callable[[int, tuple], None] | None = None,
+        start_window: int = 0,
+        max_chunks: int | None = None,
+    ) -> RunStats:
+        """Like :meth:`run` but through the per-window peak reduction
+        (the :meth:`WaterfallRunner.run_search` counterpart for the
+        shift+FIR chain): ``on_peaks(first_window_index, (idx, val))``
+        receives per chunk the (windows,) int32 fftshifted peak bins and
+        f32 magnitudes of the decimated channel — identical to
+        ``argmax``/``max`` over :meth:`run`'s rows.  On a mesh each
+        shard reduces its own windows locally (the reduction never
+        crosses ICI)."""
+        return self._run(on_peaks, start_window, max_chunks, search=True)
+
+    def _run(self, emit, start_window: int, max_chunks, search: bool) -> RunStats:
         import time
 
         import jax.numpy as jnp
@@ -471,17 +508,36 @@ class StreamRunner:
                     # integer formats (one HBM read of narrow input)
                     bases = model.stream_bases(off, planes.shape[1])
                     nv = None if valid == planes.shape[1] else int(valid)
-                    norms = model.jit_step_stream_pallas(planes, bases, n_valid=nv)
+                    step = (
+                        model.jit_step_stream_pallas_search
+                        if search
+                        else model.jit_step_stream_pallas
+                    )
+                    out = step(planes, bases, n_valid=nv)
                 else:
                     theta0 = model.theta0(np.asarray([off]))[0]
-                    norms = model.jit_step_stream(planes, theta0, np.int32(valid))
+                    step = (
+                        model.jit_step_stream_search
+                        if search
+                        else model.jit_step_stream
+                    )
+                    out = step(planes, theta0, np.int32(valid))
                 stats.samples_in += planes.shape[1] - self._lookahead
-                stats.windows_out += norms.shape[0]
-                if on_windows is not None:
-                    on_windows(off // self._win_raw, np.asarray(norms))
+                if search:
+                    idx, val = out
+                    stats.windows_out += idx.shape[0]
+                    if emit is not None:
+                        emit(off // self._win_raw, (np.asarray(idx), np.asarray(val)))
+                    else:
+                        s = jnp.sum(val) + jnp.sum(idx.astype(jnp.float32))
+                        last = s if last is None else last + s
                 else:
-                    s = jnp.sum(norms)
-                    last = s if last is None else last + s
+                    stats.windows_out += out.shape[0]
+                    if emit is not None:
+                        emit(off // self._win_raw, np.asarray(out))
+                    else:
+                        s = jnp.sum(out)
+                        last = s if last is None else last + s
                 done_chunks += 1
                 if max_chunks is not None and done_chunks >= max_chunks:
                     # break before pulling (and staging) the next chunk
@@ -489,9 +545,9 @@ class StreamRunner:
                     break
         else:
             last = self._run_sharded(
-                on_windows, stats, start_window * self._win_raw, max_chunks
+                emit, stats, start_window * self._win_raw, max_chunks, search
             )
-        if last is not None and on_windows is None:
+        if last is not None and emit is None:
             sync_fetch(last)
         stats.seconds = time.perf_counter() - t0
         PROFILER.account("stream_runner", stats.samples_in, stats.seconds)
@@ -509,8 +565,28 @@ class StreamRunner:
         # matmul/os_poly chains elsewhere — see pallas_preferred
         return jax.devices()[0].platform == "tpu" and self.model.pallas_preferred()
 
+    def _sharded_search(self):
+        """The search variant of the sharded step, built on first use
+        (and cached: per-call jax.jit wrappers would recompile on every
+        run_search invocation)."""
+        if self._sharded_search_step is None:
+            from quadrs_tpu.parallel.sharding import make_sharded_stream_step
+
+            self._sharded_search_step = make_sharded_stream_step(
+                self.model,
+                self.mesh,
+                frontend="pallas" if self._use_pallas() else "xla",
+                search=True,
+            )
+        return self._sharded_search_step
+
     def _run_sharded(
-        self, on_windows, stats: RunStats, start_off: int = 0, max_chunks=None
+        self,
+        on_windows,
+        stats: RunStats,
+        start_off: int = 0,
+        max_chunks=None,
+        search: bool = False,
     ):
         """Time-sharded chunks over the mesh.  Each chunk's true
         continuation (the next ``halo`` samples of the stream) feeds the
@@ -538,8 +614,14 @@ class StreamRunner:
         done_chunks = 0
 
         def staged():
+            # bounded like _staged_chunks: never stage (and device_put)
+            # chunks a max_chunks-bounded consumer will abandon
             off = start_off
-            while off + n + halo <= length:
+            count = 0
+            while off + n + halo <= length and (
+                max_chunks is None or count < max_chunks
+            ):
+                count += 1
                 planes = np.stack([s.stage(off, off + n) for s in self.sources])
                 tails = np.stack(
                     [s.stage(off + n, off + n + halo) for s in self.sources]
@@ -562,22 +644,35 @@ class StreamRunner:
         import jax.numpy as jnp
 
         off = start_off
+        step = self._sharded_search() if search else self._sharded_step
         chunks = _background(staged())
         for off, args in chunks:
-            if max_chunks is not None and done_chunks >= max_chunks:
-                chunks.close()
-                return last
             done_chunks += 1
-            out = self._sharded_step(*args)
+            out = step(*args)
             stats.samples_in += n * n_stream
-            stats.windows_out += out.shape[0] * out.shape[1]
-            if on_windows is not None:
-                rows = np.asarray(out)
-                on_windows(off // self._win_raw, rows[0] if single else rows)
+            if search:
+                idx, val = out
+                stats.windows_out += idx.shape[0] * idx.shape[1]
+                if on_windows is not None:
+                    i, v = np.asarray(idx), np.asarray(val)
+                    on_windows(
+                        off // self._win_raw,
+                        (i[0], v[0]) if single else (i, v),
+                    )
+                else:
+                    s = jnp.sum(val) + jnp.sum(idx.astype(jnp.float32))
+                    last = s if last is None else last + s
             else:
-                # fold every chunk into the fetched cone (see run())
-                s = jnp.sum(out)
-                last = s if last is None else last + s
+                stats.windows_out += out.shape[0] * out.shape[1]
+                if on_windows is not None:
+                    rows = np.asarray(out)
+                    on_windows(off // self._win_raw, rows[0] if single else rows)
+                else:
+                    # fold every chunk into the fetched cone (see run())
+                    s = jnp.sum(out)
+                    last = s if last is None else last + s
+        if max_chunks is not None and done_chunks >= max_chunks:
+            return last  # bounded run stops before the ragged tail
         off = off + n if stats.samples_in else start_off
         # ragged tail, single-device per stream (lockstep offsets)
         while off < length - cfg.taps:
@@ -585,21 +680,33 @@ class StreamRunner:
             if m <= 0:
                 break
             theta0 = model.theta0(np.asarray([off]))[0]
+            tail_step = model.jit_step_stream_search if search else model.jit_step_stream
             rows = []
             for s in self.sources:
                 planes = s.stage(off, off + m + self._lookahead)
                 valid = planes.shape[1]
                 if valid < m + self._lookahead:
                     planes = np.pad(planes, ((0, 0), (0, m + self._lookahead - valid)))
-                norms = model.jit_step_stream(planes, theta0, np.int32(valid))
-                rows.append(norms)
+                out = tail_step(planes, theta0, np.int32(valid))
+                rows.append(out)
                 if on_windows is None:
-                    s_sum = jnp.sum(norms)
+                    if search:
+                        s_sum = jnp.sum(out[1]) + jnp.sum(out[0].astype(jnp.float32))
+                    else:
+                        s_sum = jnp.sum(out)
                     last = s_sum if last is None else last + s_sum
             stats.samples_in += m * n_stream
-            stats.windows_out += rows[0].shape[0] * n_stream
+            stats.windows_out += (rows[0][0] if search else rows[0]).shape[0] * n_stream
             if on_windows is not None:
-                got = [np.asarray(r) for r in rows]
-                on_windows(off // self._win_raw, got[0] if single else np.stack(got))
+                if search:
+                    idx = np.stack([np.asarray(r[0]) for r in rows])
+                    val = np.stack([np.asarray(r[1]) for r in rows])
+                    on_windows(
+                        off // self._win_raw,
+                        (idx[0], val[0]) if single else (idx, val),
+                    )
+                else:
+                    got = [np.asarray(r) for r in rows]
+                    on_windows(off // self._win_raw, got[0] if single else np.stack(got))
             off += m
         return last

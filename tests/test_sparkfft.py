@@ -24,10 +24,27 @@ def test_sparkfft_matches_oracle_on_gen():
     assert got[0] == "sparkfft sample_rate=400"
     body = [r.strip("│") for r in got[1:]]
     assert len(body) == len(want)
-    # a handful of norms may sit within f32 noise of a quantization
-    # boundary on arbitrary data; everything else must match exactly
-    mismatches = sum(sum(a != b for a, b in zip(ra, rb)) for ra, rb in zip(body, want))
-    assert mismatches <= 0.005 * sum(len(r) for r in want)
+    # on arbitrary gen data a norm can sit within f32 noise of a glyph
+    # quantization boundary, where pipeline-vs-oracle rounding may
+    # legitimately land on adjacent glyphs.  Exclude exactly those
+    # boundary-straddling norms (same margin logic as
+    # test_ook_quantization_margins) and demand EXACT equality on every
+    # other glyph.
+    lo, hi = np.float32(0.08), np.float32(1.0)
+    step = (hi - lo) / np.float32(7)
+    bounds = np.concatenate([[lo, hi], lo + step * np.arange(1, 7)])
+    checked = 0
+    for row, (i, ra, rb) in enumerate(zip(range(0, o.length - 64, 32), body, want)):
+        norms = oracle_fft_norms(o.read_at(i, 64))
+        margins = np.abs(bounds[None, :] - norms[:, None]).min(axis=1) / np.maximum(
+            norms, 1e-12
+        )
+        for a, b, m in zip(ra, rb, margins):
+            if m > 1e-5:
+                assert a == b, f"row {row}: non-boundary glyph {a!r} != {b!r} (margin {m})"
+                checked += 1
+    # the exclusion must not have eaten the test
+    assert checked >= 0.99 * sum(len(r) for r in want)
 
 
 def test_sparkfft_window_count():

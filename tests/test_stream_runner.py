@@ -661,3 +661,74 @@ def test_waterfall_runner_empty_and_past_end():
     # no-callback run still computes (honesty accumulator) and counts
     st3 = WaterfallRunner([ok], model).run()
     assert st3.windows_out == total
+
+
+def test_stream_runner_search_matches_run():
+    """run_search == argmax/max over run()'s rows, chunking invisible
+    (the StreamRunner counterpart of WaterfallRunner.run_search)."""
+    rng = np.random.default_rng(77)
+    win_raw = CFG.decimate * CFG.fft_width
+    n = win_raw * 9 + CFG.taps
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    model = PipelineModel(CFG)
+    src = _source(data)
+
+    rows: dict[int, np.ndarray] = {}
+    StreamRunner(src, model, chunk_samples=1 << 20).run(
+        lambda w0, norms: rows.update({w0 + i: norms[i] for i in range(norms.shape[0])})
+    )
+
+    peaks: dict[int, tuple[int, float]] = {}
+
+    def on_peaks(w0, out):
+        idx, val = out
+        peaks.update({w0 + i: (int(idx[i]), float(val[i])) for i in range(len(idx))})
+
+    st = StreamRunner(src, model, chunk_samples=win_raw * 2).run_search(on_peaks)
+    assert st.windows_out == len(peaks) == len(rows)
+    for w, norms in rows.items():
+        i, v = peaks[w]
+        assert i == int(np.argmax(norms)), w
+        np.testing.assert_allclose(v, norms.max(), rtol=1e-5)
+    # callback-less run still touches every chunk (honest accumulator)
+    st2 = StreamRunner(src, model, chunk_samples=win_raw * 2).run_search()
+    assert st2.windows_out == st.windows_out
+
+
+def test_sharded_stream_runner_search_matches_single_device():
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.default_rng(78)
+    win_raw = CFG.decimate * CFG.fft_width
+    n = win_raw * 40 + CFG.taps * 2
+    data = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    model = PipelineModel(CFG)
+    src = _source(data)
+
+    single: dict[int, tuple[int, float]] = {}
+    StreamRunner(src, model, chunk_samples=win_raw * 8).run_search(
+        lambda w0, out: single.update(
+            {w0 + i: (int(out[0][i]), float(out[1][i])) for i in range(len(out[0]))}
+        )
+    )
+
+    sharded: dict[int, tuple[int, float]] = {}
+    mesh = make_mesh(n_time=4, n_stream=1)
+    StreamRunner(src, model, chunk_samples=win_raw * 16, mesh=mesh).run_search(
+        lambda w0, out: sharded.update(
+            {w0 + i: (int(out[0][i]), float(out[1][i])) for i in range(len(out[0]))}
+        )
+    )
+
+    assert set(sharded) == set(single)
+    for w, (i, v) in single.items():
+        si, sv = sharded[w]
+        np.testing.assert_allclose(sv, v, rtol=2e-4)
+        # different reduction orders may pick a different bin only on a
+        # near-exact tie
+        assert si == i or abs(sv - v) <= 2e-4 * max(abs(v), 1e-9), w

@@ -80,9 +80,10 @@ def test_model_frontend_selection():
 @pytest.mark.parametrize("stride", [128, 256, 769, 1024, 1536])
 def test_fused_waterfall_strided(stride):
     """Overlapped (stride < width) and skipping (stride > width)
-    spectrograms through the kernel match the XLA chain.  128-multiple
-    strides take the in-kernel class-row assembly (each sample read
-    once); 769 exercises the XLA pre-arranged fallback."""
+    spectrograms through the kernel match the XLA chain.  Overlapped
+    128-multiple strides take the in-kernel class-row assembly (each
+    sample read once); 769 and the skipping strides exercise the XLA
+    pre-arranged path."""
     cfg = WaterfallConfig(
         n_streams=2, fft_width=1024, stride=stride, frontend="xla",
         windowing="blackman-harris",
@@ -111,11 +112,15 @@ def test_fused_waterfall_strided(stride):
 )
 def test_strided_inkernel_formats(fmt):
     """The in-kernel strided assembly decodes every format correctly
-    (cu8/cs16 offsets included) and routes for any 128-multiple stride."""
+    (cu8/cs16 offsets included) and routes only for overlapped
+    128-multiple strides — skipping strides stay pre-arranged, where
+    reading only the windows beats staging whole stride cells."""
     from quadrs_tpu.ops.waterfall_pallas import _strided_supported
 
-    assert _strided_supported(512, 128) and _strided_supported(512, 1152)
+    assert _strided_supported(512, 128) and _strided_supported(512, 384)
     assert not _strided_supported(512, 769)
+    assert not _strided_supported(512, 1152)  # skipping: pre-arranged
+    assert not _strided_supported(512, 512)  # handled by the free reshape
     cfg = WaterfallConfig(
         n_streams=2, fft_width=512, stride=128, fmt=fmt, frontend="xla"
     )
@@ -231,7 +236,7 @@ def test_sharded_waterfall_rejects_ragged_shards():
         (256, 128, FileFormat.COMPLEX_INT16),
         (512, 512, FileFormat.COMPLEX_FLOAT32),
         (1024, 256, FileFormat.COMPLEX_INT8),  # strided in-kernel search
-        (256, 384, FileFormat.COMPLEX_UINT8),  # skipping stride, in-kernel
+        (256, 384, FileFormat.COMPLEX_UINT8),  # skipping stride: pre-arranged
         (512, 257, FileFormat.COMPLEX_INT8),  # non-128-multiple: pre-arranged
     ],
 )
@@ -324,7 +329,7 @@ def test_strided_inkernel_fuzz():
     rng = np.random.default_rng(0xA11A)
     for _ in range(6):
         width = int(rng.choice([256, 512, 1024]))
-        s_r = int(rng.integers(1, max(2, width // 128) + 2))
+        s_r = int(rng.integers(1, width // 128))  # overlapped: in-kernel route
         stride = 128 * s_r
         fmt = FileFormat(rng.choice([f.value for f in FileFormat]))
         n = width + int(rng.integers(0, 5)) * stride + int(rng.integers(0, 200))
