@@ -74,6 +74,95 @@ class Eui(Command):
     frames: int = 1
 
 
+@dataclass
+class StreamCmd(Command):
+    """``stream``: drive the fused shift -> lowpass -> STFT chain over a
+    capture file at full rate (the :class:`~quadrs_tpu.stream_runner.
+    StreamRunner` serving path; no reference counterpart — the
+    TPU-native framework's flagship streaming product on the shell)."""
+
+    filename: str
+    shift: int = 0
+    lowpass: int = 200_000
+    size: int = 400  # taps (2 * -power)
+    decimate: int = 32
+    fft_width: int = 64
+    chunk: int = 1 << 22
+    chunks: int | None = None
+    search: bool = False
+    out: str | None = None
+    sample_rate: str | None = None
+    format: str | None = None
+    mesh: tuple[int, int] | None = None  # (time, stream)
+
+
+@dataclass
+class WaterfallCmd(Command):
+    """``waterfall``: stream a bank of capture files through the fused
+    waterfall kernel (``WaterfallRunner``), optionally reducing each
+    window to its peak in kernel (``-search``).  Terminal command: every
+    remaining token is a capture filename."""
+
+    filenames: list[str]
+    fft_width: int = 1024
+    stride: int | None = None  # defaults to width
+    windowing: str = "rectangular"
+    chunk_windows: int = 1 << 11
+    chunks: int | None = None
+    search: bool = False
+    out: str | None = None
+    sample_rate: str | None = None
+    format: str | None = None
+    mesh: tuple[int, int] | None = None
+
+
+@dataclass
+class OokCmd(Command):
+    """``ook``: demodulate an on-off-keyed capture to bits
+    (:class:`~quadrs_tpu.models.demod.OokDemod`; the README's
+    shell-scripted OOK decode loop as one command)."""
+
+    filename: str
+    width: int = 4
+    stride: int = 2
+    threshold: float = 0.001
+    bit: float = 8.0  # windows per bit
+    raw: bool = False  # print raw pulse bits instead of Manchester
+    sample_rate: str | None = None
+    format: str | None = None
+
+
+@dataclass
+class FskCmd(Command):
+    """``fsk``: demodulate a two-tone FSK capture to symbols/bits
+    (:class:`~quadrs_tpu.models.demod.FskDemod`)."""
+
+    filename: str
+    shift: int = 0
+    lowpass: int = 200_000
+    size: int = 400
+    decimate: int = 32
+    fft_width: int = 64
+    stride: int | None = None
+    # windows per symbol for clock recovery; None prints the raw
+    # discriminator symbols (scan's run tolerance absorbs alternating
+    # symbols at scale 1, so recovery only makes sense when given a
+    # real symbol period)
+    bit: float | None = None
+    sample_rate: str | None = None
+    format: str | None = None
+
+
+def _parse_mesh(spec: str) -> tuple[int, int]:
+    """``T`` or ``TxS`` -> (n_time, n_stream) mesh shape."""
+    t, _, s = spec.partition("x")
+    n_time = int(parse_si_uint(t))
+    n_stream = int(parse_si_uint(s)) if s else 1
+    if n_time < 1 or n_stream < 1:
+        raise ValueError(f"mesh shape must be positive: {spec!r}")
+    return n_time, n_stream
+
+
 class _Args:
     """Peekable iterator over argv tokens."""
 
@@ -273,6 +362,111 @@ def _parse_eui(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_stream(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    shift = parse_si_int(map_.pop("shift", "0"))
+    lowpass = parse_si_uint(map_.pop("lowpass", "200k"))
+    power = map_.pop("power", None)
+    size = 2 * parse_si_uint(power) if power is not None else 400
+    decimate = parse_si_uint(map_.pop("decimate", "32"))
+    fft_width = int(parse_si_uint(map_.pop("width", "64")))
+    chunk = int(parse_si_uint(map_.pop("chunk", "4M")))
+    chunks = map_.pop("chunks", None)
+    chunks = None if chunks is None else int(parse_si_uint(chunks))
+    search = parse_bool(map_.pop("search", "no"))
+    out = map_.pop("out", None)
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    mesh = map_.pop("mesh", None)
+    _ensure_empty(map_, "stream")
+    filename = args.next()
+    if filename is None:
+        raise ValueError("'stream' requires a capture filename argument")
+    return StreamCmd(
+        filename=filename, shift=shift, lowpass=lowpass, size=size,
+        decimate=decimate, fft_width=fft_width, chunk=chunk, chunks=chunks,
+        search=search, out=out, sample_rate=sr, format=fmt,
+        mesh=None if mesh is None else _parse_mesh(mesh),
+    )
+
+
+def _parse_waterfall(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    fft_width = int(parse_si_uint(map_.pop("width", "1024")))
+    stride = map_.pop("stride", None)
+    stride = None if stride is None else int(parse_si_uint(stride))
+    windowing = map_.pop("window", "rectangular")
+    if windowing not in ("rectangular", "blackman-harris", "blackmanharris"):
+        raise ValueError(f"unknown -window: {windowing!r}")
+    chunk_windows = int(parse_si_uint(map_.pop("chunk", "2k")))
+    chunks = map_.pop("chunks", None)
+    chunks = None if chunks is None else int(parse_si_uint(chunks))
+    search = parse_bool(map_.pop("search", "no"))
+    out = map_.pop("out", None)
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    mesh = map_.pop("mesh", None)
+    _ensure_empty(map_, "waterfall")
+    filenames = []
+    while True:  # terminal command: everything left is a capture file
+        tok = args.next()
+        if tok is None:
+            break
+        filenames.append(tok)
+    if not filenames:
+        raise ValueError("'waterfall' requires at least one capture filename")
+    return WaterfallCmd(
+        filenames=filenames, fft_width=fft_width, stride=stride,
+        windowing=windowing, chunk_windows=chunk_windows, chunks=chunks,
+        search=search, out=out, sample_rate=sr, format=fmt,
+        mesh=None if mesh is None else _parse_mesh(mesh),
+    )
+
+
+def _parse_ook(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    width = int(parse_si_uint(map_.pop("width", "4")))
+    stride = int(parse_si_uint(map_.pop("stride", "2")))
+    threshold = parse_si_float(map_.pop("threshold", "0.001"))
+    bit = parse_si_float(map_.pop("bit", "8"))
+    raw = parse_bool(map_.pop("raw", "no"))
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    _ensure_empty(map_, "ook")
+    filename = args.next()
+    if filename is None:
+        raise ValueError("'ook' requires a capture filename argument")
+    return OokCmd(
+        filename=filename, width=width, stride=stride, threshold=threshold,
+        bit=bit, raw=raw, sample_rate=sr, format=fmt,
+    )
+
+
+def _parse_fsk(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    shift = parse_si_int(map_.pop("shift", "0"))
+    lowpass = parse_si_uint(map_.pop("lowpass", "200k"))
+    power = map_.pop("power", None)
+    size = 2 * parse_si_uint(power) if power is not None else 400
+    decimate = parse_si_uint(map_.pop("decimate", "32"))
+    fft_width = int(parse_si_uint(map_.pop("width", "64")))
+    stride = map_.pop("stride", None)
+    stride = None if stride is None else int(parse_si_uint(stride))
+    bit = map_.pop("bit", None)
+    bit = None if bit is None else parse_si_float(bit)
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    _ensure_empty(map_, "fsk")
+    filename = args.next()
+    if filename is None:
+        raise ValueError("'fsk' requires a capture filename argument")
+    return FskCmd(
+        filename=filename, shift=shift, lowpass=lowpass, size=size,
+        decimate=decimate, fft_width=fft_width, stride=stride, bit=bit,
+        sample_rate=sr, format=fmt,
+    )
+
+
 _PARSERS = {
     "from": _parse_from,
     "shift": _parse_shift,
@@ -283,4 +477,11 @@ _PARSERS = {
     "gen": _parse_gen,
     "ui": _parse_ui,
     "eui": _parse_eui,
+    # TPU-native serving products (no reference counterpart): the
+    # streaming runners, the fused waterfall bank with in-kernel search,
+    # and the composed demodulators, driven from the shell
+    "stream": _parse_stream,
+    "waterfall": _parse_waterfall,
+    "ook": _parse_ook,
+    "fsk": _parse_fsk,
 }

@@ -25,6 +25,12 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
      gen [-cos FREQUENCY]* [-len 1 (second)] SAMPLE_RATE \\
       ui [-fft 8] [-stretch 4] [-stride 4] [-frames 1] [renders waterfall to ui.png] \\
      eui [-start 46] [-end 46.3] [-fft 512] [-frames 1] [FILENAME] [renders to eui.png] \\
+  stream [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] \\
+         [-chunk 4M] [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] FILENAME \\
+waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
+         [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] FILENAME... \\
+     ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] FILENAME \\
+     fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-bit 1] FILENAME \\
 
 
 Formats:
@@ -53,6 +59,10 @@ def _select_platform() -> None:
         jax.config.update("jax_platforms", want)
 
 
+def _serve_types() -> tuple:
+    return (argmod.StreamCmd, argmod.WaterfallCmd, argmod.OokCmd, argmod.FskCmd)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
     us = "quadjax"
@@ -73,7 +83,13 @@ def main(argv: list[str] | None = None) -> int:
     stream = None
     try:
         for command in commands:
-            if isinstance(command, argmod.Octagon):
+            if type(command) in _serve_types():
+                from quadrs_tpu import serve
+
+                rc = serve.RUNNERS[type(command)](command)
+                if rc:
+                    return rc
+            elif isinstance(command, argmod.Octagon):
                 stream = exec_operation(command.op, stream)
             elif isinstance(command, argmod.Ui):
                 from quadrs_tpu.viz.waterfall import (

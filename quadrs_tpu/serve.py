@@ -1,0 +1,260 @@
+"""CLI drivers for the TPU-native serving products.
+
+The reference is a CLI tool first (``src/bin/quadrs.rs:9-28`` — its
+usage text is its product surface).  This module gives the rebuild's
+flagship TPU-native capabilities the same shell surface: sustained
+:class:`~quadrs_tpu.stream_runner.StreamRunner` streaming (``stream``),
+the fused waterfall bank with in-kernel peak search (``waterfall``), and
+the composed demodulator models (``ook``/``fsk``) — none of which exist
+in the reference, so their command grammar is ours, styled after the
+reference's ``-flag value`` conventions.
+
+Every command prints a final stats line
+``<cmd>: N samples, M windows, S.SSs, R.R Msps`` so shell pipelines can
+assert on throughput, and ``-out PREFIX`` streams results to files
+chunk-by-chunk (norms as raw f32 rows, peaks as CSV) without holding the
+capture's output in memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quadrs_tpu import args as argmod
+from quadrs_tpu.sources import open_capture
+from quadrs_tpu.stream_runner import RunStats
+
+
+def _make_mesh(shape: tuple[int, int] | None):
+    if shape is None:
+        return None
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    return make_mesh(n_time=shape[0], n_stream=shape[1])
+
+
+def _stats_line(name: str, stats: RunStats) -> str:
+    return (
+        f"{name}: {stats.samples_in} samples, {stats.windows_out} windows, "
+        f"{stats.seconds:.2f}s, {stats.msps:.1f} Msps"
+    )
+
+
+class _PeakTracker:
+    """Running (stream, window, bin, mag) maxima across chunks."""
+
+    def __init__(self, n_streams: int):
+        self.best = [(-1, -1, float("-inf"))] * n_streams  # (window, bin, mag)
+
+    def update(self, s: int, w0: int, idx: np.ndarray, val: np.ndarray):
+        if len(val) == 0:
+            return
+        i = int(np.argmax(val))
+        if float(val[i]) > self.best[s][2]:
+            self.best[s] = (w0 + i, int(idx[i]), float(val[i]))
+
+    def lines(self, prefix: str) -> list[str]:
+        out = []
+        for s, (w, b, m) in enumerate(self.best):
+            tag = f" stream={s}" if len(self.best) > 1 else ""
+            out.append(f"{prefix} peak{tag} window={w} bin={b} mag={m:.6g}")
+        return out
+
+
+def run_stream(cmd: argmod.StreamCmd) -> int:
+    """Drive the fused shift -> lowpass -> STFT chain over a capture."""
+    from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+    from quadrs_tpu.stream_runner import StreamRunner
+
+    src = open_capture(cmd.filename, cmd.sample_rate, cmd.format)
+    cfg = PipelineConfig(
+        sample_rate=src.sample_rate,
+        shift_freq=cmd.shift,
+        lp_freq=cmd.lowpass,
+        decimate=cmd.decimate,
+        taps=cmd.size,
+        fft_width=cmd.fft_width,
+        fmt=src.format,
+    )
+    model = PipelineModel(cfg)
+    runner = StreamRunner(
+        src, model, chunk_samples=cmd.chunk, mesh=_make_mesh(cmd.mesh)
+    )
+    tracker = _PeakTracker(1)
+    wrote: list[str] = []
+
+    if cmd.search:
+        csv = None
+        if cmd.out is not None:
+            path = f"{cmd.out}.peaks.csv"
+            csv = open(path, "w")
+            csv.write("window,bin,mag\n")
+            wrote.append(path)
+
+        def on_peaks(w0, out):
+            idx, val = out
+            tracker.update(0, w0, idx, val)
+            if csv is not None:
+                for i in range(len(idx)):
+                    csv.write(f"{w0 + i},{int(idx[i])},{float(val[i]):.9g}\n")
+
+        stats = runner.run_search(on_peaks, max_chunks=cmd.chunks)
+        if csv is not None:
+            csv.close()
+    else:
+        f = None
+        if cmd.out is not None:
+            path = f"{cmd.out}.norms.f32"
+            f = open(path, "wb")
+            wrote.append(path)
+
+        def on_windows(w0, norms):
+            tracker.update(
+                0, w0, np.argmax(norms, axis=-1), np.max(norms, axis=-1)
+            )
+            if f is not None:
+                f.write(np.ascontiguousarray(norms, dtype=np.float32).tobytes())
+
+        stats = runner.run(on_windows, max_chunks=cmd.chunks)
+        if f is not None:
+            f.close()
+
+    for line in tracker.lines("stream"):
+        print(line)
+    for path in wrote:
+        print(f"wrote {path}")
+    print(_stats_line("stream", stats))
+    return 0
+
+
+def run_waterfall(cmd: argmod.WaterfallCmd) -> int:
+    """Stream a bank of captures through the fused waterfall kernel."""
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.stream_runner import WaterfallRunner
+
+    sources = [
+        open_capture(f, cmd.sample_rate, cmd.format) for f in cmd.filenames
+    ]
+    fmts = {s.format for s in sources}
+    if len(fmts) != 1:
+        raise ValueError(f"bank files disagree on format: {sorted(f.name for f in fmts)}")
+    cfg = WaterfallConfig(
+        n_streams=len(sources),
+        fft_width=cmd.fft_width,
+        stride=cmd.stride if cmd.stride is not None else cmd.fft_width,
+        fmt=sources[0].format,
+        windowing=cmd.windowing,
+    )
+    model = WaterfallModel(cfg)
+    runner = WaterfallRunner(
+        sources, model, chunk_windows=cmd.chunk_windows, mesh=_make_mesh(cmd.mesh)
+    )
+    tracker = _PeakTracker(len(sources))
+    wrote: list[str] = []
+
+    if cmd.search:
+        csv = None
+        if cmd.out is not None:
+            path = f"{cmd.out}.peaks.csv"
+            csv = open(path, "w")
+            csv.write("stream,window,bin,mag\n")
+            wrote.append(path)
+
+        def on_peaks(w0, out):
+            idx, val = out  # (S, nw) each
+            for s in range(idx.shape[0]):
+                tracker.update(s, w0, idx[s], val[s])
+                if csv is not None:
+                    for i in range(idx.shape[1]):
+                        csv.write(
+                            f"{s},{w0 + i},{int(idx[s, i])},{float(val[s, i]):.9g}\n"
+                        )
+
+        stats = runner.run_search(on_peaks, max_chunks=cmd.chunks)
+        if csv is not None:
+            csv.close()
+    else:
+        files = None
+        if cmd.out is not None:
+            files = []
+            for s in range(len(sources)):
+                path = f"{cmd.out}.s{s}.norms.f32"
+                files.append(open(path, "wb"))
+                wrote.append(path)
+
+        def on_norms(w0, norms):  # (S, nw, width)
+            for s in range(norms.shape[0]):
+                tracker.update(
+                    s, w0, np.argmax(norms[s], axis=-1), np.max(norms[s], axis=-1)
+                )
+                if files is not None:
+                    files[s].write(
+                        np.ascontiguousarray(norms[s], dtype=np.float32).tobytes()
+                    )
+
+        stats = runner.run(on_norms, max_chunks=cmd.chunks)
+        if files is not None:
+            for f in files:
+                f.close()
+
+    for line in tracker.lines("waterfall"):
+        print(line)
+    for path in wrote:
+        print(f"wrote {path}")
+    print(_stats_line("waterfall", stats))
+    return 0
+
+
+def run_ook(cmd: argmod.OokCmd) -> int:
+    """Demodulate an OOK capture and print the recovered bits."""
+    from quadrs_tpu.models.demod import OokDemod, manchester_decode
+
+    src = open_capture(cmd.filename, cmd.sample_rate, cmd.format)
+    demod = OokDemod(
+        width=cmd.width,
+        stride=cmd.stride,
+        threshold=cmd.threshold,
+        samples_per_bit=cmd.bit,
+    )
+    err, raw_bits = demod.demodulate(src)
+    if cmd.raw:
+        print("".join("1" if b else "0" for b in raw_bits))
+    else:
+        print("".join(str(b) for b in manchester_decode(raw_bits)))
+    print(f"ook: {len(raw_bits)} raw bits, clock error {err:.3f}")
+    return 0
+
+
+def run_fsk(cmd: argmod.FskCmd) -> int:
+    """Demodulate a two-tone FSK capture and print the recovered bits."""
+    from quadrs_tpu.models.demod import FskDemod
+
+    src = open_capture(cmd.filename, cmd.sample_rate, cmd.format)
+    demod = FskDemod(
+        center=cmd.shift,
+        bandwidth=cmd.lowpass,
+        decimate=cmd.decimate,
+        taps=cmd.size,
+        fft_width=cmd.fft_width,
+        stride=cmd.stride,
+        samples_per_symbol=1.0 if cmd.bit is None else cmd.bit,
+    )
+    if cmd.bit is None:
+        # raw discriminator symbols (one per window, like `bucket` but
+        # through the composed channel model)
+        syms = demod.symbols(src)
+        print("".join(str(int(s)) for s in syms))
+        print(f"fsk: {len(syms)} symbols")
+    else:
+        err, bits = demod.demodulate(src)
+        print("".join("1" if b else "0" for b in bits))
+        print(f"fsk: {len(bits)} bits, clock error {err:.3f}")
+    return 0
+
+
+RUNNERS = {
+    argmod.StreamCmd: run_stream,
+    argmod.WaterfallCmd: run_waterfall,
+    argmod.OokCmd: run_ook,
+    argmod.FskCmd: run_fsk,
+}
