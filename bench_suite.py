@@ -270,12 +270,42 @@ def bench_waterfall_strided(on_accel: bool) -> dict:
     search_msps = measure_msps_acc(
         lambda i, acc: _acc_s(raw, acc), total, 2.0 if on_accel else 0.3, min_iters=2
     )
+
+    # wide-width coverage: 4096-pt at 4x overlap (b=32), where the
+    # round-4 two-factor stage-A split lifted 931 -> 2833 Msps (search
+    # 1099 -> 5075); 2^17/stream keeps tile padding negligible (nw=125)
+    wcfg = WaterfallConfig(n_streams=64, fft_width=4096, stride=1024)
+    wmodel = WaterfallModel(wcfg)
+    w_per = (1 << 17) if on_accel else (1 << 14)
+    wraw = jax.device_put(wmodel.synth_raw(w_per))
+    w_total = wcfg.n_streams * w_per
+
+    @jax.jit
+    def _acc_w(raw, acc):
+        return acc + jnp.sum(wmodel.step(raw))
+
+    wide_msps = measure_msps_acc(
+        lambda i, acc: _acc_w(wraw, acc), w_total, 2.0 if on_accel else 0.3, min_iters=2
+    )
+    wsj = wmodel.jit_search()
+
+    @jax.jit
+    def _acc_ws(raw, acc):
+        i, m = wsj(raw)
+        return acc + jnp.sum(m) + jnp.sum(i.astype(jnp.float32))
+
+    wide_search = measure_msps_acc(
+        lambda i, acc: _acc_ws(wraw, acc), w_total, 2.0 if on_accel else 0.3, min_iters=2
+    )
+
     entry = {
         "metric": "64x cs8 strided waterfall (1024-pt, stride 256: 4x overlap; input rate)",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip (aggregate input)",
         "vs_baseline": round(msps / 100.0, 2),
         "search_msps": round(search_msps, 1),
+        "wide_4096_msps": round(wide_msps, 1),
+        "wide_4096_search_msps": round(wide_search, 1),
         **tstats,
     }
     entry.update(

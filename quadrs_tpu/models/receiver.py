@@ -283,7 +283,11 @@ class PipelineModel:
         )
 
     def step_stream_pallas(
-        self, raw: jnp.ndarray, bases: jnp.ndarray, n_valid: int | None = None
+        self,
+        raw: jnp.ndarray,
+        bases: jnp.ndarray,
+        n_valid: int | None = None,
+        fuse_stft: bool | None = None,
     ) -> jnp.ndarray:
         """Streaming mode through the fused Pallas frontend
         (decode+mix+FIR in one VMEM pass; ~2x the XLA chain for integer
@@ -292,6 +296,15 @@ class PipelineModel:
         sample count when the caller zero-padded raw bytes (masked in
         the decoded domain, like step_stream's ``valid``).  Same output
         as :meth:`step_stream`.
+
+        ``fuse_stft``: fold the STFT epilogue into the kernel (widths
+        dividing 128; the decimated stream never reaches HBM).
+        Measured a WASH on v5e (same-session: cs8 4102 vs 4098, cs16
+        5055 vs 5046, cf32 3215 vs 3230 Msps) — the separate XLA STFT
+        dispatch is already fully overlapped — so the default (None)
+        keeps the simpler unfused path; the fused variant remains for
+        HBM-pressure situations (it removes the decimated stream's
+        round-trip).
         """
         from quadrs_tpu.ops.frontend_pallas import fused_frontend_t
 
@@ -302,6 +315,19 @@ class PipelineModel:
         n_out = n_windows * cfg.fft_width  # whole windows (see stream_bases)
         prefix = cfg.taps - cfg.taps // 2  # ceil(taps/2), like fir_decimate
         nv = None if n_valid is None else max(0, int(n_valid) - prefix)
+        if fuse_stft is None:
+            fuse_stft = False
+        interp = jax.default_backend() != "tpu"
+        if fuse_stft:
+            return fused_frontend_t(
+                raw[:, prefix:],
+                bases,
+                self.frontend_spec,
+                n_out,
+                n_valid=nv,
+                stft_width=cfg.fft_width,
+                interpret=interp,
+            )
         y = fused_frontend_t(
             raw[:, prefix:],
             bases,
@@ -309,7 +335,7 @@ class PipelineModel:
             n_out,
             n_valid=nv,
             # CPU rigs run the kernel interpreted (no Mosaic backend there)
-            interpret=jax.default_backend() != "tpu",
+            interpret=interp,
         )
         yc = pack_complex(y[0], y[1], xp=jnp)
         return stft_norms(
@@ -352,7 +378,9 @@ class PipelineModel:
 
     @cached_property
     def jit_step_stream_pallas(self):
-        return jax.jit(self.step_stream_pallas, static_argnames=("n_valid",))
+        return jax.jit(
+            self.step_stream_pallas, static_argnames=("n_valid", "fuse_stft")
+        )
 
     @cached_property
     def jit_step_stream_search(self):

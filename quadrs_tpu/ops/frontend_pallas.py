@@ -381,7 +381,32 @@ def _plan_t(spec: FrontendSpec):
     return m_sub, m_pad, hp, cdm, sdm, cdh, sdh
 
 
-def _kernel_t(spec: FrontendSpec, m_sub: int):
+@functools.lru_cache(maxsize=8)
+def _plan_stft(fft_width: int):
+    """Resident (128, 128) block-diagonal DFT matrix for the in-kernel
+    STFT epilogue: 128/W copies of F_W on the diagonal, with the
+    fftshift folded into the column order.  A (R, 128) tile of decimated
+    samples holds 128/W windows per row, so the whole STFT-and-shift is
+    ONE 128-contraction MXU matmul per plane: Y[r, w*W + k] =
+    sum_n y[r, w*W + n] * F[n, (k + W/2) % W]."""
+    w = fft_width
+    per = 128 // w
+    n = np.arange(w)
+    f = np.exp(-2j * np.pi * np.outer(n, n) / w)
+    f = f[:, (n + w // 2) % w]  # fftshifted bin order
+    big = np.zeros((128, 128), dtype=np.complex128)
+    for i in range(per):
+        big[i * w : (i + 1) * w, i * w : (i + 1) * w] = f
+    return big.real.astype(np.float32), big.imag.astype(np.float32)
+
+
+def stft_fusable(fft_width: int) -> bool:
+    """The in-kernel STFT epilogue handles widths dividing 128 (the
+    block-diagonal DFT packs whole windows into 128-lane rows)."""
+    return fft_width >= 2 and 128 % fft_width == 0
+
+
+def _kernel_t(spec: FrontendSpec, m_sub: int, stft_width: int | None = None):
     from jax.experimental import pallas as pl
 
     d = spec.decimate
@@ -399,9 +424,12 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
         cdh_ref,
         sdh_ref,
         hp_ref,
-        ore_ref,
-        oim_ref,
+        *rest,
     ):
+        if stft_width is None:
+            ore_ref, oim_ref = rest
+        else:
+            fr_ref, fi_ref, onorm_ref = rest
         t = pl.program_id(0)
         base = base_ref[t]
         v = valid_ref[t]
@@ -478,8 +506,25 @@ def _kernel_t(spec: FrontendSpec, m_sub: int):
             accr = pr if accr is None else accr + pr
             acci = pi if acci is None else acci + pi
 
-        ore_ref[0] = accr
-        oim_ref[0] = acci
+        if stft_width is None:
+            ore_ref[0] = accr
+            oim_ref[0] = acci
+            return
+        # in-kernel STFT epilogue: relayout the (1, tout) decimated
+        # stream to (tout/128, 128) rows, then the block-diagonal DFT
+        # (fftshift pre-folded in its columns) is one MXU matmul pair
+        # and only the f32 norms ever reach HBM
+        rows = tout // 128
+        yr = accr.reshape(rows, 128)
+        yi = acci.reshape(rows, 128)
+        fr, fi = fr_ref[:], fi_ref[:]
+        zr = jnp.dot(yr, fr, precision=p_hi, preferred_element_type=jnp.float32) - jnp.dot(
+            yi, fi, precision=p_hi, preferred_element_type=jnp.float32
+        )
+        zi = jnp.dot(yr, fi, precision=p_hi, preferred_element_type=jnp.float32) + jnp.dot(
+            yi, fr, precision=p_hi, preferred_element_type=jnp.float32
+        )
+        onorm_ref[0] = jnp.sqrt(zr * zr + zi * zi)
 
     return kernel
 
@@ -491,19 +536,28 @@ def fused_frontend_t(
     n_out: int,
     *,
     n_valid: int | None = None,
+    stft_width: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Transposed-layout fused frontend (see module notes).  Same
     contract as :func:`fused_frontend`; ~2x the XLA chain for integer
     formats on v5e (parity for cf32).  ``n_valid``: real samples in
     ``planes`` when the caller has already zero-padded raw bytes — the
-    kernel masks past it in the decoded domain."""
+    kernel masks past it in the decoded domain.
+
+    ``stft_width``: fold the chain's STFT epilogue into the kernel (see
+    :func:`_plan_stft`; requires ``stft_fusable``) — returns
+    (n_out // stft_width, stft_width) fftshifted f32 norms instead of
+    the (2, n_out) decimated planes, and the decimated stream never
+    reaches HBM."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     d = spec.decimate
     if not supported_t(d):
         raise ValueError(f"transposed pallas frontend requires 1 <= decimate <= 64, got {d}")
+    if stft_width is not None and not stft_fusable(stft_width):
+        raise ValueError(f"in-kernel STFT requires a width dividing 128, got {stft_width}")
     m_sub, m_pad, hp, cdm, sdm, cdh, sdh = _plan_t(spec)
     tout = _tout_t(spec)
 
@@ -524,31 +578,33 @@ def fused_frontend_t(
     valid = np.clip(n_valid - t_idx * l_in, 0, l_in + 128 * d).astype(np.int32)
 
     blocks_per_tile = tout // 128
+    in_specs = [
+        pl.BlockSpec((d, tout), lambda t, *_: (0, t)),
+        pl.BlockSpec((d, tout), lambda t, *_: (0, t)),
+        pl.BlockSpec((d, 128), lambda t, *_: (0, (t + 1) * blocks_per_tile)),
+        pl.BlockSpec((d, 128), lambda t, *_: (0, (t + 1) * blocks_per_tile)),
+        pl.BlockSpec((d, tout), lambda t, *_: (0, 0)),
+        pl.BlockSpec((d, tout), lambda t, *_: (0, 0)),
+        pl.BlockSpec((d, 128), lambda t, *_: (0, 0)),
+        pl.BlockSpec((d, 128), lambda t, *_: (0, 0)),
+        pl.BlockSpec((m_pad, d), lambda t, *_: (0, 0)),
+    ]
+    if stft_width is not None:
+        in_specs += [pl.BlockSpec((128, 128), lambda t, *_: (0, 0))] * 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # base, valid
         grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec((d, tout), lambda t, *_: (0, t)),
-            pl.BlockSpec((d, tout), lambda t, *_: (0, t)),
-            pl.BlockSpec((d, 128), lambda t, *_: (0, (t + 1) * blocks_per_tile)),
-            pl.BlockSpec((d, 128), lambda t, *_: (0, (t + 1) * blocks_per_tile)),
-            pl.BlockSpec((d, tout), lambda t, *_: (0, 0)),
-            pl.BlockSpec((d, tout), lambda t, *_: (0, 0)),
-            pl.BlockSpec((d, 128), lambda t, *_: (0, 0)),
-            pl.BlockSpec((d, 128), lambda t, *_: (0, 0)),
-            pl.BlockSpec((m_pad, d), lambda t, *_: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, tout), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, tout), lambda t, *_: (t, 0, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=(
+            [
+                pl.BlockSpec((1, 1, tout), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((1, 1, tout), lambda t, *_: (t, 0, 0)),
+            ]
+            if stft_width is None
+            else pl.BlockSpec((1, tout // 128, 128), lambda t, *_: (t, 0, 0))
+        ),
     )
-    ore, oim = pl.pallas_call(
-        _kernel_t(spec, m_sub),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((tiles, 1, tout), jnp.float32)] * 2,
-        interpret=interpret,
-    )(
+    inputs = [
         base,
         jnp.asarray(valid),
         xt[0],
@@ -560,8 +616,24 @@ def fused_frontend_t(
         jnp.asarray(cdh),
         jnp.asarray(sdh),
         jnp.asarray(hp),
-    )
-    return jnp.stack([ore.reshape(-1)[:n_out], oim.reshape(-1)[:n_out]])
+    ]
+    if stft_width is None:
+        ore, oim = pl.pallas_call(
+            _kernel_t(spec, m_sub),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((tiles, 1, tout), jnp.float32)] * 2,
+            interpret=interpret,
+        )(*inputs)
+        return jnp.stack([ore.reshape(-1)[:n_out], oim.reshape(-1)[:n_out]])
+
+    fr, fi = _plan_stft(stft_width)
+    norms = pl.pallas_call(
+        _kernel_t(spec, m_sub, stft_width=stft_width),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tiles, tout // 128, 128), jnp.float32),
+        interpret=interpret,
+    )(*inputs, jnp.asarray(fr), jnp.asarray(fi))
+    return norms.reshape(-1)[:n_out].reshape(n_out // stft_width, stft_width)
 
 
 def tile_bases(spec: FrontendSpec, global_start: int, tiles: int) -> np.ndarray:

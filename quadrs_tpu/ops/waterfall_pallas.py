@@ -106,6 +106,7 @@ def _kernel(spec: WaterfallSpec, search: bool = False):
 
     width = spec.width
     b = width // 128
+    fac = _factor_b(b)
     _, _, f2, _ = _plan(spec)
 
     def kernel(re_ref, im_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, *rest):
@@ -136,23 +137,68 @@ def _kernel(spec: WaterfallSpec, search: bool = False):
         twr, twi = twr_ref[:], twi_ref[:]
         zr, zi = zr * twr - zi * twi, zr * twi + zi * twr
 
+        zs = [
+            (
+                zr[:, qq * _WIN_TILE : (qq + 1) * _WIN_TILE],
+                zi[:, qq * _WIN_TILE : (qq + 1) * _WIN_TILE],
+            )
+            for qq in range(b)
+        ]
+
+        def pages_direct():
+            # stage 2: X[s][r, w] = sum_q F_b[q, s] * Z'[r, (q, w)] —
+            # b^2 scalar-constant FMAs over 128-aligned lane slices;
+            # pages land in natural bin order k = r + 128*s
+            for s in range(b):
+                accr = None
+                acci = None
+                for qq in range(b):
+                    cr = float(f2[qq, s].real)
+                    ci = float(f2[qq, s].imag)
+                    zrq, ziq = zs[qq]
+                    tr = cr * zrq - ci * ziq
+                    ti = cr * ziq + ci * zrq
+                    accr = tr if accr is None else accr + tr
+                    acci = ti if acci is None else acci + ti
+                yield s, accr, acci
+
+        def pages_factored():
+            # two-factor stage 2 for wide widths (see _factor_b): all
+            # three coefficient families are scalar loop constants, so
+            # the q-DFT costs b*(b1+b2) FMA slices instead of b^2
+            b1, b2 = fac
+            w1 = np.exp(-2j * np.pi * np.outer(np.arange(b1), np.arange(b1)) / b1)
+            for s1 in range(b1):
+                g = []
+                for q2 in range(b2):
+                    gr = None
+                    gi = None
+                    for q1 in range(b1):
+                        cr = float(w1[q1, s1].real)
+                        ci = float(w1[q1, s1].imag)
+                        zrq, ziq = zs[q1 * b2 + q2]
+                        tr = cr * zrq - ci * ziq
+                        ti = cr * ziq + ci * zrq
+                        gr = tr if gr is None else gr + tr
+                        gi = ti if gi is None else gi + ti
+                    g.append((gr, gi))
+                for s2 in range(b2):
+                    s = s1 + b1 * s2
+                    accr = None
+                    acci = None
+                    for q2 in range(b2):
+                        c = np.exp(-2j * np.pi * (q2 * s2 / b2 + q2 * s1 / b))
+                        cr, ci = float(c.real), float(c.imag)
+                        gr, gi = g[q2]
+                        tr = cr * gr - ci * gi
+                        ti = cr * gi + ci * gr
+                        accr = tr if accr is None else accr + tr
+                        acci = ti if acci is None else acci + ti
+                    yield s, accr, acci
+
         best_val = None
         best_j = None
-        # stage 2: X[s][r, w] = sum_q F_b[q, s] * Z'[r, (q, w)] — b^2
-        # scalar-constant FMAs over 128-aligned lane slices, then the
-        # magnitude; pages land in natural bin order k = r + 128*s
-        for s in range(b):
-            accr = None
-            acci = None
-            for qq in range(b):
-                cr = float(f2[qq, s].real)
-                ci = float(f2[qq, s].imag)
-                zrq = zr[:, qq * _WIN_TILE : (qq + 1) * _WIN_TILE]
-                ziq = zi[:, qq * _WIN_TILE : (qq + 1) * _WIN_TILE]
-                tr = cr * zrq - ci * ziq
-                ti = cr * ziq + ci * zrq
-                accr = tr if accr is None else accr + tr
-                acci = ti if acci is None else acci + ti
+        for s, accr, acci in pages_factored() if fac is not None else pages_direct():
             mag = jnp.sqrt(accr * accr + acci * acci)
             if not search:
                 out_refs[0][0, s] = mag
@@ -206,7 +252,13 @@ def fused_waterfall(
     from native-dtype row slices in XLA (never a gather).  Trailing
     samples that don't fill a window are dropped."""
     if stride is not None and stride != spec.width and _strided_supported(spec.width, stride):
+        # (the subaligned class-interleave route was measured a LOSS for
+        # norms — see _subaligned_supported — so norms never take it)
         return _fused_waterfall_strided(planes, spec, n_windows, stride, interpret)
+    if _tiled_via_strided(spec.width):
+        return _fused_waterfall_strided(
+            planes, spec, n_windows, spec.width, interpret
+        )
     inputs, in_specs, groups, total_w = _prearranged(planes, spec, n_windows, stride)
     from jax.experimental import pallas as pl
 
@@ -248,9 +300,18 @@ def fused_waterfall_search(
     128-multiple strides run the in-kernel window assembly (lane
     reductions per page); others pre-arrange in XLA like the norms
     path."""
-    if stride is not None and stride != spec.width and _strided_supported(spec.width, stride):
+    if stride is not None and stride != spec.width:
+        if _strided_supported(spec.width, stride):
+            return _fused_waterfall_strided(
+                planes, spec, n_windows, stride, interpret, search=True
+            )
+        if _subaligned_supported(spec.width, stride):
+            return _fused_waterfall_subaligned(
+                planes, spec, n_windows, stride, interpret, search=True
+            )
+    if _tiled_via_strided(spec.width):
         return _fused_waterfall_strided(
-            planes, spec, n_windows, stride, interpret, search=True
+            planes, spec, n_windows, spec.width, interpret, search=True
         )
     inputs, in_specs, groups, total_w = _prearranged(planes, spec, n_windows, stride)
     from jax.experimental import pallas as pl
@@ -301,6 +362,95 @@ def fused_waterfall_search(
 _HALO_ROWS = 32  # covers q//s_r <= 31 for any b <= 32; legal sublane tile
 
 
+def _tiled_via_strided(width: int) -> bool:
+    """Widths past b=16 run the TILED (stride == width) case through the
+    strided machinery (s_r = b: one window row per class, zero overlap).
+    The tiled kernel's resident tables + stage-1 intermediates scale
+    with b and blow the 16 MB scoped-VMEM limit at b=32 (measured:
+    22.13M on v5e — it does not compile), while the strided kernel's
+    per-class blocks stay small and its stage A is the factorized
+    q-DFT.  Measured at 4096-pt, 128 windows/stream chunks (full
+    128-window tiles): **14.3 Gsps aggregate vs 8.9 for the XLA
+    chain**; chunks with fewer than ~128 windows/stream pay tile
+    padding pro rata (32 windows/stream: 3.4 Gsps), so feed wide tiled
+    banks big chunks.  b=16 keeps the tiled kernel (it compiles and
+    measured 10.5 Gsps at 2048-pt)."""
+    return supported(width) and width // 128 > 16
+
+
+def _subaligned_supported(width: int, stride: int) -> bool:
+    """Sublane-aligned strides (multiples of 32/64 that aren't
+    multiples of 128) can route through the class-interleave wrapper:
+    windows w ≡ c (mod P), P = 128/gcd(stride, 128), share the lane
+    offset (c*stride) mod 128, so slicing the BYTE planes at c*stride
+    (one cheap contiguous u8 XLA slice per class) makes each class an
+    exactly-128-multiple strided problem of stride' = P*stride — the
+    existing in-kernel assembly, unchanged.
+
+    Measured on v5e (64 cs8 streams, same-session vs pre-arranged):
+    the SEARCH wins decisively while the classes stay well-overlapped
+    (1024-pt stride 96: 1128 vs 845; 2048-pt stride 160: 1275 vs 598
+    Msps input) but loses once stride' approaches the width (1024-pt
+    stride 224: 1901 vs 2129), so the route requires
+    2*P*stride <= width.  The NORMS variant loses everywhere (639 vs
+    742 at stride 96; 1498 vs 2050 at 224; 497 vs 543 at 2048/160) —
+    the P per-class kernels re-read ~the whole input and the f32
+    output interleave eats the rest — so only
+    :func:`fused_waterfall_search` routes here (a recorded dead end
+    for norms, see DESIGN.md)."""
+    if not supported(width) or stride <= 0 or stride % 128 == 0:
+        return False
+    g = np.gcd(stride, 128)
+    return g >= 32 and 2 * (128 // g) * stride <= width
+
+
+def _fused_waterfall_subaligned(
+    planes: jax.Array,
+    spec: WaterfallSpec,
+    n_windows: int,
+    stride: int,
+    interpret: bool,
+    search: bool = False,
+):
+    """See :func:`_subaligned_supported`.  Window w = c + P*j of the
+    original problem is window j of class c; outputs interleave back
+    with one f32 stack+reshape."""
+    width = spec.width
+    g = int(np.gcd(stride, 128))
+    p_cls = 128 // g
+    stride_c = p_cls * stride
+    nw_max = -(-n_windows // p_cls)
+    s_streams = planes.shape[0]
+
+    outs = []
+    for c in range(p_cls):
+        nw_c = max(0, -(-(n_windows - c) // p_cls))
+        sub = planes[:, :, c * stride :]
+        if search:
+            out_c = fused_waterfall_search(
+                sub, spec, nw_c, stride=stride_c, interpret=interpret
+            )
+        else:
+            out_c = (
+                fused_waterfall(sub, spec, nw_c, stride=stride_c, interpret=interpret),
+            )
+        if nw_c < nw_max:  # ragged class: pad so the interleave is square
+            out_c = tuple(
+                jnp.pad(a, ((0, 0), (0, nw_max - nw_c)) + ((0, 0),) * (a.ndim - 2))
+                for a in out_c
+            )
+        outs.append(out_c if search else out_c[0])
+
+    def interleave(parts):
+        # (S, j, ...) per class -> (S, j, P, ...) -> (S, nw, ...)
+        x = jnp.stack(parts, axis=2)
+        return x.reshape(s_streams, nw_max * p_cls, *x.shape[3:])[:, :n_windows]
+
+    if search:
+        return interleave([o[0] for o in outs]), interleave([o[1] for o in outs])
+    return interleave(outs)
+
+
 def _strided_supported(width: int, stride: int) -> bool:
     """In-kernel assembly pays off only for OVERLAPPED strides: its
     BlockSpecs stage whole stride cells, so for skipping strides
@@ -309,6 +459,54 @@ def _strided_supported(width: int, stride: int) -> bool:
     the windows (deflating).  Overlapped 128-multiples are where the
     no-inflation win applies (measured 1923 -> 3155 Msps at 4x)."""
     return supported(width) and stride % 128 == 0 and 0 < stride < width
+
+
+def _factor_b(b: int) -> tuple[int, int] | None:
+    """Balanced two-factor split ``b = b1*b2`` for stage A's q-DFT.
+
+    Stage A is a b-point DFT over q per (window, p) element — b^2
+    resident-table FMA slices per tile, which dominates wide widths
+    (4096-pt: 1024 slices, measured 966 Msps at 4x overlap).  Splitting
+    q = q1*b2 + q2, s' = s1 + b1*s2 turns it into two sub-stages of
+    b*b1 + b*b2 slices with the inter-stage twiddle W_b^{q2 s1} folded
+    into the second stage's scalar coefficients for free (all three
+    factors are loop constants).  Applied for factorable b >= 16, where
+    the ~b/(b1+b2) work reduction clears the bookkeeping overhead (the
+    window and W_N^{ps'} factors move out of the big table into b lane
+    rows); below that the one-table path is already cheap."""
+    if b < 16:
+        return None
+    best = None
+    for b2 in range(2, int(b**0.5) + 1):
+        if b % b2 == 0:
+            best = (b // b2, b2)  # most balanced split, b1 >= b2
+    return best
+
+
+@functools.lru_cache(maxsize=8)
+def _plan_strided_fac(spec: WaterfallSpec):
+    """Resident tables for the FACTORIZED strided stage A: the stage-B
+    F128 matrix, the per-page lane twiddle V[s'][p] = W_N^{p s'}, and
+    the per-q window rows U[q][p] = win[128q + p] (None when
+    rectangular).  The q-DFT coefficients themselves are scalar loop
+    constants baked into the unrolled kernel, not tables."""
+    width = spec.width
+    b = width // 128
+    p = np.arange(128)
+    f1 = np.exp(-2j * np.pi * np.outer(p, p) / 128.0)
+    v = np.exp(-2j * np.pi * np.outer(np.arange(b), p) / float(width))
+    win = None
+    if spec.windowing in ("blackman-harris", "blackmanharris"):
+        from quadrs_tpu.ops.stft import blackman_harris_window
+
+        win = (
+            blackman_harris_window(width)
+            .astype(np.float64)
+            .reshape(b, 128)
+            .astype(np.float32)
+        )
+    to32 = lambda m: (m.real.astype(np.float32), m.imag.astype(np.float32))
+    return to32(f1), to32(v), win
 
 
 @functools.lru_cache(maxsize=8)
@@ -336,30 +534,53 @@ def _plan_strided(spec: WaterfallSpec):
     return to32(f1), to32(t)
 
 
+def _uses_halo(width: int, s_r: int) -> bool:
+    """A window's q-th row sits ``q // s_r`` rows past its tile's class
+    block; when s_r >= b that offset is always 0 and the halo blocks
+    (and their decode+concat transients — ~5 MB of scoped VMEM at b=32,
+    the difference between compiling and OOM for the tiled-via-strided
+    route) are dropped entirely."""
+    return (width // 128 - 1) // s_r > 0
+
+
 def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False):
     from quadrs_tpu.ops.frontend_pallas import _decode_ref
 
     width = spec.width
     b = width // 128
+    fac = _factor_b(b)
+    halo = _uses_halo(width, s_r)
 
-    def kernel(re_ref, im_ref, hre_ref, him_ref, tr_ref, ti_ref, f1r_ref, f1i_ref, *out_refs):
+    def kernel(re_ref, im_ref, *rest):
+        if halo:
+            hre_ref, him_ref, *rest = rest
+        if fac is None:
+            tr_ref, ti_ref, f1r_ref, f1i_ref, *out_refs = rest
+        elif spec.windowing in ("blackman-harris", "blackmanharris"):
+            vr_ref, vi_ref, win_ref, f1r_ref, f1i_ref, *out_refs = rest
+        else:
+            win_ref = None
+            vr_ref, vi_ref, f1r_ref, f1i_ref, *out_refs = rest
         p_hi = jax.lax.Precision.HIGHEST
-        # decode each class block once: (s_r, 128 + _HALO_ROWS, 128) f32
-        xr = [
-            jnp.concatenate(
-                [_decode_ref(re_ref[0, c], spec.fmt), _decode_ref(hre_ref[0, c], spec.fmt)],
-                axis=0,
-            )
-            for c in range(s_r)
-        ]
-        xi = [
-            jnp.concatenate(
-                [_decode_ref(im_ref[0, c], spec.fmt), _decode_ref(him_ref[0, c], spec.fmt)],
-                axis=0,
-            )
-            for c in range(s_r)
-        ]
-        tr, ti = tr_ref[:], ti_ref[:]
+        # decode each class block once: (s_r, 128 [+ _HALO_ROWS], 128) f32
+        if halo:
+            xr = [
+                jnp.concatenate(
+                    [_decode_ref(re_ref[0, c], spec.fmt), _decode_ref(hre_ref[0, c], spec.fmt)],
+                    axis=0,
+                )
+                for c in range(s_r)
+            ]
+            xi = [
+                jnp.concatenate(
+                    [_decode_ref(im_ref[0, c], spec.fmt), _decode_ref(him_ref[0, c], spec.fmt)],
+                    axis=0,
+                )
+                for c in range(s_r)
+            ]
+        else:
+            xr = [_decode_ref(re_ref[0, c], spec.fmt) for c in range(s_r)]
+            xi = [_decode_ref(im_ref[0, c], spec.fmt) for c in range(s_r)]
         f1r, f1i = f1r_ref[:], f1i_ref[:]
         # hoist the sublane-offset window slices out of the s' loop:
         # each (class, offset) pair is sliced once, not once per s'
@@ -368,25 +589,82 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False):
             (xr[q % s_r][q // s_r : q // s_r + 128], xi[q % s_r][q // s_r : q // s_r + 128])
             for q in range(b)
         ]
-        # per-page stage A then one stage-B matmul per page.  (Stacking
-        # the b pages on sublanes into a single (b*128, 128) @ (128,
-        # 128) stage-B matmul was A/B'd on hardware and measured a
-        # wash — loop 3244/3202 vs batched 3095/3242 Msps — Mosaic
-        # already pipelines the per-page matmuls, so the simpler loop
-        # stays.)
+
+        def pages_direct():
+            # per-page stage A: b resident-table FMAs per page (b^2
+            # total).  (Stacking the b pages on sublanes into a single
+            # (b*128, 128) @ (128, 128) stage-B matmul was A/B'd on
+            # hardware and measured a wash — loop 3244/3202 vs batched
+            # 3095/3242 Msps — Mosaic already pipelines the per-page
+            # matmuls, so the simpler loop stays.)
+            tr, ti = tr_ref[:], ti_ref[:]
+            for s in range(b):
+                ar = None
+                ai = None
+                for q in range(b):
+                    vr, vi = ys[q]
+                    cr = tr[q * b + s : q * b + s + 1]  # (1, 128) lane row
+                    ci = ti[q * b + s : q * b + s + 1]
+                    wr = vr * cr - vi * ci
+                    wi = vr * ci + vi * cr
+                    ar = wr if ar is None else ar + wr
+                    ai = wi if ai is None else ai + wi
+                yield s, ar, ai
+
+        def pages_factored():
+            # two-factor stage A (see _factor_b): q = q1*b2 + q2,
+            # s' = s1 + b1*s2.  Step 1 is a b1-point DFT per (q2, s1)
+            # with scalar coefficients; step 2 a b2-point DFT per page
+            # whose coefficients fold in the W_b^{q2 s1} twiddle; the
+            # page then picks up its W_N^{p s'} lane row (and the
+            # window moved into per-q lane rows up front).  Work:
+            # b*(b1+b2) FMA slices instead of b^2.
+            b1, b2 = fac
+            w1 = np.exp(-2j * np.pi * np.outer(np.arange(b1), np.arange(b1)) / b1)
+            vr_t, vi_t = vr_ref[:], vi_ref[:]
+            ys_w = ys
+            if win_ref is not None:
+                wtab = win_ref[:]
+                ys_w = [
+                    (vr * wtab[q : q + 1], vi * wtab[q : q + 1])
+                    for q, (vr, vi) in enumerate(ys)
+                ]
+            for s1 in range(b1):
+                g = []
+                for q2 in range(b2):
+                    gr = None
+                    gi = None
+                    for q1 in range(b1):
+                        cr = float(w1[q1, s1].real)
+                        ci = float(w1[q1, s1].imag)
+                        vr, vi = ys_w[q1 * b2 + q2]
+                        tr_ = cr * vr - ci * vi
+                        ti_ = cr * vi + ci * vr
+                        gr = tr_ if gr is None else gr + tr_
+                        gi = ti_ if gi is None else gi + ti_
+                    g.append((gr, gi))
+                for s2 in range(b2):
+                    s = s1 + b1 * s2
+                    ar = None
+                    ai = None
+                    for q2 in range(b2):
+                        # W_{b2}^{q2 s2} * W_b^{q2 s1}: the inter-stage
+                        # twiddle rides the scalar coefficient for free
+                        c = np.exp(-2j * np.pi * (q2 * s2 / b2 + q2 * s1 / b))
+                        cr, ci = float(c.real), float(c.imag)
+                        gr, gi = g[q2]
+                        tr_ = cr * gr - ci * gi
+                        ti_ = cr * gi + ci * gr
+                        ar = tr_ if ar is None else ar + tr_
+                        ai = ti_ if ai is None else ai + ti_
+                    # per-page lane twiddle W_N^{p s'}
+                    pr = vr_t[s : s + 1]
+                    pi = vi_t[s : s + 1]
+                    yield s, ar * pr - ai * pi, ar * pi + ai * pr
+
         best_val = None
         best_j = None
-        for s in range(b):
-            ar = None
-            ai = None
-            for q in range(b):
-                vr, vi = ys[q]
-                cr = tr[q * b + s : q * b + s + 1]  # (1, 128) lane row
-                ci = ti[q * b + s : q * b + s + 1]
-                wr = vr * cr - vi * ci
-                wi = vr * ci + vi * cr
-                ar = wr if ar is None else ar + wr
-                ai = wi if ai is None else ai + wi
+        for s, ar, ai in pages_factored() if fac is not None else pages_direct():
             # stage B: (128w, 128p) @ (128p, 128r); F128 symmetric
             zr = jnp.dot(ar, f1r, precision=p_hi, preferred_element_type=jnp.float32) - jnp.dot(
                 ai, f1i, precision=p_hi, preferred_element_type=jnp.float32
@@ -446,7 +724,21 @@ def _fused_waterfall_strided(
     b = width // 128
     s_r = stride // 128
     s_streams = planes.shape[0]
-    (f1r, f1i), (tr, ti) = _plan_strided(spec)
+    fac = _factor_b(b)
+    if fac is None:
+        # one resident (b^2, 128) complex table T[q*b+s'] of lane rows
+        (f1r, f1i), (tr, ti) = _plan_strided(spec)
+        tables = [jnp.asarray(tr), jnp.asarray(ti)]
+        table_rows = [b * b, b * b]
+    else:
+        # factorized stage A: the page twiddle V and (windowed) the
+        # per-q window rows; the DFT coefficients are baked-in scalars
+        (f1r, f1i), (vr, vi), win = _plan_strided_fac(spec)
+        tables = [jnp.asarray(vr), jnp.asarray(vi)]
+        table_rows = [b, b]
+        if win is not None:
+            tables.append(jnp.asarray(win))
+            table_rows.append(b)
 
     tiles = -(-n_windows // _WIN_TILE)
     j_rows = tiles * _WIN_TILE + _HALO_ROWS  # per-class rows incl. halo pad
@@ -458,13 +750,24 @@ def _fused_waterfall_strided(
     x = jnp.transpose(x, (1, 0, 3, 2, 4))  # (2, S, s_r, J, 128)
 
     hb = _HALO_ROWS
+    halo = _uses_halo(width, s_r)
     in_specs = [
         pl.BlockSpec((1, s_r, _WIN_TILE, 128), lambda si, t: (si, 0, t, 0)),
         pl.BlockSpec((1, s_r, _WIN_TILE, 128), lambda si, t: (si, 0, t, 0)),
-        pl.BlockSpec((1, s_r, hb, 128), lambda si, t: (si, 0, (t + 1) * (_WIN_TILE // hb), 0)),
-        pl.BlockSpec((1, s_r, hb, 128), lambda si, t: (si, 0, (t + 1) * (_WIN_TILE // hb), 0)),
-        pl.BlockSpec((b * b, 128), lambda si, t: (0, 0)),
-        pl.BlockSpec((b * b, 128), lambda si, t: (0, 0)),
+        *(
+            [
+                pl.BlockSpec(
+                    (1, s_r, hb, 128), lambda si, t: (si, 0, (t + 1) * (_WIN_TILE // hb), 0)
+                )
+            ]
+            * 2
+            if halo
+            else []
+        ),
+        *[
+            pl.BlockSpec((rows, 128), lambda si, t: (0, 0))
+            for rows in table_rows
+        ],
         pl.BlockSpec((128, 128), lambda si, t: (0, 0)),
         pl.BlockSpec((128, 128), lambda si, t: (0, 0)),
     ]
@@ -481,6 +784,15 @@ def _fused_waterfall_strided(
         out_shape = jax.ShapeDtypeStruct(
             (s_streams, tiles, b, _WIN_TILE, 128), jnp.float32
         )
+    kwargs = {}
+    if s_r >= 16 and not interpret:
+        # the b=32 tiled-via-strided case needs ~19-22 MB of scoped VMEM
+        # (decoded class set + double-buffered blocks); v5e has 128 MB —
+        # raise the compiler's 16 MB default cap for the wide shapes
+        from jax.experimental.pallas import tpu as pltpu
+
+        params = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
+        kwargs["compiler_params"] = params(vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
         _kernel_strided(spec, s_r, search=search),
         grid=(s_streams, tiles),
@@ -488,13 +800,12 @@ def _fused_waterfall_strided(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **kwargs,
     )(
         x[0],
         x[1],
-        x[0],
-        x[1],
-        jnp.asarray(tr),
-        jnp.asarray(ti),
+        *((x[0], x[1]) if halo else ()),
+        *tables,
         jnp.asarray(f1r),
         jnp.asarray(f1i),
     )

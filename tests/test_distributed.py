@@ -27,6 +27,9 @@ def _graft():
     return mod
 
 
-@pytest.mark.parametrize("n_devices,n_processes", [(4, 2), (6, 3)])
+@pytest.mark.parametrize("n_devices,n_processes", [(4, 2), (6, 3), (16, 4)])
 def test_multiprocess_sharded_step(n_devices, n_processes):
+    """(16, 4) is the wide-soak configuration: a 16-device mesh split 4
+    devices per process — the overlapped-waterfall halo, the stream halo
+    and the mid-capture sharded resume all cross process boundaries."""
     _graft().dryrun_multichip(n_devices, n_processes=n_processes)

@@ -210,3 +210,48 @@ def test_fused_frontend_t_matches_v1(fmt):
     )
     scale = max(np.abs(a).max(), 1e-3)
     np.testing.assert_allclose(b, a, atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize(
+    "fmt,width,decimate,taps",
+    [
+        (FileFormat.COMPLEX_INT8, 64, 32, 400),   # the headline chain
+        (FileFormat.COMPLEX_UINT8, 128, 16, 100),
+        (FileFormat.COMPLEX_FLOAT32, 32, 8, 64),
+        (FileFormat.COMPLEX_INT16, 8, 12, 60),    # non-dividing decimate
+    ],
+)
+def test_in_kernel_stft_epilogue(fmt, width, decimate, taps):
+    """step_stream_pallas with the STFT folded into the kernel (the
+    decimated stream never reaches HBM) equals the unfused path and the
+    XLA chain — fftshift included — and handles masked tails."""
+    from quadrs_tpu.ops.frontend_pallas import stft_fusable
+
+    assert stft_fusable(width)
+    assert not stft_fusable(48) and not stft_fusable(256)
+    cfg = PipelineConfig(
+        sample_rate=1_000_000,
+        shift_freq=12_345,
+        lp_freq=50_000,
+        decimate=decimate,
+        taps=taps,
+        fft_width=width,
+        fmt=fmt,
+    )
+    model = PipelineModel(cfg)
+    n = decimate * width * 9 + taps + 13
+    raw = model.synth_raw(n, seed=3)
+    bases = model.stream_bases(0, n)
+    plain = np.asarray(model.jit_step_stream_pallas(raw, bases, fuse_stft=False))
+    fused = np.asarray(model.jit_step_stream_pallas(raw, bases, fuse_stft=True))
+    scale = max(plain.max(), 1e-6)
+    np.testing.assert_allclose(fused, plain, atol=3e-6 * scale)
+    xla = np.asarray(
+        model.jit_step_stream(raw, model.theta0(np.asarray([0]))[0], np.int32(n))
+    )
+    np.testing.assert_allclose(fused, xla, atol=2e-5 * scale)
+    # masked tail (zero-padded raw bytes past n_valid)
+    nv = n - 777
+    a = np.asarray(model.jit_step_stream_pallas(raw, bases, n_valid=nv, fuse_stft=True))
+    b = np.asarray(model.jit_step_stream_pallas(raw, bases, n_valid=nv, fuse_stft=False))
+    np.testing.assert_allclose(a, b, atol=3e-6 * scale)

@@ -20,15 +20,18 @@ from quadrs_tpu.ops.waterfall_pallas import WaterfallSpec, fused_waterfall, supp
         (256, FileFormat.COMPLEX_UINT8, "rectangular"),
         (512, FileFormat.COMPLEX_INT16, "blackman-harris"),
         (2048, FileFormat.COMPLEX_FLOAT32, "rectangular"),
+        # b=32 routes the tiled case through the strided machinery (the
+        # tiled kernel OOMs scoped VMEM at b=32, see _tiled_via_strided)
+        (4096, FileFormat.COMPLEX_INT8, "blackman-harris"),
     ],
 )
 def test_fused_waterfall_matches_xla(width, fmt, windowing):
     cfg = WaterfallConfig(
-        n_streams=3, fft_width=width, stride=width, fmt=fmt,
+        n_streams=3 if width < 4096 else 2, fft_width=width, stride=width, fmt=fmt,
         windowing=windowing, frontend="xla",
     )
     model = WaterfallModel(cfg)
-    nw = 5
+    nw = 5 if width < 4096 else 3
     raw = model.synth_raw(nw * width + 17, seed=2)  # partial tail dropped
     want = np.asarray(model.jit_step()(jnp.asarray(raw)))
 
@@ -40,7 +43,7 @@ def test_fused_waterfall_matches_xla(width, fmt, windowing):
             )
         )(jnp.asarray(raw))
     )
-    assert got.shape == want.shape == (3, nw, width)
+    assert got.shape == want.shape == (cfg.n_streams, nw, width)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5 * want.max())
 
 
@@ -373,3 +376,100 @@ def test_unknown_frontend_rejected():
     model = WaterfallModel(WaterfallConfig(frontend="palas"))
     with pytest.raises(ValueError, match="unknown frontend"):
         model.jit_step()(jnp.zeros((1, 2, 1024), jnp.int8))
+
+
+@pytest.mark.parametrize(
+    "width,stride,windowing,fmt",
+    [
+        (2048, 512, "rectangular", FileFormat.COMPLEX_INT8),
+        (4096, 2048, "blackman-harris", FileFormat.COMPLEX_INT16),
+    ],
+)
+def test_strided_factorized_stage_a(width, stride, windowing, fmt):
+    """Wide widths (b >= 16) run the two-factor stage-A q-DFT (b1*b2
+    split, measured 931 -> 1754 Msps at 4096-pt 4x overlap on v5e);
+    norms and search must still match the XLA chain."""
+    from quadrs_tpu.ops.waterfall_pallas import _factor_b, fused_waterfall_search
+
+    assert _factor_b(width // 128) is not None
+    cfg = WaterfallConfig(
+        n_streams=2, fft_width=width, stride=stride, fmt=fmt,
+        windowing=windowing, frontend="xla",
+    )
+    model = WaterfallModel(cfg)
+    n = 3 * width + 57
+    nw = (n - width) // stride + 1
+    raw = model.synth_raw(n, seed=7)
+    want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+    spec = WaterfallSpec(fmt=fmt, width=width, windowing=windowing)
+    interp = jax.default_backend() != "tpu"
+    got = np.asarray(
+        jax.jit(
+            lambda p: fused_waterfall(p, spec, nw, stride=stride, interpret=interp)
+        )(jnp.asarray(raw))
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5 * want.max())
+    gi, gv = (
+        np.asarray(a)
+        for a in jax.jit(
+            lambda p: fused_waterfall_search(p, spec, nw, stride=stride, interpret=interp)
+        )(jnp.asarray(raw))
+    )
+    wi = np.argmax(want, -1)
+    top = want.max(-1)
+    picked = np.take_along_axis(want, gi[..., None], -1)[..., 0]
+    assert np.all((gi == wi) | (np.abs(picked - top) <= 2e-5 * np.maximum(top, 1e-9)))
+    np.testing.assert_allclose(gv, top, rtol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "width,stride,fmt",
+    [
+        (1024, 96, FileFormat.COMPLEX_INT8),     # g=32, P=4
+        (512, 64, FileFormat.COMPLEX_INT16),     # g=64, P=2
+        (1024, 192, FileFormat.COMPLEX_FLOAT32),  # g=64, P=2, classes strided
+    ],
+)
+def test_subaligned_stride_classes(width, stride, fmt):
+    """Sublane-aligned strides (32/64-multiples) route the SEARCH
+    through the class-interleave wrapper: P lane-offset classes, each
+    an exact 128-multiple strided problem over byte-plane slices.
+    Norms measured slower through it (see _subaligned_supported), so
+    only the wrapper itself is checked for norms correctness."""
+    from quadrs_tpu.ops.waterfall_pallas import (
+        _fused_waterfall_subaligned,
+        _subaligned_supported,
+        fused_waterfall_search,
+    )
+
+    assert _subaligned_supported(width, stride)
+    assert not _subaligned_supported(1024, 288)  # P*stride > width
+    assert not _subaligned_supported(1024, 257)  # gcd < 32
+    assert not _subaligned_supported(1024, 224)  # 2*P*stride > width
+    cfg = WaterfallConfig(
+        n_streams=2, fft_width=width, stride=stride, fmt=fmt, frontend="xla"
+    )
+    model = WaterfallModel(cfg)
+    n = 4 * width + 77
+    nw = (n - width) // stride + 1
+    raw = model.synth_raw(n, seed=9)
+    want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+    spec = WaterfallSpec(fmt=fmt, width=width, windowing="rectangular")
+    interp = jax.default_backend() != "tpu"
+    got = np.asarray(
+        jax.jit(
+            lambda p: _fused_waterfall_subaligned(p, spec, nw, stride, interp)
+        )(jnp.asarray(raw))
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5 * want.max())
+    gi, gv = (
+        np.asarray(a)
+        for a in jax.jit(
+            lambda p: fused_waterfall_search(p, spec, nw, stride=stride, interpret=interp)
+        )(jnp.asarray(raw))
+    )
+    wi = np.argmax(want, -1)
+    top = want.max(-1)
+    picked = np.take_along_axis(want, gi[..., None], -1)[..., 0]
+    assert np.all((gi == wi) | (np.abs(picked - top) <= 2e-5 * np.maximum(top, 1e-9)))
+    np.testing.assert_allclose(gv, top, rtol=2e-5)
