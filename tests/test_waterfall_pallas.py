@@ -473,3 +473,34 @@ def test_subaligned_stride_classes(width, stride, fmt):
     picked = np.take_along_axis(want, gi[..., None], -1)[..., 0]
     assert np.all((gi == wi) | (np.abs(picked - top) <= 2e-5 * np.maximum(top, 1e-9)))
     np.testing.assert_allclose(gv, top, rtol=2e-5)
+
+
+def test_sharded_waterfall_wide_factorized():
+    """The (stream, time)-sharded bank composed with the factorized
+    wide-width kernel (b=16, overlapped stride -> ICI window halo with
+    true-tail feed) equals the single-device step."""
+    from quadrs_tpu.parallel.sharding import (
+        make_mesh,
+        make_sharded_waterfall_step,
+        replicate_tail,
+        shard_chunk,
+        waterfall_halo,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(n_time=4, n_stream=1)
+    cfg = WaterfallConfig(
+        n_streams=1, fft_width=2048, stride=1024, frontend="pallas",
+        windowing="blackman-harris",
+    )
+    model = WaterfallModel(cfg)
+    halo = waterfall_halo(cfg)
+    n = 4 * 2 * 1024  # two stride cells per shard
+    full = model.synth_raw(n + halo, seed=21)
+    raw, tail = full[:, :, :n], full[:, :, n:]
+    want = np.asarray(model.jit_step()(jnp.asarray(full)))[:, : n // cfg.stride]
+    step = make_sharded_waterfall_step(model, mesh)
+    out = np.asarray(step(shard_chunk(raw, mesh), replicate_tail(tail, mesh)))
+    assert out.shape == want.shape
+    np.testing.assert_allclose(out, want, rtol=3e-5, atol=3e-5 * want.max())
