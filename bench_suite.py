@@ -124,7 +124,9 @@ def bench_cs16_sustained(on_accel: bool) -> dict:
         fmt=FileFormat.COMPLEX_INT16,
     )
     model = PipelineModel(cfg)
-    chunk = (1 << 24) if on_accel else (1 << 20)
+    # round-4 chunk sweep: 2^22 -> 4999, 2^23 -> 4983, 2^24 -> 4522
+    # Msps — the old 2^24 chunk left ~10% on the table
+    chunk = (1 << 22) if on_accel else (1 << 20)
     raw = jax.device_put(model.synth_raw(chunk + cfg.taps))
     step = make_acc_step(model, chunk, on_accel)(raw)
     tstats: dict = {}

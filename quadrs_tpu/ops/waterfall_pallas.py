@@ -255,7 +255,7 @@ def fused_waterfall(
         # (the subaligned class-interleave route was measured a LOSS for
         # norms — see _subaligned_supported — so norms never take it)
         return _fused_waterfall_strided(planes, spec, n_windows, stride, interpret)
-    if _tiled_via_strided(spec.width):
+    if (stride is None or stride == spec.width) and _tiled_via_strided(spec.width):
         return _fused_waterfall_strided(
             planes, spec, n_windows, spec.width, interpret
         )
@@ -309,7 +309,7 @@ def fused_waterfall_search(
             return _fused_waterfall_subaligned(
                 planes, spec, n_windows, stride, interpret, search=True
             )
-    if _tiled_via_strided(spec.width):
+    if (stride is None or stride == spec.width) and _tiled_via_strided(spec.width):
         return _fused_waterfall_strided(
             planes, spec, n_windows, spec.width, interpret, search=True
         )

@@ -504,3 +504,34 @@ def test_sharded_waterfall_wide_factorized():
     out = np.asarray(step(shard_chunk(raw, mesh), replicate_tail(tail, mesh)))
     assert out.shape == want.shape
     np.testing.assert_allclose(out, want, rtol=3e-5, atol=3e-5 * want.max())
+
+
+def test_wide_width_nontiled_strides_route_correctly():
+    """Regression: a wide width (b > 16, where the TILED case routes via
+    the strided machinery) with a NON-tiled stride must not be mistaken
+    for the tiled case — skipping and non-aligned strides still produce
+    stride-faithful windows."""
+    width = 4096
+    for stride in (5000, 1000):  # skipping; non-128-multiple overlap
+        cfg = WaterfallConfig(
+            n_streams=1, fft_width=width, stride=stride,
+            fmt=FileFormat.COMPLEX_INT8, frontend="xla",
+        )
+        model = WaterfallModel(cfg)
+        n = 2 * width + stride + 3
+        nw = (n - width) // stride + 1
+        raw = model.synth_raw(n, seed=33)
+        want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+        spec = WaterfallSpec(fmt=cfg.fmt, width=width)
+        got = np.asarray(
+            jax.jit(
+                lambda p, nw=nw, stride=stride: fused_waterfall(
+                    p, spec, nw, stride=stride,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            )(jnp.asarray(raw))
+        )
+        assert got.shape == want.shape == (1, nw, width)
+        np.testing.assert_allclose(
+            got, want, rtol=2e-5, atol=2e-5 * want.max(), err_msg=f"stride={stride}"
+        )
