@@ -371,10 +371,10 @@ def _tiled_via_strided(width: int) -> bool:
     per-class blocks stay small and its stage A is the factorized
     q-DFT.  Measured at 4096-pt, 128 windows/stream chunks (full
     128-window tiles): **14.3 Gsps aggregate vs 8.9 for the XLA
-    chain**; chunks with fewer than ~128 windows/stream pay tile
-    padding pro rata (32 windows/stream: 3.4 Gsps), so feed wide tiled
-    banks big chunks.  b=16 keeps the tiled kernel (it compiles and
-    measured 10.5 Gsps at 2048-pt)."""
+    chain**; smaller chunks shrink the window tile instead of padding
+    (see _pick_win_tile: 32 windows/stream runs 7.9 Gsps, not the 3.4
+    a padded 128-tile paid).  b=16 keeps the tiled kernel (it compiles
+    and measured 10.5 Gsps at 2048-pt)."""
     return supported(width) and width // 128 > 16
 
 
@@ -543,7 +543,22 @@ def _uses_halo(width: int, s_r: int) -> bool:
     return (width // 128 - 1) // s_r > 0
 
 
-def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False):
+def _pick_win_tile(n_windows: int) -> int:
+    """Windows-per-tile for the strided kernel.  Tiles pad PER STREAM,
+    so a chunk with few windows/stream pays the padding pro rata; below
+    128 windows shrink the tile to the window count rounded up to 32
+    (the sublane-tile granularity of the 8-bit input blocks, and the
+    halo block height); past 128 windows the full tile amortizes grid
+    machinery best.  Measured on v5e (64 cs8 streams, vs a forced
+    128-window tile): 4096-pt tiled nw=32 norms 3391 -> 7929 Msps,
+    search 4347 -> 11924; nw=64 6889 -> 10978; nw=96 9036 -> 13098;
+    1024-pt stride-256 nw=48 1818 -> 3175, nw=96 3428 -> 4207."""
+    if n_windows >= _WIN_TILE:
+        return _WIN_TILE
+    return -(-n_windows // 32) * 32
+
+
+def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False, wt: int = _WIN_TILE):
     from quadrs_tpu.ops.frontend_pallas import _decode_ref
 
     width = spec.width
@@ -586,7 +601,7 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False):
         # each (class, offset) pair is sliced once, not once per s'
         # (misaligned sublane slices cost rotate work on the VPU)
         ys = [
-            (xr[q % s_r][q // s_r : q // s_r + 128], xi[q % s_r][q // s_r : q // s_r + 128])
+            (xr[q % s_r][q // s_r : q // s_r + wt], xi[q % s_r][q // s_r : q // s_r + wt])
             for q in range(b)
         ]
 
@@ -679,7 +694,7 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False):
             # per page (windows on SUBLANES, bins on lanes): the lane
             # max and — matching XLA argmax-over-shifted-norms tie
             # order — the smallest fftshifted bin index holding it
-            r_iota = jax.lax.broadcasted_iota(jnp.int32, (_WIN_TILE, 128), 1)
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (wt, 128), 1)
             j_page = jnp.remainder(b * r_iota + (s + width // 2), width)
             m_s = jnp.max(mag, axis=1, keepdims=True)  # (W, 1)
             j_s = jnp.min(jnp.where(mag == m_s, j_page, width), axis=1, keepdims=True)
@@ -701,10 +716,10 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False):
             # measured a wash: 4815/4950 broadcast vs 4657/5146 packed
             # Msps; the kernel is not HBM-bound, so the 128x write
             # saving buys nothing and the simpler broadcast stays.)
-            out_refs[0][0, 0] = jnp.broadcast_to(best_val, (_WIN_TILE, 128))
+            out_refs[0][0, 0] = jnp.broadcast_to(best_val, (wt, 128))
             # NaN clamp: see the tiled search kernel
             out_refs[1][0, 0] = jnp.broadcast_to(
-                jnp.minimum(best_j, width - 1), (_WIN_TILE, 128)
+                jnp.minimum(best_j, width - 1), (wt, 128)
             )
 
     return kernel
@@ -740,8 +755,9 @@ def _fused_waterfall_strided(
             tables.append(jnp.asarray(win))
             table_rows.append(b)
 
-    tiles = -(-n_windows // _WIN_TILE)
-    j_rows = tiles * _WIN_TILE + _HALO_ROWS  # per-class rows incl. halo pad
+    wt = _pick_win_tile(n_windows)
+    tiles = -(-n_windows // wt)
+    j_rows = tiles * wt + _HALO_ROWS  # per-class rows incl. halo pad
     need = j_rows * s_r * 128
     n = planes.shape[-1]
     x = planes if n >= need else jnp.pad(planes, ((0, 0), (0, 0), (0, need - n)))
@@ -752,12 +768,12 @@ def _fused_waterfall_strided(
     hb = _HALO_ROWS
     halo = _uses_halo(width, s_r)
     in_specs = [
-        pl.BlockSpec((1, s_r, _WIN_TILE, 128), lambda si, t: (si, 0, t, 0)),
-        pl.BlockSpec((1, s_r, _WIN_TILE, 128), lambda si, t: (si, 0, t, 0)),
+        pl.BlockSpec((1, s_r, wt, 128), lambda si, t: (si, 0, t, 0)),
+        pl.BlockSpec((1, s_r, wt, 128), lambda si, t: (si, 0, t, 0)),
         *(
             [
                 pl.BlockSpec(
-                    (1, s_r, hb, 128), lambda si, t: (si, 0, (t + 1) * (_WIN_TILE // hb), 0)
+                    (1, s_r, hb, 128), lambda si, t: (si, 0, (t + 1) * (wt // hb), 0)
                 )
             ]
             * 2
@@ -773,16 +789,16 @@ def _fused_waterfall_strided(
     ]
     if search:
         out_specs = [
-            pl.BlockSpec((1, 1, _WIN_TILE, 128), lambda si, t: (si, t, 0, 0))
+            pl.BlockSpec((1, 1, wt, 128), lambda si, t: (si, t, 0, 0))
         ] * 2
         out_shape = [
-            jax.ShapeDtypeStruct((s_streams, tiles, _WIN_TILE, 128), jnp.float32),
-            jax.ShapeDtypeStruct((s_streams, tiles, _WIN_TILE, 128), jnp.int32),
+            jax.ShapeDtypeStruct((s_streams, tiles, wt, 128), jnp.float32),
+            jax.ShapeDtypeStruct((s_streams, tiles, wt, 128), jnp.int32),
         ]
     else:
-        out_specs = pl.BlockSpec((1, 1, b, _WIN_TILE, 128), lambda si, t: (si, t, 0, 0, 0))
+        out_specs = pl.BlockSpec((1, 1, b, wt, 128), lambda si, t: (si, t, 0, 0, 0))
         out_shape = jax.ShapeDtypeStruct(
-            (s_streams, tiles, b, _WIN_TILE, 128), jnp.float32
+            (s_streams, tiles, b, wt, 128), jnp.float32
         )
     kwargs = {}
     if s_r >= 16 and not interpret:
@@ -794,7 +810,7 @@ def _fused_waterfall_strided(
         params = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
         kwargs["compiler_params"] = params(vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
-        _kernel_strided(spec, s_r, search=search),
+        _kernel_strided(spec, s_r, search=search, wt=wt),
         grid=(s_streams, tiles),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -812,8 +828,8 @@ def _fused_waterfall_strided(
 
     if search:
         val, j = out
-        val = val[..., 0].reshape(s_streams, tiles * _WIN_TILE)[:, :n_windows]
-        idx = j[..., 0].reshape(s_streams, tiles * _WIN_TILE)[:, :n_windows]
+        val = val[..., 0].reshape(s_streams, tiles * wt)[:, :n_windows]
+        idx = j[..., 0].reshape(s_streams, tiles * wt)[:, :n_windows]
         return idx, val
 
     # pages (s', w, r) -> (w, k) with k = s' + b*r: transpose to
@@ -821,7 +837,7 @@ def _fused_waterfall_strided(
     from quadrs_tpu.ops.stft import fftshift
 
     norms = jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(
-        s_streams, tiles * _WIN_TILE, width
+        s_streams, tiles * wt, width
     )[:, :n_windows]
     return fftshift(norms.reshape(s_streams * n_windows, width)).reshape(
         s_streams, n_windows, width

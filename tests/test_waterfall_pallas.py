@@ -535,3 +535,55 @@ def test_wide_width_nontiled_strides_route_correctly():
         np.testing.assert_allclose(
             got, want, rtol=2e-5, atol=2e-5 * want.max(), err_msg=f"stride={stride}"
         )
+
+
+@pytest.mark.parametrize(
+    "width,stride,nws",
+    [
+        # deep overlap, s_r=1 (halo reaches q//s_r = b-1 = 7 rows)
+        (1024, 128, (3, 33, 64, 130)),
+        # tiled-via-strided wide width, s_r=b=32, no halo
+        (4096, 4096, (5, 32)),
+    ],
+)
+def test_strided_small_window_tiles(width, stride, nws):
+    """Adaptive window tiles (_pick_win_tile): chunks with fewer than
+    128 windows/stream shrink the tile to a 32-multiple instead of
+    padding to 128 — norms and search both stay exact across the tile
+    sizes (32/64/128 and the multi-tile case)."""
+    from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_search
+
+    cfg = WaterfallConfig(
+        n_streams=2, fft_width=width, stride=stride, frontend="xla",
+        windowing="blackman-harris",
+    )
+    model = WaterfallModel(cfg)
+    spec = WaterfallSpec(fmt=cfg.fmt, width=width, windowing=cfg.windowing)
+    interp = jax.default_backend() != "tpu"
+    for nw in nws:
+        n = width + (nw - 1) * stride + 7
+        raw = model.synth_raw(n, seed=40 + nw)
+        want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+        got = np.asarray(
+            jax.jit(
+                lambda p, nw=nw: fused_waterfall(
+                    p, spec, nw, stride=stride, interpret=interp
+                )
+            )(jnp.asarray(raw))
+        )
+        assert got.shape == want.shape == (2, nw, width), nw
+        np.testing.assert_allclose(
+            got, want, rtol=3e-5, atol=3e-5 * want.max(), err_msg=f"nw={nw}"
+        )
+        gi, gm = jax.jit(
+            lambda p, nw=nw: fused_waterfall_search(
+                p, spec, nw, stride=stride, interpret=interp
+            )
+        )(jnp.asarray(raw))
+        gi, gm = np.asarray(gi), np.asarray(gm)
+        top = np.max(want, axis=-1)
+        picked = np.take_along_axis(want, gi[..., None], axis=-1)[..., 0]
+        same = gi == np.argmax(want, axis=-1)
+        near_tie = np.abs(picked - top) <= 3e-5 * np.maximum(top, 1e-9)
+        assert np.all(same | near_tie), nw
+        np.testing.assert_allclose(gm, top, rtol=3e-5, err_msg=f"nw={nw}")
