@@ -300,6 +300,20 @@ def bench_waterfall_strided(on_accel: bool) -> dict:
         lambda i, acc: _acc_ws(wraw, acc), w_total, 2.0 if on_accel else 0.3, min_iters=2
     )
 
+    # small-chunk coverage: 2^15/stream is 29 windows, where the
+    # round-4 adaptive window tile (_pick_win_tile: shrink to a
+    # 32-multiple instead of padding to 128) stops the pro-rata
+    # padding loss the fixed 128 tile paid on sub-tile chunks
+    s_per = (1 << 15) if on_accel else (1 << 13)
+    sraw = jax.device_put(wmodel.synth_raw(s_per))
+    s_total = wcfg.n_streams * s_per
+    small_msps = measure_msps_acc(
+        lambda i, acc: _acc_w(sraw, acc), s_total, 2.0 if on_accel else 0.3, min_iters=2
+    )
+    small_search = measure_msps_acc(
+        lambda i, acc: _acc_ws(sraw, acc), s_total, 2.0 if on_accel else 0.3, min_iters=2
+    )
+
     entry = {
         "metric": "64x cs8 strided waterfall (1024-pt, stride 256: 4x overlap; input rate)",
         "value": round(msps, 1),
@@ -308,6 +322,8 @@ def bench_waterfall_strided(on_accel: bool) -> dict:
         "search_msps": round(search_msps, 1),
         "wide_4096_msps": round(wide_msps, 1),
         "wide_4096_search_msps": round(wide_search, 1),
+        "wide_4096_29win_msps": round(small_msps, 1),
+        "wide_4096_29win_search_msps": round(small_search, 1),
         **tstats,
     }
     entry.update(

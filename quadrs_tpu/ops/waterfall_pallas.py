@@ -249,13 +249,23 @@ def fused_waterfall(
     once, no width/stride inflation; see the strided section above);
     remaining strides — skipping strides included, where reading only
     the windows is strictly less HBM traffic — build the window matrix
-    from native-dtype row slices in XLA (never a gather).  Trailing
-    samples that don't fill a window are dropped."""
+    from native-dtype row slices in XLA (never a gather).  At wide
+    widths (b > 16) that matrix feeds the strided machinery as a tiled
+    problem instead of the classic kernel, whose resident tables exceed
+    scoped VMEM (measured: does not compile at b=32).  Trailing samples
+    that don't fill a window are dropped."""
     if stride is not None and stride != spec.width and _strided_supported(spec.width, stride):
         # (the subaligned class-interleave route was measured a LOSS for
         # norms — see _subaligned_supported — so norms never take it)
         return _fused_waterfall_strided(planes, spec, n_windows, stride, interpret)
-    if (stride is None or stride == spec.width) and _tiled_via_strided(spec.width):
+    if _tiled_via_strided(spec.width):
+        # wide widths (b > 16): the tiled kernel's resident tables blow
+        # scoped VMEM (18.6-22.1M > 16M on v5e, does not compile), so
+        # EVERY remaining stride rides the strided machinery — non-tiled
+        # strides first pre-arrange windows into contiguous native
+        # planes (same row-slice construction as the classic path)
+        if stride is not None and stride != spec.width:
+            planes = _contiguous_windows(planes, spec.width, stride, n_windows)
         return _fused_waterfall_strided(
             planes, spec, n_windows, spec.width, interpret
         )
@@ -309,7 +319,11 @@ def fused_waterfall_search(
             return _fused_waterfall_subaligned(
                 planes, spec, n_windows, stride, interpret, search=True
             )
-    if (stride is None or stride == spec.width) and _tiled_via_strided(spec.width):
+    if _tiled_via_strided(spec.width):
+        # see the norms path: wide widths cannot run the tiled kernel
+        # (scoped VMEM), so non-tiled strides pre-arrange + ride strided
+        if stride is not None and stride != spec.width:
+            planes = _contiguous_windows(planes, spec.width, stride, n_windows)
         return _fused_waterfall_strided(
             planes, spec, n_windows, spec.width, interpret, search=True
         )
@@ -842,6 +856,21 @@ def _fused_waterfall_strided(
     return fftshift(norms.reshape(s_streams * n_windows, width)).reshape(
         s_streams, n_windows, width
     )
+
+
+def _contiguous_windows(planes, width: int, stride: int, n_windows: int) -> jnp.ndarray:
+    """(S, 2, n) native planes at an arbitrary window ``stride`` ->
+    (S, 2, n_windows*width) planes whose windows are CONTIGUOUS, so the
+    result is the tiled (stride == width) problem.  Same no-gather
+    row-slice construction as the classic pre-arranged path (overlap
+    inflates reads by width/stride; skipping strides read less), kept in
+    the native dtype so the kernel still does the decode."""
+    s_streams = planes.shape[0]
+    from quadrs_tpu.ops.fir import _overlapped_frames
+
+    flat = planes.reshape(s_streams * 2, planes.shape[-1])
+    frames = _overlapped_frames(flat, stride, width, n_windows)
+    return frames.reshape(s_streams, 2, n_windows * width)
 
 
 def _prearranged(planes, spec: WaterfallSpec, n_windows: int, stride: int | None):

@@ -535,6 +535,24 @@ def test_wide_width_nontiled_strides_route_correctly():
         np.testing.assert_allclose(
             got, want, rtol=2e-5, atol=2e-5 * want.max(), err_msg=f"stride={stride}"
         )
+        # the search routing has the same wide-width constraint (the
+        # tiled kernel cannot compile at b=32): peak indices/magnitudes
+        # must match the XLA argmax through the rerouted path too
+        from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_search
+
+        gi, gm = jax.jit(
+            lambda p, nw=nw, stride=stride: fused_waterfall_search(
+                p, spec, nw, stride=stride,
+                interpret=jax.default_backend() != "tpu",
+            )
+        )(jnp.asarray(raw))
+        gi, gm = np.asarray(gi), np.asarray(gm)
+        top = np.max(want, axis=-1)
+        picked = np.take_along_axis(want, gi[..., None], axis=-1)[..., 0]
+        same = gi == np.argmax(want, axis=-1)
+        near_tie = np.abs(picked - top) <= 2e-5 * np.maximum(top, 1e-9)
+        assert np.all(same | near_tie), stride
+        np.testing.assert_allclose(gm, top, rtol=2e-5, err_msg=f"stride={stride}")
 
 
 @pytest.mark.parametrize(
