@@ -326,6 +326,60 @@ def test_fused_waterfall_fuzz():
         )
 
 
+def test_wide_width_fuzz():
+    """Randomized sweep of WIDE widths (b > 16, where every stride class
+    reroutes through the strided machinery because the classic kernel's
+    resident tables exceed scoped VMEM): tiled, overlapped-aligned,
+    non-aligned and skipping strides, small window counts (adaptive
+    window tiles), norms + search vs the XLA chain."""
+    from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_search
+
+    rng = np.random.default_rng(0x51DE)
+    for case in range(3):
+        b = int(rng.choice([18, 24, 32]))
+        width = 128 * b
+        stride = int(
+            rng.choice([width, width // 2, 3 * width // 4, width // 4 + 1, width + 300])
+        )
+        fmt = FileFormat(rng.choice([f.value for f in FileFormat]))
+        cfg = WaterfallConfig(
+            n_streams=2, fft_width=width, stride=stride, fmt=fmt, frontend="xla"
+        )
+        model = WaterfallModel(cfg)
+        n = width + int(rng.integers(0, 3)) * stride + int(rng.integers(0, 99))
+        nw = (n - width) // stride + 1
+        label = f"case {case}: w={width} s={stride} fmt={fmt} nw={nw}"
+        raw = model.synth_raw(n, seed=70 + case)
+        want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+        spec = WaterfallSpec(fmt=fmt, width=width)
+        interp = jax.default_backend() != "tpu"
+        got = np.asarray(
+            jax.jit(
+                lambda p, nw=nw, stride=stride, spec=spec: fused_waterfall(
+                    p, spec, nw, stride=stride, interpret=interp
+                )
+            )(jnp.asarray(raw))
+        )
+        np.testing.assert_allclose(
+            got, want, rtol=3e-5, atol=3e-5 * max(want.max(), 1e-6), err_msg=label
+        )
+        gi, gv = (
+            np.asarray(a)
+            for a in jax.jit(
+                lambda p, nw=nw, stride=stride, spec=spec: fused_waterfall_search(
+                    p, spec, nw, stride=stride, interpret=interp
+                )
+            )(jnp.asarray(raw))
+        )
+        top = np.max(want, axis=-1)
+        picked = np.take_along_axis(want, gi[..., None], axis=-1)[..., 0]
+        ok = (gi == np.argmax(want, axis=-1)) | (
+            np.abs(picked - top) <= 3e-5 * np.maximum(top, 1e-9)
+        )
+        assert np.all(ok), label
+        np.testing.assert_allclose(gv, top, rtol=3e-5, err_msg=label)
+
+
 def test_strided_inkernel_fuzz():
     """Randomized sweep of the in-kernel strided path (norms + search)
     across width/stride/format/length draws, vs the XLA chain."""
