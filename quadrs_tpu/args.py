@@ -87,7 +87,7 @@ class StreamCmd(Command):
     size: int = 400  # taps (2 * -power)
     decimate: int = 32
     fft_width: int = 64
-    chunk: int = 1 << 22
+    chunk: int = 4_000_000  # matches the CLI default "4M" (decimal SI)
     chunks: int | None = None
     search: bool = False
     out: str | None = None
@@ -107,7 +107,7 @@ class WaterfallCmd(Command):
     fft_width: int = 1024
     stride: int | None = None  # defaults to width
     windowing: str = "rectangular"
-    chunk_windows: int = 1 << 11
+    chunk_windows: int = 2_000  # matches the CLI default "2k" (decimal SI)
     chunks: int | None = None
     search: bool = False
     out: str | None = None

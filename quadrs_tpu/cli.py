@@ -30,7 +30,7 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
 waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] FILENAME... \\
      ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] FILENAME \\
-     fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-bit 1] FILENAME \\
+     fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] FILENAME \\
 
 
 Formats:

@@ -101,6 +101,47 @@ def _plan(spec: WaterfallSpec):
     return to32(f1), to32(tw), f2, win
 
 
+def _qdft_pages(parts, b: int, fac: tuple[int, int]):
+    """Two-factor b-point DFT over q: yields ``(s, accr, acci)`` with
+    ``acc[s] = sum_q W_b^{q s} * parts[q]`` for ``parts`` a list of
+    (re, im) lane-slice pairs.  q = q1*b2 + q2, s = s1 + b1*s2 (see
+    :func:`_factor_b`): step 1 is a b1-point DFT per (q2, s1), step 2 a
+    b2-point DFT per page whose scalar coefficients fold in the
+    inter-stage twiddle W_b^{q2 s1} for free — b*(b1+b2) FMA slices
+    instead of b^2.  All coefficients are Python-float loop constants.
+    Shared by the tiled kernel's stage 2 and the strided kernel's
+    stage A (which post-multiplies its per-page lane twiddle)."""
+    b1, b2 = fac
+    w1 = np.exp(-2j * np.pi * np.outer(np.arange(b1), np.arange(b1)) / b1)
+    for s1 in range(b1):
+        g = []
+        for q2 in range(b2):
+            gr = None
+            gi = None
+            for q1 in range(b1):
+                cr = float(w1[q1, s1].real)
+                ci = float(w1[q1, s1].imag)
+                vr, vi = parts[q1 * b2 + q2]
+                tr = cr * vr - ci * vi
+                ti = cr * vi + ci * vr
+                gr = tr if gr is None else gr + tr
+                gi = ti if gi is None else gi + ti
+            g.append((gr, gi))
+        for s2 in range(b2):
+            s = s1 + b1 * s2
+            accr = None
+            acci = None
+            for q2 in range(b2):
+                c = np.exp(-2j * np.pi * (q2 * s2 / b2 + q2 * s1 / b))
+                cr, ci = float(c.real), float(c.imag)
+                gr, gi = g[q2]
+                tr = cr * gr - ci * gi
+                ti = cr * gi + ci * gr
+                accr = tr if accr is None else accr + tr
+                acci = ti if acci is None else acci + ti
+            yield s, accr, acci
+
+
 def _kernel(spec: WaterfallSpec, search: bool = False):
     from quadrs_tpu.ops.frontend_pallas import _decode_ref
 
@@ -162,43 +203,11 @@ def _kernel(spec: WaterfallSpec, search: bool = False):
                     acci = ti if acci is None else acci + ti
                 yield s, accr, acci
 
-        def pages_factored():
-            # two-factor stage 2 for wide widths (see _factor_b): all
-            # three coefficient families are scalar loop constants, so
-            # the q-DFT costs b*(b1+b2) FMA slices instead of b^2
-            b1, b2 = fac
-            w1 = np.exp(-2j * np.pi * np.outer(np.arange(b1), np.arange(b1)) / b1)
-            for s1 in range(b1):
-                g = []
-                for q2 in range(b2):
-                    gr = None
-                    gi = None
-                    for q1 in range(b1):
-                        cr = float(w1[q1, s1].real)
-                        ci = float(w1[q1, s1].imag)
-                        zrq, ziq = zs[q1 * b2 + q2]
-                        tr = cr * zrq - ci * ziq
-                        ti = cr * ziq + ci * zrq
-                        gr = tr if gr is None else gr + tr
-                        gi = ti if gi is None else gi + ti
-                    g.append((gr, gi))
-                for s2 in range(b2):
-                    s = s1 + b1 * s2
-                    accr = None
-                    acci = None
-                    for q2 in range(b2):
-                        c = np.exp(-2j * np.pi * (q2 * s2 / b2 + q2 * s1 / b))
-                        cr, ci = float(c.real), float(c.imag)
-                        gr, gi = g[q2]
-                        tr = cr * gr - ci * gi
-                        ti = cr * gi + ci * gr
-                        accr = tr if accr is None else accr + tr
-                        acci = ti if acci is None else acci + ti
-                    yield s, accr, acci
-
+        # two-factor stage 2 for wide widths: the shared q-DFT generator
+        # (all coefficient families are scalar loop constants)
         best_val = None
         best_j = None
-        for s, accr, acci in pages_factored() if fac is not None else pages_direct():
+        for s, accr, acci in _qdft_pages(zs, b, fac) if fac is not None else pages_direct():
             mag = jnp.sqrt(accr * accr + acci * acci)
             if not search:
                 out_refs[0][0, s] = mag
@@ -439,6 +448,20 @@ def _fused_waterfall_subaligned(
     outs = []
     for c in range(p_cls):
         nw_c = max(0, -(-(n_windows - c) // p_cls))
+        if nw_c == 0:
+            # class entirely past n_windows (n_windows < P): its slots
+            # all land at interleave positions >= n_windows and are
+            # dropped — emit zeros instead of tracing an empty kernel
+            if search:
+                outs.append(
+                    (
+                        jnp.zeros((s_streams, nw_max), jnp.int32),
+                        jnp.zeros((s_streams, nw_max), jnp.float32),
+                    )
+                )
+            else:
+                outs.append(jnp.zeros((s_streams, nw_max, width), jnp.float32))
+            continue
         sub = planes[:, :, c * stride :]
         if search:
             out_c = fused_waterfall_search(
@@ -569,7 +592,7 @@ def _pick_win_tile(n_windows: int) -> int:
     1024-pt stride-256 nw=48 1818 -> 3175, nw=96 3428 -> 4207."""
     if n_windows >= _WIN_TILE:
         return _WIN_TILE
-    return -(-n_windows // 32) * 32
+    return max(32, -(-n_windows // 32) * 32)
 
 
 def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False, wt: int = _WIN_TILE):
@@ -641,15 +664,9 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False, wt: int
                 yield s, ar, ai
 
         def pages_factored():
-            # two-factor stage A (see _factor_b): q = q1*b2 + q2,
-            # s' = s1 + b1*s2.  Step 1 is a b1-point DFT per (q2, s1)
-            # with scalar coefficients; step 2 a b2-point DFT per page
-            # whose coefficients fold in the W_b^{q2 s1} twiddle; the
-            # page then picks up its W_N^{p s'} lane row (and the
-            # window moved into per-q lane rows up front).  Work:
-            # b*(b1+b2) FMA slices instead of b^2.
-            b1, b2 = fac
-            w1 = np.exp(-2j * np.pi * np.outer(np.arange(b1), np.arange(b1)) / b1)
+            # two-factor stage A: the shared q-DFT generator (the window
+            # moves into per-q lane rows up front, the W_N^{p s'} lane
+            # twiddle applies per page after)
             vr_t, vi_t = vr_ref[:], vi_ref[:]
             ys_w = ys
             if win_ref is not None:
@@ -658,38 +675,10 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False, wt: int
                     (vr * wtab[q : q + 1], vi * wtab[q : q + 1])
                     for q, (vr, vi) in enumerate(ys)
                 ]
-            for s1 in range(b1):
-                g = []
-                for q2 in range(b2):
-                    gr = None
-                    gi = None
-                    for q1 in range(b1):
-                        cr = float(w1[q1, s1].real)
-                        ci = float(w1[q1, s1].imag)
-                        vr, vi = ys_w[q1 * b2 + q2]
-                        tr_ = cr * vr - ci * vi
-                        ti_ = cr * vi + ci * vr
-                        gr = tr_ if gr is None else gr + tr_
-                        gi = ti_ if gi is None else gi + ti_
-                    g.append((gr, gi))
-                for s2 in range(b2):
-                    s = s1 + b1 * s2
-                    ar = None
-                    ai = None
-                    for q2 in range(b2):
-                        # W_{b2}^{q2 s2} * W_b^{q2 s1}: the inter-stage
-                        # twiddle rides the scalar coefficient for free
-                        c = np.exp(-2j * np.pi * (q2 * s2 / b2 + q2 * s1 / b))
-                        cr, ci = float(c.real), float(c.imag)
-                        gr, gi = g[q2]
-                        tr_ = cr * gr - ci * gi
-                        ti_ = cr * gi + ci * gr
-                        ar = tr_ if ar is None else ar + tr_
-                        ai = ti_ if ai is None else ai + ti_
-                    # per-page lane twiddle W_N^{p s'}
-                    pr = vr_t[s : s + 1]
-                    pi = vi_t[s : s + 1]
-                    yield s, ar * pr - ai * pi, ar * pi + ai * pr
+            for s, ar, ai in _qdft_pages(ys_w, b, fac):
+                pr = vr_t[s : s + 1]
+                pi = vi_t[s : s + 1]
+                yield s, ar * pr - ai * pi, ar * pi + ai * pr
 
         best_val = None
         best_j = None

@@ -18,6 +18,8 @@ capture's output in memory.
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 
 from quadrs_tpu import args as argmod
@@ -83,41 +85,40 @@ def run_stream(cmd: argmod.StreamCmd) -> int:
     tracker = _PeakTracker(1)
     wrote: list[str] = []
 
-    if cmd.search:
-        csv = None
-        if cmd.out is not None:
-            path = f"{cmd.out}.peaks.csv"
-            csv = open(path, "w")
-            csv.write("window,bin,mag\n")
-            wrote.append(path)
+    # ExitStack so a mid-run failure (staging IO, callback, ^C) still
+    # flushes and closes every output file
+    with contextlib.ExitStack() as stack:
+        if cmd.search:
+            csv = None
+            if cmd.out is not None:
+                path = f"{cmd.out}.peaks.csv"
+                csv = stack.enter_context(open(path, "w"))
+                csv.write("window,bin,mag\n")
+                wrote.append(path)
 
-        def on_peaks(w0, out):
-            idx, val = out
-            tracker.update(0, w0, idx, val)
-            if csv is not None:
-                for i in range(len(idx)):
-                    csv.write(f"{w0 + i},{int(idx[i])},{float(val[i]):.9g}\n")
+            def on_peaks(w0, out):
+                idx, val = out
+                tracker.update(0, w0, idx, val)
+                if csv is not None:
+                    for i in range(len(idx)):
+                        csv.write(f"{w0 + i},{int(idx[i])},{float(val[i]):.9g}\n")
 
-        stats = runner.run_search(on_peaks, max_chunks=cmd.chunks)
-        if csv is not None:
-            csv.close()
-    else:
-        f = None
-        if cmd.out is not None:
-            path = f"{cmd.out}.norms.f32"
-            f = open(path, "wb")
-            wrote.append(path)
+            stats = runner.run_search(on_peaks, max_chunks=cmd.chunks)
+        else:
+            f = None
+            if cmd.out is not None:
+                path = f"{cmd.out}.norms.f32"
+                f = stack.enter_context(open(path, "wb"))
+                wrote.append(path)
 
-        def on_windows(w0, norms):
-            tracker.update(
-                0, w0, np.argmax(norms, axis=-1), np.max(norms, axis=-1)
-            )
-            if f is not None:
-                f.write(np.ascontiguousarray(norms, dtype=np.float32).tobytes())
+            def on_windows(w0, norms):
+                tracker.update(
+                    0, w0, np.argmax(norms, axis=-1), np.max(norms, axis=-1)
+                )
+                if f is not None:
+                    f.write(np.ascontiguousarray(norms, dtype=np.float32).tobytes())
 
-        stats = runner.run(on_windows, max_chunks=cmd.chunks)
-        if f is not None:
-            f.close()
+            stats = runner.run(on_windows, max_chunks=cmd.chunks)
 
     for line in tracker.lines("stream"):
         print(line)
@@ -152,50 +153,46 @@ def run_waterfall(cmd: argmod.WaterfallCmd) -> int:
     tracker = _PeakTracker(len(sources))
     wrote: list[str] = []
 
-    if cmd.search:
-        csv = None
-        if cmd.out is not None:
-            path = f"{cmd.out}.peaks.csv"
-            csv = open(path, "w")
-            csv.write("stream,window,bin,mag\n")
-            wrote.append(path)
-
-        def on_peaks(w0, out):
-            idx, val = out  # (S, nw) each
-            for s in range(idx.shape[0]):
-                tracker.update(s, w0, idx[s], val[s])
-                if csv is not None:
-                    for i in range(idx.shape[1]):
-                        csv.write(
-                            f"{s},{w0 + i},{int(idx[s, i])},{float(val[s, i]):.9g}\n"
-                        )
-
-        stats = runner.run_search(on_peaks, max_chunks=cmd.chunks)
-        if csv is not None:
-            csv.close()
-    else:
-        files = None
-        if cmd.out is not None:
-            files = []
-            for s in range(len(sources)):
-                path = f"{cmd.out}.s{s}.norms.f32"
-                files.append(open(path, "wb"))
+    with contextlib.ExitStack() as stack:
+        if cmd.search:
+            csv = None
+            if cmd.out is not None:
+                path = f"{cmd.out}.peaks.csv"
+                csv = stack.enter_context(open(path, "w"))
+                csv.write("stream,window,bin,mag\n")
                 wrote.append(path)
 
-        def on_norms(w0, norms):  # (S, nw, width)
-            for s in range(norms.shape[0]):
-                tracker.update(
-                    s, w0, np.argmax(norms[s], axis=-1), np.max(norms[s], axis=-1)
-                )
-                if files is not None:
-                    files[s].write(
-                        np.ascontiguousarray(norms[s], dtype=np.float32).tobytes()
-                    )
+            def on_peaks(w0, out):
+                idx, val = out  # (S, nw) each
+                for s in range(idx.shape[0]):
+                    tracker.update(s, w0, idx[s], val[s])
+                    if csv is not None:
+                        for i in range(idx.shape[1]):
+                            csv.write(
+                                f"{s},{w0 + i},{int(idx[s, i])},{float(val[s, i]):.9g}\n"
+                            )
 
-        stats = runner.run(on_norms, max_chunks=cmd.chunks)
-        if files is not None:
-            for f in files:
-                f.close()
+            stats = runner.run_search(on_peaks, max_chunks=cmd.chunks)
+        else:
+            files = None
+            if cmd.out is not None:
+                files = []
+                for s in range(len(sources)):
+                    path = f"{cmd.out}.s{s}.norms.f32"
+                    files.append(stack.enter_context(open(path, "wb")))
+                    wrote.append(path)
+
+            def on_norms(w0, norms):  # (S, nw, width)
+                for s in range(norms.shape[0]):
+                    tracker.update(
+                        s, w0, np.argmax(norms[s], axis=-1), np.max(norms[s], axis=-1)
+                    )
+                    if files is not None:
+                        files[s].write(
+                            np.ascontiguousarray(norms[s], dtype=np.float32).tobytes()
+                        )
+
+            stats = runner.run(on_norms, max_chunks=cmd.chunks)
 
     for line in tracker.lines("waterfall"):
         print(line)

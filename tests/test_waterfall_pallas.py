@@ -529,6 +529,43 @@ def test_subaligned_stride_classes(width, stride, fmt):
     np.testing.assert_allclose(gv, top, rtol=2e-5)
 
 
+def test_subaligned_fewer_windows_than_classes():
+    """Regression: n_windows < P left some classes empty (nw_c = 0),
+    which crashed the subaligned route with a ZeroDivisionError while
+    picking a window tile for a zero-window kernel.  Empty classes now
+    emit zeros (their interleave slots are dropped) and the results
+    still match the XLA chain."""
+    from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_search
+
+    width, stride = 1024, 96  # P = 4
+    for nw in (1, 2, 3):
+        cfg = WaterfallConfig(
+            n_streams=2, fft_width=width, stride=stride,
+            fmt=FileFormat.COMPLEX_INT8, frontend="xla",
+        )
+        model = WaterfallModel(cfg)
+        n = width + (nw - 1) * stride
+        raw = model.synth_raw(n, seed=60 + nw)
+        want = np.asarray(model.jit_step()(jnp.asarray(raw)))
+        spec = WaterfallSpec(fmt=cfg.fmt, width=width, windowing="rectangular")
+        interp = jax.default_backend() != "tpu"
+        gi, gv = (
+            np.asarray(a)
+            for a in jax.jit(
+                lambda p, nw=nw: fused_waterfall_search(
+                    p, spec, nw, stride=stride, interpret=interp
+                )
+            )(jnp.asarray(raw))
+        )
+        assert gi.shape == gv.shape == (2, nw), nw
+        wi = np.argmax(want, -1)
+        top = want.max(-1)
+        picked = np.take_along_axis(want, gi[..., None], -1)[..., 0]
+        ok = (gi == wi) | (np.abs(picked - top) <= 2e-5 * np.maximum(top, 1e-9))
+        assert np.all(ok), nw
+        np.testing.assert_allclose(gv, top, rtol=2e-5, err_msg=f"nw={nw}")
+
+
 def test_sharded_waterfall_wide_factorized():
     """The (stream, time)-sharded bank composed with the factorized
     wide-width kernel (b=16, overlapped stride -> ICI window halo with
