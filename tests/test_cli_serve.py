@@ -193,6 +193,56 @@ def test_serve_parse_errors(capsys):
     capsys.readouterr()
 
 
+def test_cli_stream_mesh_matches_single(capture, tmp_path, capsys):
+    """``stream -mesh 4x1`` shards each chunk over the virtual device
+    mesh and must write the same norms as the single-device run."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    solo, meshed = tmp_path / "solo", tmp_path / "mesh"
+    rc = main(
+        ["stream", *STREAM_FLAGS, "-chunk", "2048", "-out", str(solo), str(capture)]
+    )
+    assert rc == 0
+    rc = main(
+        ["stream", *STREAM_FLAGS, "-chunk", "2048", "-mesh", "4x1",
+         "-out", str(meshed), str(capture)]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    a = np.fromfile(f"{solo}.norms.f32", dtype=np.float32)
+    b = np.fromfile(f"{meshed}.norms.f32", dtype=np.float32)
+    assert a.shape == b.shape and a.size > 0
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_cli_waterfall_mesh_bank(capture, tmp_path, capsys):
+    """``waterfall -mesh 2x2`` (time x stream) over a two-file bank
+    must reproduce the single-device bank's per-stream norms files."""
+    import shutil
+
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    second = tmp_path / "cap2.sr48000.cf32"
+    shutil.copy(capture, second)
+    solo, meshed = tmp_path / "solo", tmp_path / "mesh"
+    base = ["waterfall", "-width", "256", "-stride", "128", "-chunk", "8"]
+    assert main([*base, "-out", str(solo), str(capture), str(second)]) == 0
+    assert (
+        main([*base, "-mesh", "2x2", "-out", str(meshed), str(capture), str(second)])
+        == 0
+    )
+    capsys.readouterr()
+    for s in range(2):
+        a = np.fromfile(f"{solo}.s{s}.norms.f32", dtype=np.float32)
+        b = np.fromfile(f"{meshed}.s{s}.norms.f32", dtype=np.float32)
+        assert a.shape == b.shape and a.size > 0
+        np.testing.assert_allclose(b, a, atol=1e-5, err_msg=f"stream {s}")
+
+
 def test_cli_stream_max_chunks(capture, capsys):
     rc = main(["stream", *STREAM_FLAGS, "-chunk", "256", "-chunks", "2", str(capture)])
     captured = capsys.readouterr().out
