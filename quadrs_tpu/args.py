@@ -58,6 +58,12 @@ class Ui(Command):
     # -frames N emits an fft-width-doubling parameter sweep (one PNG per
     # simulated fft+ click, src/ui/mod.rs:140-160)
     frames: int = 1
+    # -live yes streams the waterfall to the terminal instead, with the
+    # GUI's keyboard loop (viz/live.py); -rows bounds it, -cols sets the
+    # cell width (default: terminal width)
+    live: bool = False
+    rows: int | None = None
+    cols: int | None = None
 
 
 @dataclass
@@ -341,8 +347,16 @@ def _parse_ui(args: _Args, raw_map) -> Command:
     stretch = int(parse_si_uint(map_.pop("stretch", "4")))
     stride = int(parse_si_uint(map_.pop("stride", "4")))
     frames = int(parse_si_uint(map_.pop("frames", "1")))
+    live = parse_bool(map_.pop("live", "no"))
+    rows = map_.pop("rows", None)
+    rows = None if rows is None else int(parse_si_uint(rows))
+    cols = map_.pop("cols", None)
+    cols = None if cols is None else int(parse_si_uint(cols))
     _ensure_empty(map_, "ui")
-    return Ui(fft_width=fft_width, stretch=stretch, stride=stride, frames=frames)
+    return Ui(
+        fft_width=fft_width, stretch=stretch, stride=stride, frames=frames,
+        live=live, rows=rows, cols=cols,
+    )
 
 
 def _parse_eui(args: _Args, raw_map) -> Command:

@@ -24,6 +24,8 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
    write [-overwrite no] FILENAME_PREFIX \\
      gen [-cos FREQUENCY]* [-len 1 (second)] SAMPLE_RATE \\
       ui [-fft 8] [-stretch 4] [-stride 4] [-frames 1] [renders waterfall to ui.png] \\
+         [-live no] [-rows N] [-cols N] [live: stream ANSI waterfall to the terminal; \\
+          keys: +/- fft width, [/] stride, q quit] \\
      eui [-start 46] [-end 46.3] [-fft 512] [-frames 1] [FILENAME] [renders to eui.png] \\
   stream [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] \\
          [-chunk 4M] [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] FILENAME \\
@@ -101,6 +103,24 @@ def main(argv: list[str] | None = None) -> int:
                 if stream is None:
                     print("Error: ui requires an input", file=sys.stderr)
                     return 1
+                if command.live:
+                    from quadrs_tpu.viz.live import LiveParams, live_waterfall
+
+                    stats = live_waterfall(
+                        stream,
+                        LiveParams(
+                            fft_width=command.fft_width,
+                            stride=command.stride,
+                            cols=command.cols,
+                            max_rows=command.rows,
+                        ),
+                    )
+                    print(
+                        f"live: {stats['rows']} rows, fft {stats['fft_width']}, "
+                        f"stride {stats['stride']}"
+                    )
+                    stream = None
+                    continue
                 params = UiParams(
                     fft_width=command.fft_width,
                     stretch=command.stretch,
