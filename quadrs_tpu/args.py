@@ -78,6 +78,12 @@ class Eui(Command):
     # -frames N scrolls the visible slice across the file (one PNG per
     # simulated slider drag, src/eui/mod.rs:154-161)
     frames: int = 1
+    # -live yes streams the scrolling waterfall to the terminal with
+    # eui's BH window + blue colormap (viz/live.py)
+    live: bool = False
+    stride: int | None = None  # live row stride; defaults to fft width
+    rows: int | None = None
+    cols: int | None = None
 
 
 @dataclass
@@ -365,6 +371,13 @@ def _parse_eui(args: _Args, raw_map) -> Command:
     end = parse_si_float(map_.pop("end", "46.3"))
     fft_width = int(parse_si_uint(map_.pop("fft", "512")))
     frames = int(parse_si_uint(map_.pop("frames", "1")))
+    live = parse_bool(map_.pop("live", "no"))
+    stride = map_.pop("stride", None)
+    stride = None if stride is None else int(parse_si_uint(stride))
+    rows = map_.pop("rows", None)
+    rows = None if rows is None else int(parse_si_uint(rows))
+    cols = map_.pop("cols", None)
+    cols = None if cols is None else int(parse_si_uint(cols))
     map_.clear()  # reference eui drops any other flags silently
     filename = args.next()
     return Eui(
@@ -373,6 +386,10 @@ def _parse_eui(args: _Args, raw_map) -> Command:
         end_pct=end,
         fft_width=fft_width,
         frames=frames,
+        live=live,
+        stride=stride,
+        rows=rows,
+        cols=cols,
     )
 
 

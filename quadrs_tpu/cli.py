@@ -27,6 +27,7 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
          [-live no] [-rows N] [-cols N] [live: stream ANSI waterfall to the terminal; \\
           keys: +/- fft width, [/] stride, q quit] \\
      eui [-start 46] [-end 46.3] [-fft 512] [-frames 1] [FILENAME] [renders to eui.png] \\
+         [-live no] [-stride =fft] [-rows N] [-cols N] [live: blue ANSI waterfall] \\
   stream [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] \\
          [-chunk 4M] [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] FILENAME \\
 waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
@@ -140,6 +141,33 @@ def main(argv: list[str] | None = None) -> int:
                     eui_render_frames,
                 )
 
+                if command.live:
+                    from quadrs_tpu.sources import SampleSource
+                    from quadrs_tpu.utils.sniff import guess_details
+                    from quadrs_tpu.viz.live import LiveParams, live_waterfall
+
+                    if command.filename is None:
+                        print("Error: eui -live requires a filename", file=sys.stderr)
+                        return 1
+                    src = SampleSource.from_file(
+                        str(command.filename), guess_details(str(command.filename))
+                    )
+                    stats = live_waterfall(
+                        src,
+                        LiveParams(
+                            fft_width=command.fft_width,
+                            stride=command.stride or command.fft_width,
+                            cols=command.cols,
+                            max_rows=command.rows,
+                            windowing="blackman-harris",
+                            colormap="blue",
+                        ),
+                    )
+                    print(
+                        f"live: {stats['rows']} rows, fft {stats['fft_width']}, "
+                        f"stride {stats['stride']}"
+                    )
+                    continue
                 params = EuiParams(
                     start_pct=command.start_pct,
                     end_pct=command.end_pct,

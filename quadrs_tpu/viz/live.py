@@ -43,6 +43,10 @@ class LiveParams:
     cols: int | None = None  # terminal cells per row; None = autodetect
     max_rows: int | None = None  # stop after N rows; None = to EOF
     batch: int = 64  # windows per device dispatch
+    # "rectangular" (the legacy ui STFT) or "blackman-harris" (eui)
+    windowing: str = "rectangular"
+    # "hsv" (the legacy ui map) or "blue" (eui's blue-channel map)
+    colormap: str = "hsv"
 
 
 class _TtyKeys:
@@ -87,11 +91,17 @@ def _pool_bins(norms: np.ndarray, cols: int) -> np.ndarray:
     return np.maximum.reduceat(norms, edges, axis=1)
 
 
-def _row_line(norms_row: np.ndarray, cols: int) -> str:
-    """One spectrogram row as ANSI background-colored cells, using the
-    legacy GUI's HSV colormap (``src/ui/mod.rs:351-372``)."""
-    scaled = np.clip(norms_row / np.float32(2.29), 0.0, 1.0)
-    rgb = _hsv_to_rgb_u8(scaled.astype(np.float64)[None, :])[0]
+def _row_line(norms_row: np.ndarray, cols: int, colormap: str = "hsv") -> str:
+    """One spectrogram row as ANSI background-colored cells: the legacy
+    GUI's HSV colormap (``src/ui/mod.rs:351-372``) or eui's blue-channel
+    map (``src/eui/mod.rs:103-106``)."""
+    if colormap == "blue":
+        blue = np.clip(norms_row / 10.0 * 256.0, 0, 255).astype(np.uint8)
+        rgb = np.zeros((len(blue), 3), dtype=np.uint8)
+        rgb[:, 2] = blue
+    else:
+        scaled = np.clip(norms_row / np.float32(2.29), 0.0, 1.0)
+        rgb = _hsv_to_rgb_u8(scaled.astype(np.float64)[None, :])[0]
     cells = [f"\x1b[48;2;{r};{g};{b}m " for r, g, b in rgb]
     return "".join(cells) + "\x1b[0m"
 
@@ -182,7 +192,14 @@ def live_waterfall(
             if pos >= avail:
                 break
             if ex is None:
-                ex = Executor(stream, fw, batch=p.batch, post=stft_norms)
+                if p.windowing in ("blackman-harris", "blackmanharris"):
+                    from quadrs_tpu.ops.stft import blackman_harris_window
+
+                    win = blackman_harris_window(fw)
+                    post = lambda x, win=win: stft_norms(x, window=win)
+                else:
+                    post = stft_norms
+                ex = Executor(stream, fw, batch=p.batch, post=post)
                 header()
             k = min(p.batch, (avail - 1 - pos) // stride + 1)
             if p.max_rows is not None:
@@ -198,7 +215,7 @@ def live_waterfall(
                 raise RuntimeError("read-exact messed up in live render")
             pooled = _pool_bins(np.asarray(norms), cols)
             for r in range(k):
-                out.write(_row_line(pooled[r], cols) + "\n")
+                out.write(_row_line(pooled[r], cols, p.colormap) + "\n")
             rows += k
             pos = int(offs[-1]) + stride
     finally:

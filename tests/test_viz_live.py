@@ -69,6 +69,41 @@ def test_live_rejects_bad_params():
         live_waterfall(_source(), LiveParams(fft_width=1), out=io.StringIO())
 
 
+def test_live_blue_colormap_and_bh_window():
+    """eui flavor: Blackman-Harris window, blue-channel colormap —
+    every cell's red and green stay zero."""
+    out = io.StringIO()
+    stats = live_waterfall(
+        _source(),
+        LiveParams(
+            fft_width=32, stride=512, cols=16, max_rows=6,
+            windowing="blackman-harris", colormap="blue",
+        ),
+        out=out,
+    )
+    assert stats["rows"] == 6
+    import re
+
+    cells = re.findall(r"\x1b\[48;2;(\d+);(\d+);(\d+)m", out.getvalue())
+    assert len(cells) == 6 * 16
+    assert all(r == "0" and g == "0" for r, g, _ in cells)
+    assert any(int(b) > 0 for _, _, b in cells)
+
+
+def test_cli_eui_live(capsys):
+    from quadrs_tpu.cli import main
+
+    rc = main(
+        ["eui", "-live", "yes", "-fft", "32", "-rows", "3", "-cols", "10",
+         str(CAPTURE)]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert captured.strip().splitlines()[-1] == "live: 3 rows, fft 32, stride 32"
+    data = [l for l in captured.splitlines() if "\x1b[48;2;" in l]
+    assert len(data) == 3 and all(l.count("\x1b[48;2;0;0;") == 10 for l in data)
+
+
 def test_cli_ui_live(capsys):
     from quadrs_tpu.cli import main
 
