@@ -482,6 +482,8 @@ def test_strided_factorized_stage_a(width, stride, windowing, fmt):
         (1024, 96, FileFormat.COMPLEX_INT8),     # g=32, P=4
         (512, 64, FileFormat.COMPLEX_INT16),     # g=64, P=2
         (1024, 192, FileFormat.COMPLEX_FLOAT32),  # g=64, P=2, classes strided
+        (1024, 48, FileFormat.COMPLEX_INT8),     # g=16, P=8 (deep overlap)
+        (1024, 24, FileFormat.COMPLEX_UINT8),    # g=8, P=16
     ],
 )
 def test_subaligned_stride_classes(width, stride, fmt):
@@ -498,8 +500,9 @@ def test_subaligned_stride_classes(width, stride, fmt):
 
     assert _subaligned_supported(width, stride)
     assert not _subaligned_supported(1024, 288)  # P*stride > width
-    assert not _subaligned_supported(1024, 257)  # gcd < 32
+    assert not _subaligned_supported(1024, 257)  # gcd < 8
     assert not _subaligned_supported(1024, 224)  # 2*P*stride > width
+    assert not _subaligned_supported(1024, 56)  # g=8 but 2*16*56 > width
     cfg = WaterfallConfig(
         n_streams=2, fft_width=width, stride=stride, fmt=fmt, frontend="xla"
     )
