@@ -314,6 +314,25 @@ def bench_waterfall_strided(on_accel: bool) -> dict:
         lambda i, acc: _acc_ws(sraw, acc), s_total, 2.0 if on_accel else 0.3, min_iters=2
     )
 
+    # sublane-aligned stride coverage: stride 96 (g=32, P=4) routes the
+    # SEARCH through the class-interleave wrapper (round 4: 1128 vs 845
+    # Msps pre-arranged; norms measured a dead end and stay pre-arranged)
+    acfg = WaterfallConfig(n_streams=64, fft_width=1024, stride=96)
+    amodel = WaterfallModel(acfg)
+    a_per = (1 << 16) if on_accel else (1 << 13)
+    araw = jax.device_put(amodel.synth_raw(a_per))
+    a_total = acfg.n_streams * a_per
+    asj = amodel.jit_search()
+
+    @jax.jit
+    def _acc_as(raw, acc):
+        i, m = asj(raw)
+        return acc + jnp.sum(m) + jnp.sum(i.astype(jnp.float32))
+
+    subal_search = measure_msps_acc(
+        lambda i, acc: _acc_as(araw, acc), a_total, 2.0 if on_accel else 0.3, min_iters=2
+    )
+
     entry = {
         "metric": "64x cs8 strided waterfall (1024-pt, stride 256: 4x overlap; input rate)",
         "value": round(msps, 1),
@@ -324,6 +343,7 @@ def bench_waterfall_strided(on_accel: bool) -> dict:
         "wide_4096_search_msps": round(wide_search, 1),
         "wide_4096_29win_msps": round(small_msps, 1),
         "wide_4096_29win_search_msps": round(small_search, 1),
+        "subaligned_stride96_search_msps": round(subal_search, 1),
         **tstats,
     }
     entry.update(
