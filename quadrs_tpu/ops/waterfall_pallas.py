@@ -402,8 +402,8 @@ def _tiled_via_strided(width: int) -> bool:
 
 
 def _subaligned_supported(width: int, stride: int) -> bool:
-    """Sublane-aligned strides (multiples of 8..64 that aren't
-    multiples of 128) can route through the class-interleave wrapper:
+    """Strides that aren't 128-multiples — any gcd, odd included —
+    can route through the class-interleave wrapper:
     windows w ≡ c (mod P), P = 128/gcd(stride, 128), share the lane
     offset (c*stride) mod 128, so slicing the BYTE planes at c*stride
     (one cheap contiguous u8 XLA slice per class) makes each class an
@@ -415,21 +415,25 @@ def _subaligned_supported(width: int, stride: int) -> bool:
     (1024-pt stride 96: 1128 vs 845; 2048-pt stride 160: 1275 vs 598
     Msps input) but loses once stride' approaches the width (1024-pt
     stride 224: 1901 vs 2129), so the route requires
-    2*P*stride <= width.  Deep overlap holds up the claim at high P
-    too — the pre-arranged path's width/stride inflation dwarfs the
-    class re-read factor there (1024-pt stride 48, P=8: 586 vs 387;
-    stride 24, P=16: 283 vs 172) — so the gate is the overlap band
-    plus g >= 8 (P <= 16 keeps the per-class program count sane; odd
-    strides would need P up to 128 kernel calls).  The NORMS variant
-    loses everywhere (639 vs 742 at stride 96; 1498 vs 2050 at 224;
-    497 vs 543 at 2048/160) — the P per-class kernels re-read ~the
-    whole input and the f32 output interleave eats the rest — so only
+    2*P*stride <= width.  Within that band the win holds at EVERY
+    class count, the margin growing with overlap depth — stride 48
+    (P=8): 586 vs 387; stride 24 (P=16): 283 vs 172; stride 12
+    (P=32): 142 vs 58; stride 6 (P=64): 70 vs 28; stride 3 (P=128):
+    35.4 vs 6.5 — and the feared P-call compile blowup never appears:
+    the class program compiles no slower than the pre-arranged one at
+    the same stride (13.3 vs 13.3 s at P=32, 21 vs 36 at P=64, 108 vs
+    203 at P=128 — the pre-arranged path's giant window matrix costs
+    XLA more than P small kernels cost Mosaic), so the band check is
+    the ONLY gate.  The NORMS variant loses everywhere (639 vs 742 at
+    stride 96; 1498 vs 2050 at 224; 497 vs 543 at 2048/160) — the P
+    per-class kernels re-read ~the whole input and the f32 output
+    interleave eats the rest — so only
     :func:`fused_waterfall_search` routes here (a recorded dead end
     for norms, see DESIGN.md)."""
     if not supported(width) or stride <= 0 or stride % 128 == 0:
         return False
     g = np.gcd(stride, 128)
-    return g >= 8 and 2 * (128 // g) * stride <= width
+    return 2 * (128 // g) * stride <= width
 
 
 def _fused_waterfall_subaligned(

@@ -484,12 +484,14 @@ def test_strided_factorized_stage_a(width, stride, windowing, fmt):
         (1024, 192, FileFormat.COMPLEX_FLOAT32),  # g=64, P=2, classes strided
         (1024, 48, FileFormat.COMPLEX_INT8),     # g=16, P=8 (deep overlap)
         (1024, 24, FileFormat.COMPLEX_UINT8),    # g=8, P=16
+        (1024, 12, FileFormat.COMPLEX_INT16),    # g=4, P=32
     ],
 )
 def test_subaligned_stride_classes(width, stride, fmt):
-    """Sublane-aligned strides (32/64-multiples) route the SEARCH
-    through the class-interleave wrapper: P lane-offset classes, each
-    an exact 128-multiple strided problem over byte-plane slices.
+    """Non-128-multiple strides (any gcd within the overlap band)
+    route the SEARCH through the class-interleave wrapper: P
+    lane-offset classes, each an exact 128-multiple strided problem
+    over byte-plane slices.
     Norms measured slower through it (see _subaligned_supported), so
     only the wrapper itself is checked for norms correctness."""
     from quadrs_tpu.ops.waterfall_pallas import (
@@ -499,8 +501,9 @@ def test_subaligned_stride_classes(width, stride, fmt):
     )
 
     assert _subaligned_supported(width, stride)
+    assert _subaligned_supported(1024, 3)  # g=1, P=128: in band, routes
     assert not _subaligned_supported(1024, 288)  # P*stride > width
-    assert not _subaligned_supported(1024, 257)  # gcd < 8
+    assert not _subaligned_supported(1024, 257)  # odd: 2*128*257 > width
     assert not _subaligned_supported(1024, 224)  # 2*P*stride > width
     assert not _subaligned_supported(1024, 56)  # g=8 but 2*16*56 > width
     cfg = WaterfallConfig(
