@@ -93,7 +93,7 @@ class StreamCmd(Command):
     StreamRunner` serving path; no reference counterpart — the
     TPU-native framework's flagship streaming product on the shell)."""
 
-    filename: str
+    filename: str | None
     shift: int = 0
     lowpass: int = 200_000
     size: int = 400  # taps (2 * -power)
@@ -106,6 +106,7 @@ class StreamCmd(Command):
     sample_rate: str | None = None
     format: str | None = None
     mesh: tuple[int, int] | None = None  # (time, stream)
+    stdin: bool = False  # live pipe input (rtl_sdr - | quadjax stream ...)
 
 
 @dataclass
@@ -409,15 +410,22 @@ def _parse_stream(args: _Args, raw_map) -> Command:
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     mesh = map_.pop("mesh", None)
+    stdin = parse_bool(map_.pop("stdin", "no"))
     _ensure_empty(map_, "stream")
-    filename = args.next()
-    if filename is None:
+    filename = args.next() if not stdin else None
+    if stdin:
+        # a pipe has no filename to sniff, so both must be explicit
+        if sr is None or fmt is None:
+            raise ValueError("'stream -stdin yes' requires -sr and -format")
+        if mesh is not None:
+            raise ValueError("'stream -stdin yes' cannot use -mesh (pipes cannot seek)")
+    elif filename is None:
         raise ValueError("'stream' requires a capture filename argument")
     return StreamCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, fft_width=fft_width, chunk=chunk, chunks=chunks,
         search=search, out=out, sample_rate=sr, format=fmt,
-        mesh=None if mesh is None else _parse_mesh(mesh),
+        mesh=None if mesh is None else _parse_mesh(mesh), stdin=stdin,
     )
 
 

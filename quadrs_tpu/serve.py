@@ -68,7 +68,18 @@ def run_stream(cmd: argmod.StreamCmd) -> int:
     from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
     from quadrs_tpu.stream_runner import StreamRunner
 
-    src = open_capture(cmd.filename, cmd.sample_rate, cmd.format)
+    if cmd.stdin:
+        # live pipe input (rtl_sdr - | quadjax stream -stdin yes ...):
+        # no filename to sniff, so the parser guaranteed -sr/-format
+        import sys
+
+        from quadrs_tpu.sources import PipeSource
+        from quadrs_tpu.utils.sniff import guess_details
+
+        details = guess_details("-", cmd.sample_rate, cmd.format)
+        src = PipeSource(sys.stdin.buffer, details.format, details.sample_rate)
+    else:
+        src = open_capture(cmd.filename, cmd.sample_rate, cmd.format)
     cfg = PipelineConfig(
         sample_rate=src.sample_rate,
         shift_freq=cmd.shift,

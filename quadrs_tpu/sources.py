@@ -105,6 +105,60 @@ class SampleSource(Stream):
         return jnp.where(mask, samples, 0)
 
 
+class PipeSource:
+    """A live sequential capture: interleaved IQ bytes from a pipe,
+    FIFO, or socket (e.g. ``rtl_sdr - | quadjax stream -stdin yes``).
+
+    Unlike :class:`SampleSource` there is no length up front and no
+    random access — only :class:`~quadrs_tpu.stream_runner.StreamRunner`'s
+    sequential chunk loop can drive it (the effective capture length is
+    discovered at EOF).  Reads block until a full chunk arrives or the
+    writer closes, so a slow producer throttles the pipeline instead of
+    dropping samples.  A trailing partial sample pair at EOF is
+    truncated, matching ``SampleFile``'s length rule (reference
+    ``src/samples.rs:64-66``); pipes deliver arbitrary byte boundaries
+    mid-stream, so partial pairs are carried between reads.
+    """
+
+    is_pipe = True
+    native = None
+    length = None  # unknown until EOF
+
+    def __init__(self, fileobj, fmt: FileFormat, sample_rate: int):
+        """``fileobj``: a binary file object (``sys.stdin.buffer``, a
+        socket ``makefile('rb')``, an ``os.fdopen`` of a pipe)."""
+        if sample_rate <= 0:
+            raise ValueError("sample rate must be positive")
+        self._f = fileobj
+        self.format = fmt
+        self.sample_rate = int(sample_rate)
+        self._tail = b""
+        self.eof = False
+
+    def read_planes(self, n: int) -> np.ndarray:
+        """Read up to ``n`` samples as (2, m) native-dtype planes;
+        ``m < n`` only at EOF (reads loop until satisfied)."""
+        from quadrs_tpu.formats import planes_from_bytes
+
+        pair = self.format.pair_bytes
+        want = n * pair
+        parts = [self._tail]
+        got = len(self._tail)
+        while got < want and not self.eof:
+            b = self._f.read(want - got)
+            if not b:
+                self.eof = True
+                break
+            parts.append(b)
+            got += len(b)
+        buf = b"".join(parts)
+        m = len(buf) // pair
+        self._tail = buf[m * pair :]
+        return planes_from_bytes(
+            np.frombuffer(buf[: m * pair], dtype=np.uint8), self.format
+        )
+
+
 class ToneGen(Stream):
     """Multi-tone complex exponential generator (``src/gen.rs``)."""
 

@@ -338,6 +338,13 @@ class StreamRunner:
                 raise ValueError(
                     f"source format {s.format} != model format {model.cfg.fmt}"
                 )
+        if any(getattr(s, "is_pipe", False) for s in sources):
+            if len(sources) != 1:
+                raise ValueError("a pipe source cannot be part of a bank")
+            if mesh is not None:
+                raise ValueError(
+                    "pipe sources cannot be sharded (no random access)"
+                )
         if len({s.length for s in sources}) != 1:
             raise ValueError("bank sources must have equal lengths")
         self.sources = sources
@@ -435,17 +442,69 @@ class StreamRunner:
         finally:
             it.close()
 
+    def _chunks_pipe(self, start_off: int = 0) -> Iterator:
+        """Sequential chunks from a :class:`~quadrs_tpu.sources.
+        PipeSource`: the same ``(off, planes, valid)`` triples and
+        tail/window-floor semantics as :meth:`_chunks`, with the
+        effective capture length discovered at EOF.  The ``lookahead``
+        overlap is carried between chunks host-side (a pipe cannot
+        re-read), and a nonzero ``start_off`` drains the skipped
+        samples (pipes cannot seek) — resume phases stay exact because
+        offsets are absolute."""
+        la = self._lookahead
+        src = self.source
+        taps = self.model.cfg.taps
+        win = self._win_raw
+        off = 0
+        while off < start_off:
+            m = src.read_planes(min(self.chunk_samples, start_off - off)).shape[1]
+            if m == 0:
+                return
+            off += m
+        buf = None
+        while True:
+            need = self.chunk_samples + la - (0 if buf is None else buf.shape[1])
+            if need > 0:
+                new = src.read_planes(need)
+                buf = new if buf is None else np.concatenate([buf, new], axis=1)
+            avail = buf.shape[1]
+            if avail == self.chunk_samples + la and not src.eof:
+                n = self.chunk_samples
+                yield off, buf, n + la
+                buf = buf[:, n:]
+                off += n
+                continue
+            # EOF: the stream's effective length is now known; mirror
+            # _chunks' end-of-capture math (floor to whole windows, pad
+            # the staged tail, stop inside the final taps span)
+            length = off + avail
+            while off < length - taps:
+                n = min(self.chunk_samples, (length - off) // win * win)
+                if n <= 0:
+                    break
+                planes = buf[:, : n + la]
+                valid = planes.shape[1]
+                if valid < n + la:
+                    planes = np.pad(planes, ((0, 0), (0, n + la - valid)))
+                yield off, planes, valid
+                buf = buf[:, n:]
+                off += n
+            return
+
     def _prefetched(self, start_off: int = 0, depth: int = 2) -> Iterator:
         """Overlap staging with device compute.
 
         File-backed sources go through the C++ ring prefetcher
-        (:meth:`_chunks_native`).  In-memory sources run :meth:`_chunks`
-        staging on a background Python thread instead.  Either way, if
-        the consumer abandons the generator (callback raised,
-        interrupted), the producer notices and exits instead of pinning
-        buffers."""
+        (:meth:`_chunks_native`).  Pipe sources read sequentially on the
+        background thread (:meth:`_chunks_pipe`); in-memory sources run
+        :meth:`_chunks` staging there instead.  Either way, if the
+        consumer abandons the generator (callback raised, interrupted),
+        the producer notices and exits instead of pinning buffers."""
         if getattr(self.source, "native", None) is not None:
             yield from self._chunks_native(start_off)
+            return
+        if getattr(self.source, "is_pipe", False):
+            yield from _background(self._chunks_pipe(start_off), depth)
             return
         yield from _background(self._chunks(start_off), depth)
 

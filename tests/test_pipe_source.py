@@ -1,0 +1,212 @@
+"""Live pipe input: ``PipeSource`` + ``StreamRunner`` sequential chunks.
+
+The pipe path must be byte-for-byte identical to the file path on the
+same capture bytes — same window floor, same EOF tail handling, same
+absolute-offset NCO phases — with the only difference being that the
+capture's length is discovered at EOF instead of from the file size.
+"""
+
+import io
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from quadrs_tpu.formats import FileFormat, planes_from_bytes
+from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+from quadrs_tpu.sources import PipeSource, SampleSource
+from quadrs_tpu.stream_runner import StreamRunner
+
+
+def _capture_bytes(n_samples: int, fmt=FileFormat.COMPLEX_INT8, seed=7) -> bytes:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, n_samples * fmt.pair_bytes, dtype=np.int64).astype(
+        np.uint8
+    ).tobytes()
+
+
+class _Dribble(io.RawIOBase):
+    """A reader that returns at most ``k`` bytes per read call —
+    exercises the partial-pair carry (pipes deliver arbitrary
+    boundaries, not sample-aligned ones)."""
+
+    def __init__(self, data: bytes, k: int):
+        self._data = data
+        self._pos = 0
+        self._k = k
+
+    def read(self, n=-1):
+        if self._pos >= len(self._data):
+            return b""
+        n = len(self._data) if n is None or n < 0 else n
+        take = min(n, self._k, len(self._data) - self._pos)
+        out = self._data[self._pos : self._pos + take]
+        self._pos += take
+        return out
+
+
+@pytest.mark.parametrize("fmt", [FileFormat.COMPLEX_INT8, FileFormat.COMPLEX_INT16])
+def test_pipe_planes_match_file_decode(fmt):
+    """Reads at hostile (3-byte) boundaries reassemble the exact same
+    planes as a one-shot decode, and the trailing partial pair drops."""
+    data = _capture_bytes(501, fmt) + b"\x55"  # 501 samples + partial pair
+    want = planes_from_bytes(np.frombuffer(data, dtype=np.uint8), fmt)
+    src = PipeSource(_Dribble(data, 3), fmt, 48_000)
+    parts = []
+    while True:
+        p = src.read_planes(97)
+        if p.shape[1] == 0:
+            break
+        parts.append(p)
+    got = np.concatenate(parts, axis=1)
+    assert got.shape == want.shape == (2, 501)
+    np.testing.assert_array_equal(got, want)
+    assert src.eof
+
+
+def _cfg(fmt) -> PipelineConfig:
+    return PipelineConfig(
+        sample_rate=48_000, shift_freq=1_000, lp_freq=8_000,
+        decimate=4, taps=40, fft_width=32, fmt=fmt,
+    )
+
+
+def _collect(runner, search=False, **kw):
+    rows = []
+
+    def emit(w0, out):
+        rows.append((w0, out))
+
+    stats = (runner.run_search if search else runner.run)(emit, **kw)
+    return rows, stats
+
+
+@pytest.mark.parametrize("n_samples", [40_000, 39_781])
+def test_pipe_runner_matches_file(n_samples):
+    """Multi-chunk pipe run == in-memory file run, bit for bit, on
+    chunk-aligned and ragged capture lengths."""
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(n_samples, fmt)
+    model = PipelineModel(_cfg(fmt))
+    chunk = 10_000  # rounds down to a whole number of 128-sample windows
+
+    fsrc = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000)
+    frows, fstats = _collect(StreamRunner(fsrc, model, chunk_samples=chunk))
+
+    psrc = PipeSource(io.BytesIO(data), fmt, 48_000)
+    prows, pstats = _collect(StreamRunner(psrc, model, chunk_samples=chunk))
+
+    assert len(prows) == len(frows) > 1
+    for (fw, fn), (pw, pn) in zip(frows, prows):
+        assert fw == pw
+        np.testing.assert_array_equal(fn, pn)
+    assert pstats.samples_in == fstats.samples_in
+    assert pstats.windows_out == fstats.windows_out
+
+
+def test_pipe_runner_search_matches_file():
+    fmt = FileFormat.COMPLEX_INT16
+    data = _capture_bytes(30_011, fmt)
+    model = PipelineModel(_cfg(fmt))
+    fsrc = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000)
+    frows, _ = _collect(StreamRunner(fsrc, model, chunk_samples=8_000), search=True)
+    psrc = PipeSource(io.BytesIO(data), fmt, 48_000)
+    prows, _ = _collect(StreamRunner(psrc, model, chunk_samples=8_000), search=True)
+    assert len(prows) == len(frows) > 1
+    for (fw, (fi, fv)), (pw, (pi, pv)) in zip(frows, prows):
+        assert fw == pw
+        np.testing.assert_array_equal(fi, pi)
+        np.testing.assert_array_equal(fv, pv)
+
+
+def test_pipe_resume_drains_to_exact_offset():
+    """start_window on a pipe drains (reads and discards) the skipped
+    samples; the rows that follow are identical to the same windows of
+    a full file run (absolute-offset phases)."""
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(25_000, fmt)
+    model = PipelineModel(_cfg(fmt))
+    fsrc = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000)
+    frows, _ = _collect(StreamRunner(fsrc, model, chunk_samples=8_000))
+    full = np.concatenate([n for _, n in frows])
+
+    start = frows[1][0]  # second chunk's first window index
+    psrc = PipeSource(io.BytesIO(data), fmt, 48_000)
+    prows, _ = _collect(
+        StreamRunner(psrc, model, chunk_samples=8_000), start_window=start
+    )
+    assert prows[0][0] == start
+    resumed = np.concatenate([n for _, n in prows])
+    np.testing.assert_array_equal(resumed, full[start:])
+
+
+def test_pipe_short_capture_emits_nothing():
+    """A pipe shorter than one window (or than the taps span) produces
+    zero windows and a clean exit, like the file path."""
+    fmt = FileFormat.COMPLEX_INT8
+    model = PipelineModel(_cfg(fmt))
+    for n in (0, 10, 100):
+        psrc = PipeSource(io.BytesIO(_capture_bytes(n, fmt)), fmt, 48_000)
+        rows, stats = _collect(StreamRunner(psrc, model))
+        assert rows == [] and stats.windows_out == 0
+
+
+def test_pipe_guards():
+    fmt = FileFormat.COMPLEX_INT8
+    model = PipelineModel(_cfg(fmt))
+    mk = lambda: PipeSource(io.BytesIO(b""), fmt, 48_000)
+    with pytest.raises(ValueError, match="bank"):
+        StreamRunner([mk(), mk()], model)
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(n_time=2, n_stream=1)
+    with pytest.raises(ValueError, match="sharded"):
+        StreamRunner(mk(), model, mesh=mesh)
+    with pytest.raises(ValueError, match="positive"):
+        PipeSource(io.BytesIO(b""), fmt, 0)
+
+
+def test_cli_stream_stdin_matches_file(tmp_path, capsys, monkeypatch):
+    """``quadjax stream -stdin yes`` over a pipe == the same command
+    over the capture file."""
+    from quadrs_tpu.cli import main
+
+    fmt = FileFormat.COMPLEX_UINT8
+    data = _capture_bytes(20_000, fmt)
+    path = tmp_path / "live.cu8"
+    path.write_bytes(data)
+
+    flags = ["-shift", "1k", "-lowpass", "8k", "-power", "20",
+             "-decimate", "4", "-width", "32", "-chunk", "8000"]
+    out_f = tmp_path / "file"
+    rc = main(["stream", *flags, "-sr", "48k", "-out", str(out_f), str(path)])
+    assert rc == 0
+    file_out = capsys.readouterr().out
+
+    out_p = tmp_path / "pipe"
+    monkeypatch.setattr(sys, "stdin", SimpleNamespace(buffer=io.BytesIO(data)))
+    rc = main(["stream", *flags, "-stdin", "yes", "-sr", "48k",
+               "-format", "cu8", "-out", str(out_p)])
+    assert rc == 0
+    pipe_out = capsys.readouterr().out
+
+    fn = np.fromfile(f"{out_f}.norms.f32", dtype=np.float32)
+    pn = np.fromfile(f"{out_p}.norms.f32", dtype=np.float32)
+    np.testing.assert_array_equal(fn, pn)
+    # identical peak line; stats line differs only in timing
+    assert file_out.splitlines()[0] == pipe_out.splitlines()[0]
+
+
+def test_cli_stream_stdin_requires_sr_and_format(capsys):
+    from quadrs_tpu.cli import main
+
+    assert main(["stream", "-stdin", "yes", "-format", "cu8"]) == 1
+    assert "requires -sr and -format" in capsys.readouterr().err
+    assert main(["stream", "-stdin", "yes", "-sr", "48k"]) == 1
+    assert "requires -sr and -format" in capsys.readouterr().err
+    assert (
+        main(["stream", "-stdin", "yes", "-sr", "48k", "-format", "cu8",
+              "-mesh", "2x1"]) == 1
+    )
+    assert "cannot use -mesh" in capsys.readouterr().err
