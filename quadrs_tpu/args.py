@@ -135,7 +135,7 @@ class OokCmd(Command):
     (:class:`~quadrs_tpu.models.demod.OokDemod`; the README's
     shell-scripted OOK decode loop as one command)."""
 
-    filename: str
+    filename: str | None
     width: int = 4
     stride: int = 2
     threshold: float = 0.001
@@ -143,6 +143,7 @@ class OokCmd(Command):
     raw: bool = False  # print raw pulse bits instead of Manchester
     sample_rate: str | None = None
     format: str | None = None
+    stdin: bool = False  # buffer the capture from a pipe
 
 
 @dataclass
@@ -150,7 +151,7 @@ class FskCmd(Command):
     """``fsk``: demodulate a two-tone FSK capture to symbols/bits
     (:class:`~quadrs_tpu.models.demod.FskDemod`)."""
 
-    filename: str
+    filename: str | None
     shift: int = 0
     lowpass: int = 200_000
     size: int = 400
@@ -164,6 +165,7 @@ class FskCmd(Command):
     bit: float | None = None
     sample_rate: str | None = None
     format: str | None = None
+    stdin: bool = False  # buffer the capture from a pipe
 
 
 def _parse_mesh(spec: str) -> tuple[int, int]:
@@ -394,6 +396,23 @@ def _parse_eui(args: _Args, raw_map) -> Command:
     )
 
 
+def _take_capture_arg(
+    args: _Args, map_: dict, cmd: str, sr, fmt
+) -> tuple[str | None, bool]:
+    """Resolve a serve command's capture argument: the filename
+    positional, or ``-stdin yes`` for live pipe input — which requires
+    explicit ``-sr``/``-format`` (a pipe has no name to sniff)."""
+    stdin = parse_bool(map_.pop("stdin", "no"))
+    if stdin:
+        if sr is None or fmt is None:
+            raise ValueError(f"'{cmd} -stdin yes' requires -sr and -format")
+        return None, True
+    filename = args.next()
+    if filename is None:
+        raise ValueError(f"'{cmd}' requires a capture filename argument")
+    return filename, False
+
+
 def _parse_stream(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     shift = parse_si_int(map_.pop("shift", "0"))
@@ -410,17 +429,10 @@ def _parse_stream(args: _Args, raw_map) -> Command:
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     mesh = map_.pop("mesh", None)
-    stdin = parse_bool(map_.pop("stdin", "no"))
+    filename, stdin = _take_capture_arg(args, map_, "stream", sr, fmt)
     _ensure_empty(map_, "stream")
-    filename = args.next() if not stdin else None
-    if stdin:
-        # a pipe has no filename to sniff, so both must be explicit
-        if sr is None or fmt is None:
-            raise ValueError("'stream -stdin yes' requires -sr and -format")
-        if mesh is not None:
-            raise ValueError("'stream -stdin yes' cannot use -mesh (pipes cannot seek)")
-    elif filename is None:
-        raise ValueError("'stream' requires a capture filename argument")
+    if stdin and mesh is not None:
+        raise ValueError("'stream -stdin yes' cannot use -mesh (pipes cannot seek)")
     return StreamCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, fft_width=fft_width, chunk=chunk, chunks=chunks,
@@ -471,13 +483,11 @@ def _parse_ook(args: _Args, raw_map) -> Command:
     raw = parse_bool(map_.pop("raw", "no"))
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
+    filename, stdin = _take_capture_arg(args, map_, "ook", sr, fmt)
     _ensure_empty(map_, "ook")
-    filename = args.next()
-    if filename is None:
-        raise ValueError("'ook' requires a capture filename argument")
     return OokCmd(
         filename=filename, width=width, stride=stride, threshold=threshold,
-        bit=bit, raw=raw, sample_rate=sr, format=fmt,
+        bit=bit, raw=raw, sample_rate=sr, format=fmt, stdin=stdin,
     )
 
 
@@ -495,14 +505,12 @@ def _parse_fsk(args: _Args, raw_map) -> Command:
     bit = None if bit is None else parse_si_float(bit)
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
+    filename, stdin = _take_capture_arg(args, map_, "fsk", sr, fmt)
     _ensure_empty(map_, "fsk")
-    filename = args.next()
-    if filename is None:
-        raise ValueError("'fsk' requires a capture filename argument")
     return FskCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, fft_width=fft_width, stride=stride, bit=bit,
-        sample_rate=sr, format=fmt,
+        sample_rate=sr, format=fmt, stdin=stdin,
     )
 
 

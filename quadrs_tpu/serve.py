@@ -27,6 +27,24 @@ from quadrs_tpu.sources import open_capture
 from quadrs_tpu.stream_runner import RunStats
 
 
+def _cmd_source(cmd):
+    """The capture behind a demod command: a file, or all of stdin
+    buffered into an in-memory :class:`SampleSource` — demod captures
+    are short sensor bursts (the ``stream`` command streams stdin
+    unbuffered via ``PipeSource`` instead).  The parser guaranteed
+    ``-sr``/``-format`` when ``-stdin yes``."""
+    if not cmd.stdin:
+        return open_capture(cmd.filename, cmd.sample_rate, cmd.format)
+    import sys
+
+    from quadrs_tpu.sources import SampleSource
+    from quadrs_tpu.utils.sniff import guess_details
+
+    details = guess_details("-", cmd.sample_rate, cmd.format)
+    data = np.frombuffer(sys.stdin.buffer.read(), dtype=np.uint8)
+    return SampleSource(data, details.format, details.sample_rate)
+
+
 def _make_mesh(shape: tuple[int, int] | None):
     if shape is None:
         return None
@@ -217,7 +235,7 @@ def run_ook(cmd: argmod.OokCmd) -> int:
     """Demodulate an OOK capture and print the recovered bits."""
     from quadrs_tpu.models.demod import OokDemod, manchester_decode
 
-    src = open_capture(cmd.filename, cmd.sample_rate, cmd.format)
+    src = _cmd_source(cmd)
     demod = OokDemod(
         width=cmd.width,
         stride=cmd.stride,
@@ -237,7 +255,7 @@ def run_fsk(cmd: argmod.FskCmd) -> int:
     """Demodulate a two-tone FSK capture and print the recovered bits."""
     from quadrs_tpu.models.demod import FskDemod
 
-    src = open_capture(cmd.filename, cmd.sample_rate, cmd.format)
+    src = _cmd_source(cmd)
     demod = FskDemod(
         center=cmd.shift,
         bandwidth=cmd.lowpass,

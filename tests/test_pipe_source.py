@@ -198,6 +198,28 @@ def test_cli_stream_stdin_matches_file(tmp_path, capsys, monkeypatch):
     assert file_out.splitlines()[0] == pipe_out.splitlines()[0]
 
 
+def test_cli_ook_stdin_matches_file(capsys, monkeypatch):
+    """``quadjax ook -stdin yes`` over the piped fixture bytes decodes
+    the same payload as the file run (demod commands buffer stdin)."""
+    import pathlib
+
+    from quadrs_tpu.cli import main
+
+    path = pathlib.Path(__file__).parent.parent / "examples" / "ook-sim.sr400.cf32"
+    rc = main(["ook", "-bit", "16", str(path)])
+    file_out = capsys.readouterr().out
+    assert rc == 0
+
+    monkeypatch.setattr(
+        sys, "stdin", SimpleNamespace(buffer=io.BytesIO(path.read_bytes()))
+    )
+    rc = main(["ook", "-bit", "16", "-stdin", "yes", "-sr", "400",
+               "-format", "cf32"])
+    pipe_out = capsys.readouterr().out
+    assert rc == 0
+    assert pipe_out == file_out
+
+
 def test_cli_stream_stdin_requires_sr_and_format(capsys):
     from quadrs_tpu.cli import main
 
@@ -210,3 +232,8 @@ def test_cli_stream_stdin_requires_sr_and_format(capsys):
               "-mesh", "2x1"]) == 1
     )
     assert "cannot use -mesh" in capsys.readouterr().err
+    # the demod commands share the rule
+    assert main(["ook", "-stdin", "yes", "-sr", "400"]) == 1
+    assert "requires -sr and -format" in capsys.readouterr().err
+    assert main(["fsk", "-stdin", "yes", "-format", "cf32"]) == 1
+    assert "requires -sr and -format" in capsys.readouterr().err
