@@ -127,6 +127,7 @@ class WaterfallCmd(Command):
     sample_rate: str | None = None
     format: str | None = None
     mesh: tuple[int, int] | None = None
+    stdin: bool = False  # single live pipe stream instead of files
 
 
 @dataclass
@@ -457,6 +458,7 @@ def _parse_waterfall(args: _Args, raw_map) -> Command:
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     mesh = map_.pop("mesh", None)
+    stdin = parse_bool(map_.pop("stdin", "no"))
     _ensure_empty(map_, "waterfall")
     filenames = []
     while True:  # terminal command: everything left is a capture file
@@ -464,13 +466,22 @@ def _parse_waterfall(args: _Args, raw_map) -> Command:
         if tok is None:
             break
         filenames.append(tok)
-    if not filenames:
+    if stdin:
+        if sr is None or fmt is None:
+            raise ValueError("'waterfall -stdin yes' requires -sr and -format")
+        if mesh is not None:
+            raise ValueError(
+                "'waterfall -stdin yes' cannot use -mesh (pipes cannot seek)"
+            )
+        if filenames:
+            raise ValueError("'waterfall -stdin yes' takes no filenames")
+    elif not filenames:
         raise ValueError("'waterfall' requires at least one capture filename")
     return WaterfallCmd(
         filenames=filenames, fft_width=fft_width, stride=stride,
         windowing=windowing, chunk_windows=chunk_windows, chunks=chunks,
         search=search, out=out, sample_rate=sr, format=fmt,
-        mesh=None if mesh is None else _parse_mesh(mesh),
+        mesh=None if mesh is None else _parse_mesh(mesh), stdin=stdin,
     )
 
 

@@ -162,9 +162,20 @@ def run_waterfall(cmd: argmod.WaterfallCmd) -> int:
     from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
     from quadrs_tpu.stream_runner import WaterfallRunner
 
-    sources = [
-        open_capture(f, cmd.sample_rate, cmd.format) for f in cmd.filenames
-    ]
+    if cmd.stdin:
+        # live spectrogram from a radio: one pipe stream, read
+        # sequentially with the window overlap carried between chunks
+        import sys
+
+        from quadrs_tpu.sources import PipeSource
+        from quadrs_tpu.utils.sniff import guess_details
+
+        details = guess_details("-", cmd.sample_rate, cmd.format)
+        sources = [PipeSource(sys.stdin.buffer, details.format, details.sample_rate)]
+    else:
+        sources = [
+            open_capture(f, cmd.sample_rate, cmd.format) for f in cmd.filenames
+        ]
     fmts = {s.format for s in sources}
     if len(fmts) != 1:
         raise ValueError(f"bank files disagree on format: {sorted(f.name for f in fmts)}")

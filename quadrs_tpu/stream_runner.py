@@ -116,6 +116,13 @@ class WaterfallRunner:
         for s in sources:
             if s.format is not cfg.fmt:
                 raise ValueError(f"source format {s.format} != bank format {cfg.fmt}")
+        if any(getattr(s, "is_pipe", False) for s in sources):
+            if len(sources) != 1:
+                raise ValueError("a pipe source cannot be part of a bank")
+            if mesh is not None:
+                raise ValueError(
+                    "pipe sources cannot be sharded (no random access)"
+                )
         if len({s.length for s in sources}) != 1:
             raise ValueError("bank sources must have equal lengths")
         self.sources = sources
@@ -185,6 +192,81 @@ class WaterfallRunner:
             new = hi - (lo if prev_hi is None else max(lo, prev_hi))
             prev_hi = hi
             yield w, n_w, new, (np.stack([s.stage(lo, hi) for s in self.sources]),)
+            w += n_w
+
+    def _staged_chunks_pipe(self, start_window: int, limit: int | None = None):
+        """The :meth:`_staged_chunks` contract for a single
+        :class:`~quadrs_tpu.sources.PipeSource` stream (a live
+        spectrogram: ``rtl_sdr - | quadjax waterfall -stdin yes``).
+
+        The pipe is read sequentially into an absolute-position buffer:
+        each chunk's ``[lo, hi)`` span is ensured by reading forward,
+        the ``width - stride`` overlap carries between chunks (a pipe
+        cannot re-read), skipping strides' inter-chunk gaps are read
+        and discarded (a pipe cannot seek), and the total window count
+        is discovered at EOF — after which the staged spans, valid
+        counts, and sample accounting match the file path exactly."""
+        cfg = self.model.cfg
+        src = self.sources[0]
+        width, stride = cfg.fft_width, cfg.stride
+        w = start_window
+        staged = 0
+        pos = 0  # absolute sample index of buf[:, 0]
+        buf = None  # (2, m) unconsumed planes
+        eof_len: int | None = None  # effective capture length, known at EOF
+
+        def ensure(abs_hi: int) -> None:
+            """Read forward until the buffer covers [pos, abs_hi) or EOF."""
+            nonlocal buf, eof_len
+            have = 0 if buf is None else buf.shape[1]
+            need = abs_hi - (pos + have)
+            if need > 0 and eof_len is None:
+                new = src.read_planes(need)
+                buf = new if buf is None else np.concatenate([buf, new], axis=1)
+                if new.shape[1] < need:
+                    eof_len = pos + buf.shape[1]
+
+        def drop_to(abs_lo: int) -> None:
+            """Discard samples below abs_lo (reading past the buffer if a
+            skipping stride's gap hasn't been read yet)."""
+            nonlocal buf, pos, eof_len
+            while True:
+                have = 0 if buf is None else buf.shape[1]
+                k = abs_lo - pos
+                if k <= 0:
+                    return
+                if k <= have:
+                    buf = buf[:, k:]
+                    pos = abs_lo
+                    return
+                pos += have
+                buf = None
+                if eof_len is not None:
+                    return
+                skip = src.read_planes(min(abs_lo - pos, 1 << 20))
+                if skip.shape[1] == 0:
+                    eof_len = pos
+                    return
+                buf = skip
+
+        prev_hi = None
+        while limit is None or staged < limit:
+            n_w = self.chunk_windows
+            lo = w * stride
+            hi = (w + n_w - 1) * stride + width
+            drop_to(lo)
+            ensure(hi)
+            if eof_len is not None:
+                total = (eof_len - width) // stride + 1 if eof_len >= width else 0
+                if w >= total:
+                    return
+                n_w = min(n_w, total - w)
+                hi = (w + n_w - 1) * stride + width
+            staged += 1
+            planes = buf[:, : hi - pos][None, ...]  # (1, 2, span)
+            new = hi - (lo if prev_hi is None else max(lo, prev_hi))
+            prev_hi = hi
+            yield w, n_w, new, (np.ascontiguousarray(planes),)
             w += n_w
 
     def _staged_chunks_sharded(self, start_window: int, limit: int | None = None):
@@ -268,11 +350,12 @@ class WaterfallRunner:
         # full output into one accumulator the closing fetch observes
         acc = jnp.float32(0.0) if emit is None else None
         done = 0
-        gen = (
-            self._staged_chunks_sharded(start_window, limit=max_chunks)
-            if self._wstep is not None
-            else self._staged_chunks(start_window, limit=max_chunks)
-        )
+        if self._wstep is not None:
+            gen = self._staged_chunks_sharded(start_window, limit=max_chunks)
+        elif getattr(self.sources[0], "is_pipe", False):
+            gen = self._staged_chunks_pipe(start_window, limit=max_chunks)
+        else:
+            gen = self._staged_chunks(start_window, limit=max_chunks)
         chunks = _background(gen)
         for w, n_valid, new_samples, args in chunks:
             out = step(*args)

@@ -153,18 +153,22 @@ def test_pipe_short_capture_emits_nothing():
 
 
 def test_pipe_guards():
+    import jax
+
     fmt = FileFormat.COMPLEX_INT8
     model = PipelineModel(_cfg(fmt))
     mk = lambda: PipeSource(io.BytesIO(b""), fmt, 48_000)
     with pytest.raises(ValueError, match="bank"):
         StreamRunner([mk(), mk()], model)
+    with pytest.raises(ValueError, match="positive"):
+        PipeSource(io.BytesIO(b""), fmt, 0)
+    if len(jax.devices()) < 2:
+        pytest.skip("mesh guard needs >=2 devices")
     from quadrs_tpu.parallel.sharding import make_mesh
 
     mesh = make_mesh(n_time=2, n_stream=1)
     with pytest.raises(ValueError, match="sharded"):
         StreamRunner(mk(), model, mesh=mesh)
-    with pytest.raises(ValueError, match="positive"):
-        PipeSource(io.BytesIO(b""), fmt, 0)
 
 
 def test_cli_stream_stdin_matches_file(tmp_path, capsys, monkeypatch):
@@ -196,6 +200,122 @@ def test_cli_stream_stdin_matches_file(tmp_path, capsys, monkeypatch):
     np.testing.assert_array_equal(fn, pn)
     # identical peak line; stats line differs only in timing
     assert file_out.splitlines()[0] == pipe_out.splitlines()[0]
+
+
+@pytest.mark.parametrize(
+    "width,stride,n_samples",
+    [
+        (128, 64, 20_000),   # overlapped: width-stride carry between chunks
+        (128, 128, 20_011),  # tiled, ragged EOF
+        (128, 300, 30_000),  # skipping: inter-chunk gaps read and discarded
+    ],
+)
+def test_waterfall_pipe_matches_file(width, stride, n_samples):
+    """WaterfallRunner over a pipe == over the same bytes in memory, at
+    overlapped, tiled, and skipping strides."""
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.stream_runner import WaterfallRunner
+
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(n_samples, fmt, seed=11)
+    cfg = WaterfallConfig(
+        n_streams=1, fft_width=width, stride=stride, fmt=fmt, frontend="xla"
+    )
+    model = WaterfallModel(cfg)
+
+    fsrc = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000)
+    frows = []
+    fstats = WaterfallRunner([fsrc], model, chunk_windows=37).run(
+        lambda w, n: frows.append((w, n))
+    )
+
+    psrc = PipeSource(io.BytesIO(data), fmt, 48_000)
+    prows = []
+    pstats = WaterfallRunner([psrc], model, chunk_windows=37).run(
+        lambda w, n: prows.append((w, n))
+    )
+    assert len(prows) == len(frows) > 1
+    for (fw, fn), (pw, pn) in zip(frows, prows):
+        assert fw == pw
+        np.testing.assert_array_equal(fn, pn)
+    assert pstats.samples_in == fstats.samples_in
+    assert pstats.windows_out == fstats.windows_out
+
+    # search over a fresh pipe matches the file search
+    fpk, ppk = [], []
+    WaterfallRunner([fsrc], model, chunk_windows=37).run_search(
+        lambda w, o: fpk.append((w, o))
+    )
+    WaterfallRunner(
+        [PipeSource(io.BytesIO(data), fmt, 48_000)], model, chunk_windows=37
+    ).run_search(lambda w, o: ppk.append((w, o)))
+    for (fw, (fi, fv)), (pw, (pi, pv)) in zip(fpk, ppk):
+        assert fw == pw
+        np.testing.assert_array_equal(fi, pi)
+        np.testing.assert_array_equal(fv, pv)
+
+
+def test_waterfall_pipe_resume_and_guards():
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.stream_runner import WaterfallRunner
+
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(15_000, fmt, seed=12)
+    cfg = WaterfallConfig(n_streams=1, fft_width=128, stride=64, fmt=fmt, frontend="xla")
+    model = WaterfallModel(cfg)
+
+    fsrc = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000)
+    frows = []
+    WaterfallRunner([fsrc], model, chunk_windows=50).run(
+        lambda w, n: frows.append((w, n))
+    )
+    start = frows[1][0]
+    prows = []
+    WaterfallRunner(
+        [PipeSource(io.BytesIO(data), fmt, 48_000)], model, chunk_windows=50
+    ).run(lambda w, n: prows.append((w, n)), start_window=start)
+    assert prows[0][0] == start
+    np.testing.assert_array_equal(
+        np.concatenate([n for _, n in prows], axis=1),
+        np.concatenate([n for _, n in frows[1:]], axis=1),
+    )
+
+    mk = lambda: PipeSource(io.BytesIO(b""), fmt, 48_000)
+    cfg2 = WaterfallConfig(n_streams=2, fft_width=128, stride=64, fmt=fmt)
+    with pytest.raises(ValueError, match="bank"):
+        WaterfallRunner([mk(), mk()], WaterfallModel(cfg2))
+    # an empty pipe produces no windows and a clean exit
+    rows = []
+    stats = WaterfallRunner([mk()], model).run(lambda w, n: rows.append(n))
+    assert rows == [] and stats.windows_out == 0
+
+    import jax
+
+    if len(jax.devices()) >= 2:
+        from quadrs_tpu.parallel.sharding import make_mesh
+
+        with pytest.raises(ValueError, match="sharded"):
+            WaterfallRunner([mk()], model, mesh=make_mesh(n_time=2, n_stream=1))
+
+
+def test_cli_waterfall_stdin_matches_file(tmp_path, capsys, monkeypatch):
+    from quadrs_tpu.cli import main
+
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(20_000, fmt, seed=13)
+    path = tmp_path / "live.cs8"
+    path.write_bytes(data)
+
+    flags = ["-width", "128", "-stride", "64", "-search", "yes", "-sr", "48k"]
+    rc = main(["waterfall", *flags, str(path)])
+    assert rc == 0
+    file_out = capsys.readouterr().out
+
+    monkeypatch.setattr(sys, "stdin", SimpleNamespace(buffer=io.BytesIO(data)))
+    rc = main(["waterfall", *flags, "-stdin", "yes", "-format", "cs8"])
+    assert rc == 0
+    pipe_out = capsys.readouterr().out
+    assert file_out.splitlines()[0] == pipe_out.splitlines()[0]  # same peak
 
 
 def test_cli_ook_stdin_matches_file(capsys, monkeypatch):
