@@ -474,11 +474,56 @@ def bench_disk_staging(on_accel: bool) -> dict:
     # best of 3: the host core is shared with the jax runtime threads,
     # so single passes swing wildly on small machines (min-time rule)
     msps = max(one_pass() for _ in range(3))
+
+    # the live-pipe serving path (quadjax stream -stdin yes): same
+    # chunks fed through PipeSource's sequential reads + overlap carry
+    # instead of the C++ ring prefetcher — the rate a radio could pipe
+    # samples in at
+    import threading
+
+    from quadrs_tpu.sources import PipeSource
+
+    model2, _, path = _sustained_setup(on_accel)
+    cfg = model2.cfg
+
+    def one_pipe_pass() -> float:
+        r, w = os.pipe()
+
+        def feed():
+            try:
+                with open(path, "rb") as fh, os.fdopen(w, "wb") as out:
+                    while True:
+                        b = fh.read(1 << 22)
+                        if not b:
+                            break
+                        out.write(b)
+            except (BrokenPipeError, OSError):
+                pass
+
+        th = threading.Thread(target=feed, daemon=True)
+        th.start()
+        rf = os.fdopen(r, "rb")
+        psrc = PipeSource(rf, cfg.fmt, cfg.sample_rate)
+        prunner = StreamRunner(psrc, model2, chunk_samples=1 << 22)
+        t0 = time.perf_counter()
+        fed = 0
+        it = prunner._prefetched(0)
+        for i, (_off, planes, _valid) in enumerate(it):
+            fed += planes.shape[1] - prunner._lookahead
+            if i + 1 >= cap:
+                break
+        it.close()
+        rate = fed / (time.perf_counter() - t0) / 1e6
+        rf.close()
+        return rate
+
+    pipe_msps = max(one_pipe_pass() for _ in range(3))
     return {
         "metric": "disk->host staging feed rate (C++ ring prefetch over the 1G-sample cs8 file)",
         "value": round(msps, 1),
         "unit": "Msamples/sec",
         "vs_baseline": round(msps / 100.0, 2),
+        "pipe_feed_msps": round(pipe_msps, 1),
     }
 
 
