@@ -456,16 +456,18 @@ def bench_disk_staging(on_accel: bool) -> dict:
 
     sync_fetch(jax.jit(lambda: jnp.zeros(8))())
 
-    model, src, _ = _sustained_setup(on_accel)
+    model, src, path = _sustained_setup(on_accel)
+    cfg = model.cfg
     runner = StreamRunner(src, model, chunk_samples=1 << 22)
     cap = 64 if on_accel else 8  # 256M samples bounds the artifact cost
 
-    def one_pass() -> float:
+    def feed_rate(r) -> float:
+        """Msamples/s the runner's staging path delivers chunks at."""
         t0 = time.perf_counter()
         fed = 0
-        it = runner._prefetched(0)
+        it = r._prefetched(0)
         for i, (_off, planes, _valid) in enumerate(it):
-            fed += planes.shape[1] - runner._lookahead
+            fed += planes.shape[1] - r._lookahead
             if i + 1 >= cap:
                 break
         it.close()
@@ -473,18 +475,15 @@ def bench_disk_staging(on_accel: bool) -> dict:
 
     # best of 3: the host core is shared with the jax runtime threads,
     # so single passes swing wildly on small machines (min-time rule)
-    msps = max(one_pass() for _ in range(3))
+    msps = max(feed_rate(runner) for _ in range(3))
 
-    # the live-pipe serving path (quadjax stream -stdin yes): same
+    # the live-pipe serving path (quadjax stream -stdin yes): the same
     # chunks fed through PipeSource's sequential reads + overlap carry
     # instead of the C++ ring prefetcher — the rate a radio could pipe
     # samples in at
     import threading
 
     from quadrs_tpu.sources import PipeSource
-
-    model2, _, path = _sustained_setup(on_accel)
-    cfg = model2.cfg
 
     def one_pipe_pass() -> float:
         r, w = os.pipe()
@@ -504,16 +503,7 @@ def bench_disk_staging(on_accel: bool) -> dict:
         th.start()
         rf = os.fdopen(r, "rb")
         psrc = PipeSource(rf, cfg.fmt, cfg.sample_rate)
-        prunner = StreamRunner(psrc, model2, chunk_samples=1 << 22)
-        t0 = time.perf_counter()
-        fed = 0
-        it = prunner._prefetched(0)
-        for i, (_off, planes, _valid) in enumerate(it):
-            fed += planes.shape[1] - prunner._lookahead
-            if i + 1 >= cap:
-                break
-        it.close()
-        rate = fed / (time.perf_counter() - t0) / 1e6
+        rate = feed_rate(StreamRunner(psrc, model, chunk_samples=1 << 22))
         rf.close()
         return rate
 

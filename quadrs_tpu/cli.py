@@ -29,8 +29,8 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
      eui [-start 46] [-end 46.3] [-fft 512] [-frames 1] [FILENAME] [renders to eui.png] \\
          [-live no] [-stride =fft] [-rows N] [-cols N] [live: blue ANSI waterfall] \\
   stream [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] \\
-         [-chunk 4M] [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] FILENAME \\
-         [-stdin no] [live pipe input: rtl_sdr - | {us} stream -stdin yes -sr 2M -format cu8] \\
+         [-chunk 4M] [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] \\
+         [-stdin no] FILENAME [live pipe: rtl_sdr - | {us} stream -stdin yes -sr 2M -format cu8] \\
 waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] [-stdin no] FILENAME... \\
      ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] [-stdin no] FILENAME \\

@@ -27,22 +27,50 @@ from quadrs_tpu.sources import open_capture
 from quadrs_tpu.stream_runner import RunStats
 
 
+def _stdin_details(cmd):
+    """Resolve a ``-stdin yes`` command's capture metadata + byte
+    stream.  The parser guaranteed ``-sr``/``-format`` (a pipe has no
+    filename to sniff), so the sniff sentinel never matters."""
+    import sys
+
+    from quadrs_tpu.utils.sniff import guess_details
+
+    return guess_details("-", cmd.sample_rate, cmd.format), sys.stdin.buffer
+
+
+def _stdin_pipe_source(cmd):
+    """Live, unbuffered stdin as a :class:`PipeSource` (stream/waterfall)."""
+    from quadrs_tpu.sources import PipeSource
+
+    details, buf = _stdin_details(cmd)
+    return PipeSource(buf, details.format, details.sample_rate)
+
+
+# demod commands buffer the whole piped burst in memory; cap it so a
+# live radio stream mistakenly piped into ook/fsk errors instead of
+# growing without bound (use stream/waterfall for live input)
+_STDIN_BUFFER_CAP = 1 << 30
+
+
 def _cmd_source(cmd):
     """The capture behind a demod command: a file, or all of stdin
     buffered into an in-memory :class:`SampleSource` — demod captures
-    are short sensor bursts (the ``stream`` command streams stdin
-    unbuffered via ``PipeSource`` instead).  The parser guaranteed
-    ``-sr``/``-format`` when ``-stdin yes``."""
+    are short sensor bursts (the ``stream``/``waterfall`` commands
+    stream stdin unbuffered via ``PipeSource`` instead)."""
     if not cmd.stdin:
         return open_capture(cmd.filename, cmd.sample_rate, cmd.format)
-    import sys
-
     from quadrs_tpu.sources import SampleSource
-    from quadrs_tpu.utils.sniff import guess_details
 
-    details = guess_details("-", cmd.sample_rate, cmd.format)
-    data = np.frombuffer(sys.stdin.buffer.read(), dtype=np.uint8)
-    return SampleSource(data, details.format, details.sample_rate)
+    details, buf = _stdin_details(cmd)
+    data = buf.read(_STDIN_BUFFER_CAP + 1)
+    if len(data) > _STDIN_BUFFER_CAP:
+        raise ValueError(
+            "stdin capture exceeds the demod buffer cap (1 GiB); ook/fsk "
+            "buffer the whole burst — use stream/waterfall for live streams"
+        )
+    return SampleSource(
+        np.frombuffer(data, dtype=np.uint8), details.format, details.sample_rate
+    )
 
 
 def _make_mesh(shape: tuple[int, int] | None):
@@ -86,16 +114,9 @@ def run_stream(cmd: argmod.StreamCmd) -> int:
     from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
     from quadrs_tpu.stream_runner import StreamRunner
 
+    # live pipe input: rtl_sdr - | quadjax stream -stdin yes ...
     if cmd.stdin:
-        # live pipe input (rtl_sdr - | quadjax stream -stdin yes ...):
-        # no filename to sniff, so the parser guaranteed -sr/-format
-        import sys
-
-        from quadrs_tpu.sources import PipeSource
-        from quadrs_tpu.utils.sniff import guess_details
-
-        details = guess_details("-", cmd.sample_rate, cmd.format)
-        src = PipeSource(sys.stdin.buffer, details.format, details.sample_rate)
+        src = _stdin_pipe_source(cmd)
     else:
         src = open_capture(cmd.filename, cmd.sample_rate, cmd.format)
     cfg = PipelineConfig(
@@ -165,13 +186,7 @@ def run_waterfall(cmd: argmod.WaterfallCmd) -> int:
     if cmd.stdin:
         # live spectrogram from a radio: one pipe stream, read
         # sequentially with the window overlap carried between chunks
-        import sys
-
-        from quadrs_tpu.sources import PipeSource
-        from quadrs_tpu.utils.sniff import guess_details
-
-        details = guess_details("-", cmd.sample_rate, cmd.format)
-        sources = [PipeSource(sys.stdin.buffer, details.format, details.sample_rate)]
+        sources = [_stdin_pipe_source(cmd)]
     else:
         sources = [
             open_capture(f, cmd.sample_rate, cmd.format) for f in cmd.filenames

@@ -146,6 +146,14 @@ class PipeSource:
         got = len(self._tail)
         while got < want and not self.eof:
             b = self._f.read(want - got)
+            if b is None:
+                # a non-blocking source (O_NONBLOCK pipe, non-blocking
+                # socket) signals "no data yet" with None — wait, don't
+                # mistake a momentary gap for end-of-stream
+                import time
+
+                time.sleep(0.001)
+                continue
             if not b:
                 self.eof = True
                 break

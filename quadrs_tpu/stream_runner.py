@@ -81,6 +81,16 @@ def _background(gen, depth: int = 2):
             q.get_nowait()
 
 
+def _check_pipe_sources(sources, mesh) -> None:
+    """Pipe sources are sequential-only: one per runner, never meshed
+    (no random access to seek, re-read, or shard)."""
+    if any(getattr(s, "is_pipe", False) for s in sources):
+        if len(sources) != 1:
+            raise ValueError("a pipe source cannot be part of a bank")
+        if mesh is not None:
+            raise ValueError("pipe sources cannot be sharded (no random access)")
+
+
 class WaterfallRunner:
     """Stream capture files through the waterfall bank (BASELINE config
     5 from disk): each chunk is a whole number of window *starts*, so
@@ -116,13 +126,7 @@ class WaterfallRunner:
         for s in sources:
             if s.format is not cfg.fmt:
                 raise ValueError(f"source format {s.format} != bank format {cfg.fmt}")
-        if any(getattr(s, "is_pipe", False) for s in sources):
-            if len(sources) != 1:
-                raise ValueError("a pipe source cannot be part of a bank")
-            if mesh is not None:
-                raise ValueError(
-                    "pipe sources cannot be sharded (no random access)"
-                )
+        _check_pipe_sources(sources, mesh)
         if len({s.length for s in sources}) != 1:
             raise ValueError("bank sources must have equal lengths")
         self.sources = sources
@@ -421,13 +425,7 @@ class StreamRunner:
                 raise ValueError(
                     f"source format {s.format} != model format {model.cfg.fmt}"
                 )
-        if any(getattr(s, "is_pipe", False) for s in sources):
-            if len(sources) != 1:
-                raise ValueError("a pipe source cannot be part of a bank")
-            if mesh is not None:
-                raise ValueError(
-                    "pipe sources cannot be sharded (no random access)"
-                )
+        _check_pipe_sources(sources, mesh)
         if len({s.length for s in sources}) != 1:
             raise ValueError("bank sources must have equal lengths")
         self.sources = sources
