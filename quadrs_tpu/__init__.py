@@ -24,7 +24,13 @@ the MXU.
 
 from quadrs_tpu.formats import FileFormat, FileDetails
 from quadrs_tpu.stream import LowPass, Shift, Stream
-from quadrs_tpu.sources import PipeSource, SampleSource, ToneGen, open_capture
+from quadrs_tpu.sources import (
+    LivePipeStream,
+    PipeSource,
+    SampleSource,
+    ToneGen,
+    open_capture,
+)
 from quadrs_tpu.pipeline import Operation, exec_operation, run_pipeline
 from quadrs_tpu.stream_runner import RunStats, StreamRunner
 
@@ -36,6 +42,7 @@ __all__ = [
     "Stream",
     "Shift",
     "LowPass",
+    "LivePipeStream",
     "PipeSource",
     "SampleSource",
     "ToneGen",

@@ -84,6 +84,11 @@ class Eui(Command):
     stride: int | None = None  # live row stride; defaults to fft width
     rows: int | None = None
     cols: int | None = None
+    # -stdin yes + -live yes: the waterfall scrolls a live pipe
+    # (rtl_sdr - | quadjax eui -live yes -stdin yes -sr 2M -format cu8)
+    stdin: bool = False
+    sample_rate: str | None = None
+    format: str | None = None
 
 
 @dataclass
@@ -382,8 +387,17 @@ def _parse_eui(args: _Args, raw_map) -> Command:
     rows = None if rows is None else int(parse_si_uint(rows))
     cols = map_.pop("cols", None)
     cols = None if cols is None else int(parse_si_uint(cols))
+    stdin = parse_bool(map_.pop("stdin", "no"))
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    if stdin:
+        if not live:
+            raise ValueError("'eui -stdin yes' requires -live yes (a pipe "
+                             "cannot be percentage-sliced for a PNG render)")
+        if sr is None or fmt is None:
+            raise ValueError("'eui -stdin yes' requires -sr and -format")
     map_.clear()  # reference eui drops any other flags silently
-    filename = args.next()
+    filename = args.next() if not stdin else None
     return Eui(
         filename=None if filename is None else Path(filename),
         start_pct=start,
@@ -394,6 +408,9 @@ def _parse_eui(args: _Args, raw_map) -> Command:
         stride=stride,
         rows=rows,
         cols=cols,
+        stdin=stdin,
+        sample_rate=sr,
+        format=fmt,
     )
 
 

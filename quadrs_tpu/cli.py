@@ -28,6 +28,7 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
           keys: +/- fft width, [/] stride, q quit] \\
      eui [-start 46] [-end 46.3] [-fft 512] [-frames 1] [FILENAME] [renders to eui.png] \\
          [-live no] [-stride =fft] [-rows N] [-cols N] [live: blue ANSI waterfall] \\
+         [-stdin no] [-sr R] [-format F] [live waterfall off a pipe: rtl_sdr - | {us} eui -live yes -stdin yes ...] \\
   stream [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] \\
          [-chunk 4M] [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] \\
          [-stdin no] FILENAME [live pipe: rtl_sdr - | {us} stream -stdin yes -sr 2M -format cu8] \\
@@ -147,12 +148,26 @@ def main(argv: list[str] | None = None) -> int:
                     from quadrs_tpu.utils.sniff import guess_details
                     from quadrs_tpu.viz.live import LiveParams, live_waterfall
 
-                    if command.filename is None:
+                    if command.stdin:
+                        # live waterfall straight off a pipe: rtl_sdr - |
+                        # quadjax eui -live yes -stdin yes -sr 2M -format cu8
+                        from quadrs_tpu.sources import LivePipeStream, PipeSource
+
+                        details = guess_details(
+                            "-", command.sample_rate, command.format
+                        )
+                        src = LivePipeStream(
+                            PipeSource(
+                                sys.stdin.buffer, details.format, details.sample_rate
+                            )
+                        )
+                    elif command.filename is None:
                         print("Error: eui -live requires a filename", file=sys.stderr)
                         return 1
-                    src = SampleSource.from_file(
-                        str(command.filename), guess_details(str(command.filename))
-                    )
+                    else:
+                        src = SampleSource.from_file(
+                            str(command.filename), guess_details(str(command.filename))
+                        )
                     stats = live_waterfall(
                         src,
                         LiveParams(

@@ -167,6 +167,54 @@ class PipeSource:
         )
 
 
+class LivePipeStream(SampleSource):
+    """Random-access facade over a :class:`PipeSource` for
+    forward-moving consumers (the live terminal waterfall): a sliding
+    planes buffer grows by reading the pipe on demand and discards
+    everything below the last staged ``lo``, so memory stays O(batch
+    span) on an endless stream.  ``length`` reads as a huge sentinel
+    until EOF, then becomes the real capture length — downstream valid
+    clipping works unchanged.  Rewinding below discarded data raises
+    (pipes cannot seek)."""
+
+    is_live = True
+
+    def __init__(self, pipe: PipeSource):
+        # deliberately not calling SampleSource.__init__: there is no
+        # backing byte buffer, and length is a property here
+        from quadrs_tpu.formats import planes_from_bytes
+
+        self._pipe = pipe
+        self._native = None
+        self.format = pipe.format
+        self.sample_rate = pipe.sample_rate
+        self._base = 0
+        self._buf = planes_from_bytes(np.zeros(0, dtype=np.uint8), pipe.format)
+        self._eof_len: int | None = None
+
+    @property
+    def length(self) -> int:
+        return self._eof_len if self._eof_len is not None else (1 << 60)
+
+    def stage(self, lo: int, hi: int) -> np.ndarray:
+        if lo < self._base:
+            raise ValueError(
+                f"live pipe stream cannot rewind to {lo} "
+                f"(discarded below {self._base})"
+            )
+        have_hi = self._base + self._buf.shape[1]
+        if hi > have_hi and self._eof_len is None:
+            new = self._pipe.read_planes(hi - have_hi)
+            self._buf = np.concatenate([self._buf, new], axis=1)
+            if new.shape[1] < hi - have_hi:
+                self._eof_len = self._base + self._buf.shape[1]
+        if lo > self._base:
+            self._buf = self._buf[:, lo - self._base :]
+            self._base = lo
+        hi_eff = min(hi, self._base + self._buf.shape[1])
+        return self._buf[:, : max(0, hi_eff - lo)]
+
+
 class ToneGen(Stream):
     """Multi-tone complex exponential generator (``src/gen.rs``)."""
 

@@ -211,13 +211,23 @@ def live_waterfall(
                 k = min(k, injected[0][0] - rows)
             offs = pos + stride * np.arange(k, dtype=np.int64)
             norms, valid = ex.run(offs)
-            if not np.all(valid == fw):
-                raise RuntimeError("read-exact messed up in live render")
-            pooled = _pool_bins(np.asarray(norms), cols)
+            full = valid == fw
+            if not np.all(full):
+                if not getattr(stream, "is_live", False):
+                    raise RuntimeError("read-exact messed up in live render")
+                # a live pipe's length is a sentinel until EOF, so the
+                # batch that crosses EOF carries trailing short windows:
+                # render the full ones, then stop
+                k = int(np.argmax(~full))
+                if k == 0:
+                    break
+            pooled = _pool_bins(np.asarray(norms)[:k], cols)
             for r in range(k):
                 out.write(_row_line(pooled[r], cols, p.colormap) + "\n")
             rows += k
-            pos = int(offs[-1]) + stride
+            pos = int(offs[k - 1]) + stride
+            if not np.all(full):
+                break
     finally:
         if tty_keys is not None:
             tty_keys.__exit__()

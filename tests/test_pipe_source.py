@@ -298,6 +298,76 @@ def test_waterfall_pipe_resume_and_guards():
             WaterfallRunner([mk()], model, mesh=make_mesh(n_time=2, n_stream=1))
 
 
+def test_live_pipe_stream_stages_and_slides():
+    """LivePipeStream serves forward-moving random access over a pipe:
+    staged planes match the in-memory source, discarded data cannot be
+    rewound to, and length flips from sentinel to real at EOF."""
+    from quadrs_tpu.sources import LivePipeStream
+
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(5_000, fmt, seed=21)
+    ref = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000)
+    live = LivePipeStream(PipeSource(_Dribble(data, 997), fmt, 48_000))
+    assert live.length > 5_000  # sentinel until EOF
+
+    for lo, hi in [(0, 700), (512, 1400), (1400, 3000), (2900, 5000)]:
+        np.testing.assert_array_equal(live.stage(lo, hi), ref.stage(lo, hi))
+    with pytest.raises(ValueError, match="rewind"):
+        live.stage(100, 700)
+    # read past EOF: short return and the real length appears
+    got = live.stage(4000, 6000)
+    np.testing.assert_array_equal(got, ref.stage(4000, 5000))
+    assert live.length == 5_000
+
+
+def test_live_waterfall_over_pipe_matches_file():
+    """The live terminal waterfall renders identical rows from a pipe
+    and from the capture file — including a mid-stream fft retune — and
+    ends cleanly at pipe EOF (no sentinel-length crash)."""
+    import io as _io
+
+    from quadrs_tpu.sources import LivePipeStream
+    from quadrs_tpu.viz.live import LiveParams, live_waterfall
+
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(40_000, fmt, seed=22)
+    params = LiveParams(fft_width=64, stride=256, cols=40, batch=16)
+    keys = [(5, "+"), (20, "]")]
+
+    fout = _io.StringIO()
+    fstats = live_waterfall(
+        SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000),
+        params, out=fout, keys=list(keys),
+    )
+    pout = _io.StringIO()
+    pstats = live_waterfall(
+        LivePipeStream(PipeSource(io.BytesIO(data), fmt, 48_000)),
+        params, out=pout, keys=list(keys),
+    )
+    assert pstats == fstats and pstats["rows"] > 20
+    assert pout.getvalue() == fout.getvalue()
+
+
+def test_cli_eui_live_stdin(capsys, monkeypatch):
+    """``eui -live yes -stdin yes`` scrolls a piped capture and exits at
+    EOF; -stdin without -live or without -sr/-format is rejected."""
+    from quadrs_tpu.cli import main
+
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(30_000, fmt, seed=23)
+    monkeypatch.setattr(sys, "stdin", SimpleNamespace(buffer=io.BytesIO(data)))
+    rc = main(["eui", "-live", "yes", "-stdin", "yes", "-sr", "48k",
+               "-format", "cs8", "-cols", "40", "-rows", "10"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "live: 10 rows" in out
+
+    assert main(["eui", "-stdin", "yes", "-sr", "48k", "-format", "cs8"]) == 1
+    assert "requires -live yes" in capsys.readouterr().err
+    assert main(["eui", "-live", "yes", "-stdin", "yes", "-sr", "48k"]) == 1
+    assert "requires -sr and -format" in capsys.readouterr().err
+
+
 def test_cli_waterfall_stdin_matches_file(tmp_path, capsys, monkeypatch):
     from quadrs_tpu.cli import main
 
