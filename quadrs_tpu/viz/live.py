@@ -50,12 +50,22 @@ class LiveParams:
 
 
 class _TtyKeys:
-    """Raw-mode non-blocking keyboard for the interactive path."""
+    """Raw-mode non-blocking keyboard for the interactive path.
+
+    Reads stdin when it is the terminal; when stdin carries the capture
+    (``eui -live yes -stdin yes``) the keyboard falls back to the
+    controlling terminal ``/dev/tty``, so +/-/[/]/q retune a live radio
+    pipe too."""
 
     def __init__(self):
         import termios
 
-        self.fd = sys.stdin.fileno()
+        if hasattr(sys.stdin, "isatty") and sys.stdin.isatty():
+            self._file = None
+            self.fd = sys.stdin.fileno()
+        else:
+            self._file = open("/dev/tty", "rb", buffering=0)
+            self.fd = self._file.fileno()
         self.saved = termios.tcgetattr(self.fd)
 
     def __enter__(self):
@@ -68,13 +78,16 @@ class _TtyKeys:
         import termios
 
         termios.tcsetattr(self.fd, termios.TCSADRAIN, self.saved)
+        if self._file is not None:
+            self._file.close()
 
     def poll(self) -> list[str]:
+        import os
         import select
 
         out = []
         while select.select([self.fd], [], [], 0)[0]:
-            out.append(sys.stdin.read(1))
+            out.append(os.read(self.fd, 1).decode("ascii", errors="ignore"))
         return out
 
 
@@ -140,12 +153,21 @@ def live_waterfall(
         raise ValueError("fft width must be >= 2 and stride >= 1")
 
     injected = sorted(keys, key=lambda e: e[0]) if keys is not None else None
+
+    def keyboard_available() -> bool:
+        if hasattr(sys.stdin, "isatty") and sys.stdin.isatty():
+            return True
+        try:  # stdin is the capture pipe: keys ride the controlling tty
+            with open("/dev/tty", "rb"):
+                return True
+        except OSError:
+            return False
+
     interactive = (
         injected is None
-        and hasattr(sys.stdin, "isatty")
-        and sys.stdin.isatty()
         and hasattr(out, "isatty")
         and out.isatty()
+        and keyboard_available()
     )
 
     def header():
