@@ -151,16 +151,10 @@ def main(argv: list[str] | None = None) -> int:
                     if command.stdin:
                         # live waterfall straight off a pipe: rtl_sdr - |
                         # quadjax eui -live yes -stdin yes -sr 2M -format cu8
-                        from quadrs_tpu.sources import LivePipeStream, PipeSource
+                        from quadrs_tpu.serve import _stdin_pipe_source
+                        from quadrs_tpu.sources import LivePipeStream
 
-                        details = guess_details(
-                            "-", command.sample_rate, command.format
-                        )
-                        src = LivePipeStream(
-                            PipeSource(
-                                sys.stdin.buffer, details.format, details.sample_rate
-                            )
-                        )
+                        src = LivePipeStream(_stdin_pipe_source(command))
                     elif command.filename is None:
                         print("Error: eui -live requires a filename", file=sys.stderr)
                         return 1

@@ -50,23 +50,14 @@ class LiveParams:
 
 
 class _TtyKeys:
-    """Raw-mode non-blocking keyboard for the interactive path.
+    """Raw-mode non-blocking keyboard on an already-chosen tty fd."""
 
-    Reads stdin when it is the terminal; when stdin carries the capture
-    (``eui -live yes -stdin yes``) the keyboard falls back to the
-    controlling terminal ``/dev/tty``, so +/-/[/]/q retune a live radio
-    pipe too."""
-
-    def __init__(self):
+    def __init__(self, fd: int, file=None):
         import termios
 
-        if hasattr(sys.stdin, "isatty") and sys.stdin.isatty():
-            self._file = None
-            self.fd = sys.stdin.fileno()
-        else:
-            self._file = open("/dev/tty", "rb", buffering=0)
-            self.fd = self._file.fileno()
-        self.saved = termios.tcgetattr(self.fd)
+        self.fd = fd
+        self._file = file  # owned /dev/tty handle, closed on exit
+        self.saved = termios.tcgetattr(fd)
 
     def __enter__(self):
         import tty
@@ -89,6 +80,41 @@ class _TtyKeys:
         while select.select([self.fd], [], [], 0)[0]:
             out.append(os.read(self.fd, 1).decode("ascii", errors="ignore"))
         return out
+
+
+def _try_tty_keys(stream) -> _TtyKeys | None:
+    """The keyboard for the interactive loop, or None to run
+    non-interactively.
+
+    stdin when it is the terminal; when stdin carries the capture
+    (``eui -live yes -stdin yes``, a live root source) the keyboard
+    falls back to the controlling terminal ``/dev/tty`` — but only if
+    this process is its foreground group (a background job touching the
+    tty would be stopped by SIGTTOU).  Any failure along the way —
+    no controlling tty, termios errors — degrades to non-interactive
+    instead of raising."""
+    import os
+
+    import termios
+
+    try:
+        if hasattr(sys.stdin, "isatty") and sys.stdin.isatty():
+            return _TtyKeys(sys.stdin.fileno())
+        if not getattr(stream.root(), "is_live", False):
+            # file-backed runs with redirected stdin were always
+            # non-interactive; keep them that way (scripts, jobs)
+            return None
+        f = open("/dev/tty", "rb", buffering=0)
+        try:
+            if os.tcgetpgrp(f.fileno()) != os.getpgrp():
+                f.close()
+                return None
+            return _TtyKeys(f.fileno(), f)
+        except Exception:
+            f.close()
+            raise
+    except (OSError, ValueError, termios.error):
+        return None
 
 
 def _pool_bins(norms: np.ndarray, cols: int) -> np.ndarray:
@@ -154,22 +180,6 @@ def live_waterfall(
 
     injected = sorted(keys, key=lambda e: e[0]) if keys is not None else None
 
-    def keyboard_available() -> bool:
-        if hasattr(sys.stdin, "isatty") and sys.stdin.isatty():
-            return True
-        try:  # stdin is the capture pipe: keys ride the controlling tty
-            with open("/dev/tty", "rb"):
-                return True
-        except OSError:
-            return False
-
-    interactive = (
-        injected is None
-        and hasattr(out, "isatty")
-        and out.isatty()
-        and keyboard_available()
-    )
-
     def header():
         out.write(f"-- live fft {fw} stride {stride} --\n")
 
@@ -177,7 +187,9 @@ def live_waterfall(
     rows = 0
     quit_ = False
     ex = None
-    tty_keys = _TtyKeys() if interactive else None
+    tty_keys = None
+    if injected is None and hasattr(out, "isatty") and out.isatty():
+        tty_keys = _try_tty_keys(stream)
 
     def apply(key: str):
         nonlocal fw, stride, ex, quit_
@@ -235,7 +247,7 @@ def live_waterfall(
             norms, valid = ex.run(offs)
             full = valid == fw
             if not np.all(full):
-                if not getattr(stream, "is_live", False):
+                if not getattr(stream.root(), "is_live", False):
                     raise RuntimeError("read-exact messed up in live render")
                 # a live pipe's length is a sentinel until EOF, so the
                 # batch that crosses EOF carries trailing short windows:
