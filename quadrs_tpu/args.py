@@ -64,6 +64,11 @@ class Ui(Command):
     live: bool = False
     rows: int | None = None
     cols: int | None = None
+    # -stdin yes + -live yes: the waterfall scrolls a live pipe instead
+    # of the preceding pipeline accumulator (mirrors eui)
+    stdin: bool = False
+    sample_rate: str | None = None
+    format: str | None = None
 
 
 @dataclass
@@ -367,10 +372,20 @@ def _parse_ui(args: _Args, raw_map) -> Command:
     rows = None if rows is None else int(parse_si_uint(rows))
     cols = map_.pop("cols", None)
     cols = None if cols is None else int(parse_si_uint(cols))
+    stdin = parse_bool(map_.pop("stdin", "no"))
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    if stdin:
+        if not live:
+            raise ValueError("'ui -stdin yes' requires -live yes (a pipe "
+                             "cannot back the PNG renderer)")
+        if sr is None or fmt is None:
+            raise ValueError("'ui -stdin yes' requires -sr and -format")
     _ensure_empty(map_, "ui")
     return Ui(
         fft_width=fft_width, stretch=stretch, stride=stride, frames=frames,
-        live=live, rows=rows, cols=cols,
+        live=live, rows=rows, cols=cols, stdin=stdin, sample_rate=sr,
+        format=fmt,
     )
 
 

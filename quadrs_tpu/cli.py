@@ -26,6 +26,7 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
       ui [-fft 8] [-stretch 4] [-stride 4] [-frames 1] [renders waterfall to ui.png] \\
          [-live no] [-rows N] [-cols N] [live: stream ANSI waterfall to the terminal; \\
           keys: +/- fft width, [/] stride, q quit] \\
+         [-stdin no] [-sr R] [-format F] [live waterfall off a pipe, like eui] \\
      eui [-start 46] [-end 46.3] [-fft 512] [-frames 1] [FILENAME] [renders to eui.png] \\
          [-live no] [-stride =fft] [-rows N] [-cols N] [live: blue ANSI waterfall] \\
          [-stdin no] [-sr R] [-format F] [live waterfall off a pipe: rtl_sdr - | {us} eui -live yes -stdin yes ...] \\
@@ -103,14 +104,23 @@ def main(argv: list[str] | None = None) -> int:
                     ui_render_frames,
                 )
 
-                if stream is None:
+                if command.live and command.stdin:
+                    # live pipe directly (mirrors eui -live -stdin); the
+                    # accumulator, if any, is untouched
+                    from quadrs_tpu.serve import _stdin_pipe_source
+                    from quadrs_tpu.sources import LivePipeStream
+
+                    ui_input = LivePipeStream(_stdin_pipe_source(command))
+                elif stream is None:
                     print("Error: ui requires an input", file=sys.stderr)
                     return 1
+                else:
+                    ui_input = stream
                 if command.live:
                     from quadrs_tpu.viz.live import LiveParams, live_waterfall
 
                     stats = live_waterfall(
-                        stream,
+                        ui_input,
                         LiveParams(
                             fft_width=command.fft_width,
                             stride=command.stride,
@@ -122,7 +132,8 @@ def main(argv: list[str] | None = None) -> int:
                         f"live: {stats['rows']} rows, fft {stats['fft_width']}, "
                         f"stride {stats['stride']}"
                     )
-                    stream = None
+                    if not command.stdin:
+                        stream = None  # ui takes the samples (samples.take())
                     continue
                 params = UiParams(
                     fft_width=command.fft_width,

@@ -368,6 +368,27 @@ def test_cli_eui_live_stdin(capsys, monkeypatch):
     assert "requires -sr and -format" in capsys.readouterr().err
 
 
+def test_cli_ui_live_stdin(capsys, monkeypatch):
+    """``ui -live yes -stdin yes`` mirrors eui: the HSV live waterfall
+    scrolls a piped capture without needing a `from` accumulator."""
+    from quadrs_tpu.cli import main
+
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(20_000, fmt, seed=24)
+    monkeypatch.setattr(sys, "stdin", SimpleNamespace(buffer=io.BytesIO(data)))
+    rc = main(["ui", "-live", "yes", "-stdin", "yes", "-sr", "48k",
+               "-format", "cs8", "-fft", "64", "-stride", "256",
+               "-cols", "40", "-rows", "8"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "live: 8 rows" in out
+
+    assert main(["ui", "-stdin", "yes", "-sr", "48k", "-format", "cs8"]) == 1
+    assert "requires -live yes" in capsys.readouterr().err
+    assert main(["ui", "-live", "yes", "-stdin", "yes", "-format", "cs8"]) == 1
+    assert "requires -sr and -format" in capsys.readouterr().err
+
+
 def test_cli_waterfall_stdin_matches_file(tmp_path, capsys, monkeypatch):
     from quadrs_tpu.cli import main
 
