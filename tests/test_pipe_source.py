@@ -368,6 +368,65 @@ def test_cli_eui_live_stdin(capsys, monkeypatch):
     assert "requires -sr and -format" in capsys.readouterr().err
 
 
+def test_pipe_fuzz_random_boundaries_and_chunks():
+    """Randomized soak: hostile read boundaries, random capture lengths
+    and chunk sizes, every format — the pipe run must stay bit-identical
+    to the file run."""
+    rng = np.random.default_rng(31)
+    fmts = [FileFormat.COMPLEX_INT8, FileFormat.COMPLEX_UINT8,
+            FileFormat.COMPLEX_INT16, FileFormat.COMPLEX_FLOAT32]
+    for trial in range(6):
+        fmt = fmts[trial % len(fmts)]
+        n = int(rng.integers(5_000, 30_000))
+        k = int(rng.integers(1, 4096))  # dribble size
+        chunk = int(rng.integers(2_000, 12_000))
+        data = _capture_bytes(n, fmt, seed=100 + trial)
+        model = PipelineModel(_cfg(fmt))
+
+        fsrc = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000)
+        frows, fstats = _collect(StreamRunner(fsrc, model, chunk_samples=chunk))
+        psrc = PipeSource(_Dribble(data, k), fmt, 48_000)
+        prows, pstats = _collect(StreamRunner(psrc, model, chunk_samples=chunk))
+
+        assert len(prows) == len(frows), (trial, fmt, n, k, chunk)
+        for (fw, fn), (pw, pn) in zip(frows, prows):
+            assert fw == pw
+            np.testing.assert_array_equal(fn, pn)
+        assert (pstats.samples_in, pstats.windows_out) == (
+            fstats.samples_in, fstats.windows_out
+        ), (trial, fmt, n, k, chunk)
+
+
+def test_live_waterfall_over_composed_live_stream():
+    """A LivePipeStream wrapped in a transform stage (Shift) still ends
+    cleanly at EOF — the live-stream flag is read off the chain's root,
+    not the top-level node."""
+    import io as _io
+
+    from quadrs_tpu.sources import LivePipeStream
+    from quadrs_tpu.stream import Shift
+    from quadrs_tpu.viz.live import LiveParams, live_waterfall
+
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(20_000, fmt, seed=25)
+    params = LiveParams(fft_width=64, stride=256, cols=32, batch=16)
+
+    fout = _io.StringIO()
+    fstats = live_waterfall(
+        Shift(SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000),
+              1_000),
+        params, out=fout,
+    )
+    pout = _io.StringIO()
+    pstats = live_waterfall(
+        Shift(LivePipeStream(PipeSource(io.BytesIO(data), fmt, 48_000)),
+              1_000),
+        params, out=pout,
+    )
+    assert pstats == fstats and pstats["rows"] > 10
+    assert pout.getvalue() == fout.getvalue()
+
+
 def test_cli_ui_live_stdin(capsys, monkeypatch):
     """``ui -live yes -stdin yes`` mirrors eui: the HSV live waterfall
     scrolls a piped capture without needing a `from` accumulator."""
