@@ -179,6 +179,29 @@ class FskCmd(Command):
     stdin: bool = False  # buffer the capture from a pipe
 
 
+@dataclass
+class ServeCmd(Command):
+    """``serve``: a persistent TCP service for the fused chain.  The
+    model compiles once at startup; every accepted connection then
+    streams raw IQ bytes in and gets results back over the same socket
+    — peak CSV lines (``-search yes``) or raw f32 norms rows — with no
+    per-connection recompilation.  ``-sr``/``-format`` are required (a
+    socket carries no filename to sniff)."""
+
+    port: int = 7373
+    host: str = "127.0.0.1"
+    once: bool = False  # handle one connection then exit (tests, scripts)
+    search: bool = False
+    shift: int = 0
+    lowpass: int = 200_000
+    size: int = 400  # taps (2 * -power)
+    decimate: int = 32
+    fft_width: int = 64
+    chunk: int = 4_000_000
+    sample_rate: str | None = None
+    format: str | None = None
+
+
 def _parse_mesh(spec: str) -> tuple[int, int]:
     """``T`` or ``TxS`` -> (n_time, n_stream) mesh shape."""
     t, _, s = spec.partition("x")
@@ -557,6 +580,32 @@ def _parse_fsk(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_serve(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    port = int(parse_si_uint(map_.pop("port", "7373")))
+    host = map_.pop("host", "127.0.0.1")
+    once = parse_bool(map_.pop("once", "no"))
+    search = parse_bool(map_.pop("search", "no"))
+    shift = parse_si_int(map_.pop("shift", "0"))
+    lowpass = parse_si_uint(map_.pop("lowpass", "200k"))
+    power = map_.pop("power", None)
+    size = 2 * parse_si_uint(power) if power is not None else 400
+    decimate = parse_si_uint(map_.pop("decimate", "32"))
+    fft_width = int(parse_si_uint(map_.pop("width", "64")))
+    chunk = int(parse_si_uint(map_.pop("chunk", "4M")))
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    _ensure_empty(map_, "serve")
+    if sr is None or fmt is None:
+        raise ValueError("'serve' requires -sr and -format (a socket has no "
+                         "filename to sniff)")
+    return ServeCmd(
+        port=port, host=host, once=once, search=search, shift=shift,
+        lowpass=lowpass, size=size, decimate=decimate, fft_width=fft_width,
+        chunk=chunk, sample_rate=sr, format=fmt,
+    )
+
+
 _PARSERS = {
     "from": _parse_from,
     "shift": _parse_shift,
@@ -574,4 +623,5 @@ _PARSERS = {
     "waterfall": _parse_waterfall,
     "ook": _parse_ook,
     "fsk": _parse_fsk,
+    "serve": _parse_serve,
 }

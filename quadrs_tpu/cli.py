@@ -35,6 +35,9 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
          [-stdin no] FILENAME [live pipe: rtl_sdr - | {us} stream -stdin yes -sr 2M -format cu8] \\
 waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] [-stdin no] FILENAME... \\
+   serve [-port 7373] [-host 127.0.0.1] [-once no] [-search no] [-shift 0] [-lowpass 200k] \\
+         [-power 200] [-decimate 32] [-width 64] [-chunk 4M] -sr R -format F \\
+         [TCP service: compile once, then each connection streams IQ in, results out] \\
      ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] [-stdin no] FILENAME \\
      fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] FILENAME \\
 
@@ -66,7 +69,13 @@ def _select_platform() -> None:
 
 
 def _serve_types() -> tuple:
-    return (argmod.StreamCmd, argmod.WaterfallCmd, argmod.OokCmd, argmod.FskCmd)
+    return (
+        argmod.StreamCmd,
+        argmod.WaterfallCmd,
+        argmod.OokCmd,
+        argmod.FskCmd,
+        argmod.ServeCmd,
+    )
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -304,9 +304,118 @@ def run_fsk(cmd: argmod.FskCmd) -> int:
     return 0
 
 
+def _serve_connection(conn, model, cmd: argmod.ServeCmd) -> RunStats:
+    """One client session: raw IQ bytes in, results streamed back over
+    the same socket as each chunk completes.
+
+    The client sends its capture and half-closes its write side
+    (``shutdown(SHUT_WR)``) to mark EOF, then reads to the server's
+    close.  ``-search yes`` returns ``window,bin,mag`` CSV text plus a
+    ``# stream: ...`` stats trailer; otherwise raw f32 norms rows (a
+    norms client must read concurrently with sending — the rows are
+    ~width*4/decimate bytes per input sample and will fill the socket
+    if ignored)."""
+    from quadrs_tpu.sources import PipeSource
+    from quadrs_tpu.stream_runner import StreamRunner
+
+    rf = conn.makefile("rb")
+    wf = conn.makefile("wb")
+    try:
+        src = PipeSource(rf, model.cfg.fmt, model.cfg.sample_rate)
+        runner = StreamRunner(src, model, chunk_samples=cmd.chunk)
+        if cmd.search:
+            wf.write(b"window,bin,mag\n")
+
+            def on_peaks(w0, out):
+                idx, val = out
+                wf.write(
+                    "".join(
+                        f"{w0 + i},{int(idx[i])},{float(val[i]):.9g}\n"
+                        for i in range(len(idx))
+                    ).encode()
+                )
+                wf.flush()
+
+            stats = runner.run_search(on_peaks)
+            wf.write(f"# {_stats_line('stream', stats)}\n".encode())
+        else:
+
+            def on_windows(w0, norms):
+                wf.write(np.ascontiguousarray(norms, dtype=np.float32).tobytes())
+                wf.flush()
+
+            stats = runner.run(on_windows)
+        wf.flush()
+    finally:
+        wf.close()
+        rf.close()
+    return stats
+
+
+def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
+    """The persistent TCP service: compile once, serve many connections
+    sequentially (one chip, one chain).  ``ready(port)`` is called with
+    the bound port once listening — tests bind port 0 and read it back.
+    A failing connection (client gone, bad bytes) is logged and the
+    accept loop continues; ``-once yes`` exits after one connection
+    (``max_connections`` generalizes that for embedders/tests — the CLI
+    itself runs until killed, like any daemon)."""
+    import socket
+
+    from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+    from quadrs_tpu.utils.sniff import guess_details
+
+    details = guess_details("-", cmd.sample_rate, cmd.format)
+    cfg = PipelineConfig(
+        sample_rate=details.sample_rate,
+        shift_freq=cmd.shift,
+        lp_freq=cmd.lowpass,
+        decimate=cmd.decimate,
+        taps=cmd.size,
+        fft_width=cmd.fft_width,
+        fmt=details.format,
+    )
+    model = PipelineModel(cfg)
+
+    srv = socket.create_server((cmd.host, cmd.port))
+    port = srv.getsockname()[1]
+    print(
+        f"serve: listening on {cmd.host}:{port} "
+        f"({details.format.name.lower()}, sr {details.sample_rate}, "
+        f"{'search' if cmd.search else 'norms'})",
+        flush=True,
+    )
+    if ready is not None:
+        ready(port)
+    if cmd.once:
+        max_connections = 1
+    n_conn = 0
+    try:
+        while True:
+            conn, peer = srv.accept()
+            n_conn += 1
+            try:
+                stats = _serve_connection(conn, model, cmd)
+                print(
+                    f"serve: conn {n_conn} {peer[0]}:{peer[1]} "
+                    + _stats_line("done", stats),
+                    flush=True,
+                )
+            except (OSError, ValueError) as e:
+                print(f"serve: conn {n_conn} failed: {e}", flush=True)
+            finally:
+                conn.close()
+            if max_connections is not None and n_conn >= max_connections:
+                break
+    finally:
+        srv.close()
+    return 0
+
+
 RUNNERS = {
     argmod.StreamCmd: run_stream,
     argmod.WaterfallCmd: run_waterfall,
     argmod.OokCmd: run_ook,
     argmod.FskCmd: run_fsk,
+    argmod.ServeCmd: run_serve,
 }

@@ -1,0 +1,149 @@
+"""The ``quadjax serve`` TCP service: raw IQ in, results out, model
+compiled once across connections.  Clients send their capture, half-close
+the write side, and read to server close."""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from quadrs_tpu import args as argmod
+from quadrs_tpu.formats import FileFormat
+from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+from quadrs_tpu.serve import run_serve
+from quadrs_tpu.sources import SampleSource
+from quadrs_tpu.stream_runner import StreamRunner
+
+
+def _capture(n, fmt=FileFormat.COMPLEX_INT8, seed=41) -> bytes:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, n * fmt.pair_bytes, dtype=np.int64).astype(
+        np.uint8
+    ).tobytes()
+
+
+def _serve_cmd(**kw) -> argmod.ServeCmd:
+    base = dict(
+        port=0, host="127.0.0.1", once=True, search=False, shift=1_000,
+        lowpass=8_000, size=40, decimate=4, fft_width=32, chunk=8_000,
+        sample_rate="48k", format="cs8",
+    )
+    base.update(kw)
+    return argmod.ServeCmd(**base)
+
+
+def _start_server(cmd, max_connections=None):
+    """run_serve on a thread; returns (thread, bound_port)."""
+    port_box: list[int] = []
+    evt = threading.Event()
+
+    def ready(p):
+        port_box.append(p)
+        evt.set()
+
+    th = threading.Thread(
+        target=run_serve,
+        args=(cmd,),
+        kwargs={"ready": ready, "max_connections": max_connections},
+    )
+    th.start()
+    assert evt.wait(30), "server never came up"
+    return th, port_box[0]
+
+
+def _session(port: int, payload: bytes) -> bytes:
+    """One client session: send all, half-close, read to EOF.
+
+    A reader thread drains concurrently so norms-mode responses larger
+    than the socket buffer cannot deadlock the send."""
+    out: list[bytes] = []
+    with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+
+        def drain():
+            while True:
+                b = s.recv(1 << 16)
+                if not b:
+                    return
+                out.append(b)
+
+        rd = threading.Thread(target=drain)
+        rd.start()
+        s.sendall(payload)
+        s.shutdown(socket.SHUT_WR)
+        rd.join(timeout=60)
+        assert not rd.is_alive(), "server never closed the connection"
+    return b"".join(out)
+
+
+def _direct_rows(data: bytes, cmd, search=False):
+    cfg = PipelineConfig(
+        sample_rate=48_000, shift_freq=cmd.shift, lp_freq=cmd.lowpass,
+        decimate=cmd.decimate, taps=cmd.size, fft_width=cmd.fft_width,
+        fmt=FileFormat.COMPLEX_INT8,
+    )
+    runner = StreamRunner(
+        SampleSource(np.frombuffer(data, dtype=np.uint8), cfg.fmt, 48_000),
+        PipelineModel(cfg), chunk_samples=cmd.chunk,
+    )
+    rows = []
+    (runner.run_search if search else runner.run)(lambda w, o: rows.append((w, o)))
+    return rows
+
+
+def test_serve_norms_roundtrip(capsys):
+    data = _capture(30_000)
+    cmd = _serve_cmd()
+    th, port = _start_server(cmd)
+    got = _session(port, data)
+    th.join(timeout=60)
+    assert not th.is_alive()
+
+    want = np.concatenate([n for _, n in _direct_rows(data, cmd)])
+    np.testing.assert_array_equal(
+        np.frombuffer(got, dtype=np.float32).reshape(-1, cmd.fft_width), want
+    )
+    out = capsys.readouterr().out
+    assert "serve: listening on 127.0.0.1:" in out
+    assert "serve: conn 1 " in out and "Msps" in out
+
+
+def test_serve_search_two_connections_no_recompile(capsys):
+    """Two sequential sessions against one server process: the second
+    reuses the jitted model (same chunk shapes) and both match direct
+    runs exactly."""
+    cmd = _serve_cmd(search=True, once=False)
+    th, port = _start_server(cmd, max_connections=3)
+    for seed in (42, 43):
+        data = _capture(25_000, seed=seed)
+        text = _session(port, data).decode()
+        lines = text.strip().splitlines()
+        assert lines[0] == "window,bin,mag"
+        assert lines[-1].startswith("# stream: ")
+        got = [tuple(l.split(",")) for l in lines[1:-1]]
+
+        want = []
+        for w0, (idx, val) in _direct_rows(data, cmd, search=True):
+            for i in range(len(idx)):
+                want.append((str(w0 + i), str(int(idx[i])),
+                             f"{float(val[i]):.9g}"))
+        assert got == want
+    # empty session: zero windows, server stays healthy and exits after
+    # its third (final) connection
+    empty = _session(port, b"")
+    assert empty.decode().strip().splitlines()[0] == "window,bin,mag"
+    th.join(timeout=60)
+    assert not th.is_alive()
+
+
+def test_serve_requires_sr_and_format(capsys):
+    from quadrs_tpu.cli import main
+
+    assert main(["serve", "-once", "yes"]) == 1
+    assert "requires -sr and -format" in capsys.readouterr().err
+
+
+def test_usage_lists_serve():
+    from quadrs_tpu.cli import USAGE
+
+    assert "serve [-port 7373]" in USAGE
