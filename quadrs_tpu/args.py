@@ -192,11 +192,17 @@ class ServeCmd(Command):
     host: str = "127.0.0.1"
     once: bool = False  # handle one connection then exit (tests, scripts)
     search: bool = False
+    # "stream" = shift -> lowpass -> STFT chain; "waterfall" = the raw
+    # fused spectrogram (no mixing/decimation), -width/-stride windows
+    mode: str = "stream"
     shift: int = 0
     lowpass: int = 200_000
     size: int = 400  # taps (2 * -power)
     decimate: int = 32
     fft_width: int = 64
+    stride: int | None = None  # waterfall mode; defaults to width
+    # stream: samples per chunk (default 4M); waterfall: windows per
+    # chunk (default 2k)
     chunk: int = 4_000_000
     sample_rate: str | None = None
     format: str | None = None
@@ -591,8 +597,13 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     power = map_.pop("power", None)
     size = 2 * parse_si_uint(power) if power is not None else 400
     decimate = parse_si_uint(map_.pop("decimate", "32"))
-    fft_width = int(parse_si_uint(map_.pop("width", "64")))
-    chunk = int(parse_si_uint(map_.pop("chunk", "4M")))
+    mode = map_.pop("mode", "stream")
+    if mode not in ("stream", "waterfall"):
+        raise ValueError(f"unknown -mode: {mode!r} (stream|waterfall)")
+    fft_width = int(parse_si_uint(map_.pop("width", "64" if mode == "stream" else "1024")))
+    stride = map_.pop("stride", None)
+    stride = None if stride is None else int(parse_si_uint(stride))
+    chunk = int(parse_si_uint(map_.pop("chunk", "4M" if mode == "stream" else "2k")))
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     _ensure_empty(map_, "serve")
@@ -600,9 +611,10 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         raise ValueError("'serve' requires -sr and -format (a socket has no "
                          "filename to sniff)")
     return ServeCmd(
-        port=port, host=host, once=once, search=search, shift=shift,
-        lowpass=lowpass, size=size, decimate=decimate, fft_width=fft_width,
-        chunk=chunk, sample_rate=sr, format=fmt,
+        port=port, host=host, once=once, search=search, mode=mode,
+        shift=shift, lowpass=lowpass, size=size, decimate=decimate,
+        fft_width=fft_width, stride=stride, chunk=chunk, sample_rate=sr,
+        format=fmt,
     )
 
 

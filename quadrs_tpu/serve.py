@@ -304,7 +304,7 @@ def run_fsk(cmd: argmod.FskCmd) -> int:
     return 0
 
 
-def _serve_connection(conn, model, cmd: argmod.ServeCmd) -> RunStats:
+def _serve_connection(conn, model, cmd: argmod.ServeCmd, sample_rate: int) -> RunStats:
     """One client session: raw IQ bytes in, results streamed back over
     the same socket as each chunk completes.
 
@@ -316,18 +316,24 @@ def _serve_connection(conn, model, cmd: argmod.ServeCmd) -> RunStats:
     ~width*4/decimate bytes per input sample and will fill the socket
     if ignored)."""
     from quadrs_tpu.sources import PipeSource
-    from quadrs_tpu.stream_runner import StreamRunner
+    from quadrs_tpu.stream_runner import StreamRunner, WaterfallRunner
 
+    waterfall = cmd.mode == "waterfall"
     rf = conn.makefile("rb")
     wf = conn.makefile("wb")
     try:
-        src = PipeSource(rf, model.cfg.fmt, model.cfg.sample_rate)
-        runner = StreamRunner(src, model, chunk_samples=cmd.chunk)
+        src = PipeSource(rf, model.cfg.fmt, sample_rate)
+        if waterfall:
+            runner = WaterfallRunner([src], model, chunk_windows=cmd.chunk)
+        else:
+            runner = StreamRunner(src, model, chunk_samples=cmd.chunk)
         if cmd.search:
             wf.write(b"window,bin,mag\n")
 
             def on_peaks(w0, out):
                 idx, val = out
+                if waterfall:  # (1, nw) bank shapes -> flat
+                    idx, val = idx[0], val[0]
                 wf.write(
                     "".join(
                         f"{w0 + i},{int(idx[i])},{float(val[i]):.9g}\n"
@@ -337,10 +343,12 @@ def _serve_connection(conn, model, cmd: argmod.ServeCmd) -> RunStats:
                 wf.flush()
 
             stats = runner.run_search(on_peaks)
-            wf.write(f"# {_stats_line('stream', stats)}\n".encode())
+            wf.write(f"# {_stats_line(cmd.mode, stats)}\n".encode())
         else:
 
             def on_windows(w0, norms):
+                if waterfall:
+                    norms = norms[0]
                 wf.write(np.ascontiguousarray(norms, dtype=np.float32).tobytes())
                 wf.flush()
 
@@ -362,27 +370,41 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     itself runs until killed, like any daemon)."""
     import socket
 
-    from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
     from quadrs_tpu.utils.sniff import guess_details
 
     details = guess_details("-", cmd.sample_rate, cmd.format)
-    cfg = PipelineConfig(
-        sample_rate=details.sample_rate,
-        shift_freq=cmd.shift,
-        lp_freq=cmd.lowpass,
-        decimate=cmd.decimate,
-        taps=cmd.size,
-        fft_width=cmd.fft_width,
-        fmt=details.format,
-    )
-    model = PipelineModel(cfg)
+    if cmd.mode == "waterfall":
+        from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+
+        model = WaterfallModel(
+            WaterfallConfig(
+                n_streams=1,
+                fft_width=cmd.fft_width,
+                stride=cmd.stride if cmd.stride is not None else cmd.fft_width,
+                fmt=details.format,
+            )
+        )
+    else:
+        from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+
+        model = PipelineModel(
+            PipelineConfig(
+                sample_rate=details.sample_rate,
+                shift_freq=cmd.shift,
+                lp_freq=cmd.lowpass,
+                decimate=cmd.decimate,
+                taps=cmd.size,
+                fft_width=cmd.fft_width,
+                fmt=details.format,
+            )
+        )
 
     srv = socket.create_server((cmd.host, cmd.port))
     port = srv.getsockname()[1]
     print(
         f"serve: listening on {cmd.host}:{port} "
         f"({details.format.name.lower()}, sr {details.sample_rate}, "
-        f"{'search' if cmd.search else 'norms'})",
+        f"{cmd.mode} {'search' if cmd.search else 'norms'})",
         flush=True,
     )
     if ready is not None:
@@ -395,7 +417,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
             conn, peer = srv.accept()
             n_conn += 1
             try:
-                stats = _serve_connection(conn, model, cmd)
+                stats = _serve_connection(conn, model, cmd, details.sample_rate)
                 print(
                     f"serve: conn {n_conn} {peer[0]}:{peer[1]} "
                     + _stats_line("done", stats),

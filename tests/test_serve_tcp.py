@@ -136,6 +136,43 @@ def test_serve_search_two_connections_no_recompile(capsys):
     assert not th.is_alive()
 
 
+def test_serve_waterfall_mode(capsys):
+    """-mode waterfall serves the raw fused spectrogram search: one
+    pipe stream per connection through WaterfallRunner, identical to a
+    direct pipe run."""
+    import io
+
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.sources import PipeSource
+    from quadrs_tpu.stream_runner import WaterfallRunner
+
+    data = _capture(20_000, seed=44)
+    cmd = _serve_cmd(search=True, mode="waterfall", fft_width=128, chunk=50)
+    cmd = argmod.ServeCmd(**{**cmd.__dict__, "stride": 64})
+    th, port = _start_server(cmd)
+    text = _session(port, data).decode()
+    th.join(timeout=60)
+    lines = text.strip().splitlines()
+    assert lines[0] == "window,bin,mag" and lines[-1].startswith("# waterfall: ")
+
+    model = WaterfallModel(
+        WaterfallConfig(n_streams=1, fft_width=128, stride=64,
+                        fmt=FileFormat.COMPLEX_INT8)
+    )
+    runner = WaterfallRunner(
+        [PipeSource(io.BytesIO(data), FileFormat.COMPLEX_INT8, 48_000)],
+        model, chunk_windows=50,
+    )
+    want = []
+    runner.run_search(
+        lambda w0, o: [
+            want.append((str(w0 + i), str(int(o[0][0, i])), f"{float(o[1][0, i]):.9g}"))
+            for i in range(o[0].shape[1])
+        ]
+    )
+    assert [tuple(l.split(",")) for l in lines[1:-1]] == want
+
+
 def test_serve_requires_sr_and_format(capsys):
     from quadrs_tpu.cli import main
 
