@@ -588,6 +588,7 @@ def _parse_fsk(args: _Args, raw_map) -> Command:
 
 def _parse_serve(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
+    explicit = set(map_)  # flags the user actually typed
     port = int(parse_si_uint(map_.pop("port", "7373")))
     host = map_.pop("host", "127.0.0.1")
     once = parse_bool(map_.pop("once", "no"))
@@ -600,6 +601,16 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     mode = map_.pop("mode", "stream")
     if mode not in ("stream", "waterfall"):
         raise ValueError(f"unknown -mode: {mode!r} (stream|waterfall)")
+    # reject flags the chosen mode would silently ignore
+    bad = explicit & (
+        {"shift", "lowpass", "power", "decimate"}
+        if mode == "waterfall"
+        else {"stride"}
+    )
+    if bad:
+        raise ValueError(
+            f"-{sorted(bad)[0]} does not apply to -mode {mode}"
+        )
     fft_width = int(parse_si_uint(map_.pop("width", "64" if mode == "stream" else "1024")))
     stride = map_.pop("stride", None)
     stride = None if stride is None else int(parse_si_uint(stride))

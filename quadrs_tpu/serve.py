@@ -308,13 +308,17 @@ def _serve_connection(conn, model, cmd: argmod.ServeCmd, sample_rate: int) -> Ru
     """One client session: raw IQ bytes in, results streamed back over
     the same socket as each chunk completes.
 
-    The client sends its capture and half-closes its write side
-    (``shutdown(SHUT_WR)``) to mark EOF, then reads to the server's
-    close.  ``-search yes`` returns ``window,bin,mag`` CSV text plus a
-    ``# stream: ...`` stats trailer; otherwise raw f32 norms rows (a
-    norms client must read concurrently with sending — the rows are
-    ~width*4/decimate bytes per input sample and will fill the socket
-    if ignored)."""
+    The client sends its capture, half-closes its write side
+    (``shutdown(SHUT_WR)``) to mark EOF, and reads to the server's
+    close — and it must read CONCURRENTLY with sending: results stream
+    back as each chunk completes, so once they exceed the in-flight
+    socket buffering a non-reading client stalls the server's write,
+    which stalls the chunk loop, which stops the server reading — a
+    deadlock on both sides.  That bites norms mode almost immediately
+    (~width*4/decimate bytes per input sample) and search mode on any
+    capture whose CSV outgrows the buffers.  ``-search yes`` returns
+    ``window,bin,mag`` CSV text plus a ``# <mode>: ...`` stats
+    trailer; otherwise raw f32 norms rows."""
     from quadrs_tpu.sources import PipeSource
     from quadrs_tpu.stream_runner import StreamRunner, WaterfallRunner
 
@@ -355,8 +359,14 @@ def _serve_connection(conn, model, cmd: argmod.ServeCmd, sample_rate: int) -> Ru
             stats = runner.run(on_windows)
         wf.flush()
     finally:
-        wf.close()
-        rf.close()
+        # a client gone before the final flush shouldn't mask a
+        # completed run or leak the read half
+        try:
+            wf.close()
+        except OSError:
+            pass
+        finally:
+            rf.close()
     return stats
 
 
@@ -423,8 +433,10 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
                     + _stats_line("done", stats),
                     flush=True,
                 )
-            except (OSError, ValueError) as e:
-                print(f"serve: conn {n_conn} failed: {e}", flush=True)
+            except Exception as e:  # a daemon survives any one session:
+                # client gone, bad bytes, even a transient device error
+                # (XlaRuntimeError) must not drop future connections
+                print(f"serve: conn {n_conn} failed: {type(e).__name__}: {e}", flush=True)
             finally:
                 conn.close()
             if max_connections is not None and n_conn >= max_connections:

@@ -147,8 +147,8 @@ def test_serve_waterfall_mode(capsys):
     from quadrs_tpu.stream_runner import WaterfallRunner
 
     data = _capture(20_000, seed=44)
-    cmd = _serve_cmd(search=True, mode="waterfall", fft_width=128, chunk=50)
-    cmd = argmod.ServeCmd(**{**cmd.__dict__, "stride": 64})
+    cmd = _serve_cmd(search=True, mode="waterfall", fft_width=128, chunk=50,
+                     stride=64)
     th, port = _start_server(cmd)
     text = _session(port, data).decode()
     th.join(timeout=60)
@@ -178,6 +178,23 @@ def test_serve_requires_sr_and_format(capsys):
 
     assert main(["serve", "-once", "yes"]) == 1
     assert "requires -sr and -format" in capsys.readouterr().err
+
+
+def test_serve_rejects_mode_inapplicable_flags(capsys):
+    """Flags the chosen mode would silently ignore are errors, like the
+    sibling commands' inapplicable-combination checks."""
+    from quadrs_tpu.cli import main
+
+    rc = main(["serve", "-mode", "waterfall", "-shift", "280k",
+               "-sr", "2M", "-format", "cu8"])
+    assert rc == 1
+    assert "-shift does not apply to -mode waterfall" in capsys.readouterr().err
+    rc = main(["serve", "-stride", "32", "-sr", "2M", "-format", "cu8"])
+    assert rc == 1
+    assert "-stride does not apply to -mode stream" in capsys.readouterr().err
+    rc = main(["serve", "-mode", "bogus", "-sr", "2M", "-format", "cu8"])
+    assert rc == 1
+    assert "unknown -mode" in capsys.readouterr().err
 
 
 def test_usage_lists_serve():
