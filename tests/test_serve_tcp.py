@@ -173,6 +173,35 @@ def test_serve_waterfall_mode(capsys):
     assert [tuple(l.split(",")) for l in lines[1:-1]] == want
 
 
+def test_serve_waterfall_norms_mode(capsys):
+    """-mode waterfall without -search streams raw f32 spectrogram rows."""
+    import io
+
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.sources import PipeSource
+    from quadrs_tpu.stream_runner import WaterfallRunner
+
+    data = _capture(15_000, seed=45)
+    cmd = _serve_cmd(mode="waterfall", fft_width=128, chunk=40)
+    th, port = _start_server(cmd)
+    got = _session(port, data)
+    th.join(timeout=60)
+
+    model = WaterfallModel(
+        WaterfallConfig(n_streams=1, fft_width=128, stride=128,
+                        fmt=FileFormat.COMPLEX_INT8)
+    )
+    want = []
+    WaterfallRunner(
+        [PipeSource(io.BytesIO(data), FileFormat.COMPLEX_INT8, 48_000)],
+        model, chunk_windows=40,
+    ).run(lambda w0, n: want.append(n[0]))
+    np.testing.assert_array_equal(
+        np.frombuffer(got, dtype=np.float32).reshape(-1, 128),
+        np.concatenate(want),
+    )
+
+
 def test_serve_requires_sr_and_format(capsys):
     from quadrs_tpu.cli import main
 
