@@ -493,8 +493,6 @@ def _parse_stream(args: _Args, raw_map) -> Command:
     mesh = map_.pop("mesh", None)
     filename, stdin = _take_capture_arg(args, map_, "stream", sr, fmt)
     _ensure_empty(map_, "stream")
-    if stdin and mesh is not None:
-        raise ValueError("'stream -stdin yes' cannot use -mesh (pipes cannot seek)")
     return StreamCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, fft_width=fft_width, chunk=chunk, chunks=chunks,

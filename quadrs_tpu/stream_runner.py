@@ -81,13 +81,14 @@ def _background(gen, depth: int = 2):
             q.get_nowait()
 
 
-def _check_pipe_sources(sources, mesh) -> None:
-    """Pipe sources are sequential-only: one per runner, never meshed
-    (no random access to seek, re-read, or shard)."""
+def _check_pipe_sources(sources, mesh, allow_mesh: bool = False) -> None:
+    """Pipe sources are sequential-only: one per runner, and meshed only
+    where the runner's sharded staging reads strictly forward
+    (StreamRunner wraps the pipe in a LivePipeStream for that)."""
     if any(getattr(s, "is_pipe", False) for s in sources):
         if len(sources) != 1:
             raise ValueError("a pipe source cannot be part of a bank")
-        if mesh is not None:
+        if mesh is not None and not allow_mesh:
             raise ValueError("pipe sources cannot be sharded (no random access)")
 
 
@@ -425,7 +426,15 @@ class StreamRunner:
                 raise ValueError(
                     f"source format {s.format} != model format {model.cfg.fmt}"
                 )
-        _check_pipe_sources(sources, mesh)
+        _check_pipe_sources(sources, mesh, allow_mesh=True)
+        if mesh is not None and getattr(sources[0], "is_pipe", False):
+            # a live pipe CAN shard over time: the sharded staging reads
+            # strictly forward with boundary overlap, which the sliding
+            # LivePipeStream facade serves; EOF turns its sentinel
+            # length real and the ragged tail runs as on files
+            from quadrs_tpu.sources import LivePipeStream
+
+            sources = [LivePipeStream(sources[0])]
         if len({s.length for s in sources}) != 1:
             raise ValueError("bank sources must have equal lengths")
         self.sources = sources
@@ -753,19 +762,31 @@ class StreamRunner:
         last = None
         done_chunks = 0
 
+        live = getattr(self.source, "is_live", False)
+
         def staged():
             # bounded like _staged_chunks: never stage (and device_put)
             # chunks a max_chunks-bounded consumer will abandon
             off = start_off
             count = 0
-            while off + n + halo <= length and (
-                max_chunks is None or count < max_chunks
-            ):
+            while max_chunks is None or count < max_chunks:
+                if live:
+                    # one forward read per chunk; a short return IS EOF
+                    # (the facade's sentinel length turns real), and the
+                    # leftover feeds the ragged tail below
+                    buf = self.source.stage(off, off + n + halo)
+                    if buf.shape[1] < n + halo:
+                        return
+                    planes = buf[None, :, :n]
+                    tails = buf[None, :, n:]
+                elif off + n + halo > length:
+                    return
+                else:
+                    planes = np.stack([s.stage(off, off + n) for s in self.sources])
+                    tails = np.stack(
+                        [s.stage(off + n, off + n + halo) for s in self.sources]
+                    )
                 count += 1
-                planes = np.stack([s.stage(off, off + n) for s in self.sources])
-                tails = np.stack(
-                    [s.stage(off + n, off + n + halo) for s in self.sources]
-                )
                 theta = np.broadcast_to(
                     model.theta0(
                         off + np.arange(n_time, dtype=np.int64) * n_local
@@ -814,6 +835,10 @@ class StreamRunner:
         if max_chunks is not None and done_chunks >= max_chunks:
             return last  # bounded run stops before the ragged tail
         off = off + n if stats.samples_in else start_off
+        if live:
+            # the staging loop ended on a short read, so the facade's
+            # sentinel length is real now; re-read it for the tail math
+            length = self.source.length
         # ragged tail, single-device per stream (lockstep offsets)
         while off < length - cfg.taps:
             m = (length - off) // self._win_raw * self._win_raw

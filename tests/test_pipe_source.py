@@ -153,8 +153,6 @@ def test_pipe_short_capture_emits_nothing():
 
 
 def test_pipe_guards():
-    import jax
-
     fmt = FileFormat.COMPLEX_INT8
     model = PipelineModel(_cfg(fmt))
     mk = lambda: PipeSource(io.BytesIO(b""), fmt, 48_000)
@@ -162,13 +160,67 @@ def test_pipe_guards():
         StreamRunner([mk(), mk()], model)
     with pytest.raises(ValueError, match="positive"):
         PipeSource(io.BytesIO(b""), fmt, 0)
-    if len(jax.devices()) < 2:
-        pytest.skip("mesh guard needs >=2 devices")
+
+
+def test_pipe_mesh_stream_matches_file_mesh():
+    """A live pipe shards over the 'time' mesh axis: StreamRunner wraps
+    it in a LivePipeStream whose forward reads back the sharded staging
+    (ICI halo + true tail), EOF turns the sentinel length real, and the
+    ragged tail runs as on files — rows identical to the file-mesh run
+    and to the single-device run."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
     from quadrs_tpu.parallel.sharding import make_mesh
 
-    mesh = make_mesh(n_time=2, n_stream=1)
-    with pytest.raises(ValueError, match="sharded"):
-        StreamRunner(mk(), model, mesh=mesh)
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(60_011, fmt, seed=26)
+    model = PipelineModel(_cfg(fmt))
+    mesh = make_mesh(n_time=4, n_stream=1)
+
+    fsrc = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000)
+    frows, fstats = _collect(
+        StreamRunner(fsrc, model, chunk_samples=16_000, mesh=mesh)
+    )
+    psrc = PipeSource(io.BytesIO(data), fmt, 48_000)
+    prows, pstats = _collect(
+        StreamRunner(psrc, model, chunk_samples=16_000, mesh=mesh)
+    )
+    assert len(prows) == len(frows) > 1
+    for (fw, fn), (pw, pn) in zip(frows, prows):
+        assert fw == pw
+        np.testing.assert_array_equal(fn, pn)
+    assert pstats.samples_in == fstats.samples_in
+    assert pstats.windows_out == fstats.windows_out
+
+    # search over a fresh pipe on the mesh
+    fpk, _ = _collect(
+        StreamRunner(fsrc, model, chunk_samples=16_000, mesh=mesh), search=True
+    )
+    ppk, _ = _collect(
+        StreamRunner(
+            PipeSource(io.BytesIO(data), fmt, 48_000), model,
+            chunk_samples=16_000, mesh=mesh,
+        ),
+        search=True,
+    )
+    for (fw, (fi, fv)), (pw, (pi, pv)) in zip(fpk, ppk):
+        assert fw == pw
+        np.testing.assert_array_equal(fi, pi)
+        np.testing.assert_array_equal(fv, pv)
+
+    # bounded live mesh run: stops at the bound, no tail, no hang on
+    # the still-sentinel length
+    brows, bstats = _collect(
+        StreamRunner(
+            PipeSource(io.BytesIO(data), fmt, 48_000), model,
+            chunk_samples=16_000, mesh=mesh,
+        ),
+        max_chunks=1,
+    )
+    assert len(brows) == 1
+    np.testing.assert_array_equal(brows[0][1], frows[0][1])
 
 
 def test_cli_stream_stdin_matches_file(tmp_path, capsys, monkeypatch):
@@ -497,12 +549,9 @@ def test_cli_stream_stdin_requires_sr_and_format(capsys):
     assert "requires -sr and -format" in capsys.readouterr().err
     assert main(["stream", "-stdin", "yes", "-sr", "48k"]) == 1
     assert "requires -sr and -format" in capsys.readouterr().err
-    assert (
-        main(["stream", "-stdin", "yes", "-sr", "48k", "-format", "cu8",
-              "-mesh", "2x1"]) == 1
-    )
-    assert "cannot use -mesh" in capsys.readouterr().err
-    # the demod commands share the rule
+    # -stdin + -mesh is legal: the live pipe shards over the time axis
+    # (see test_pipe_mesh_stream_matches_file_mesh)
+    # the demod commands share the sr/format rule
     assert main(["ook", "-stdin", "yes", "-sr", "400"]) == 1
     assert "requires -sr and -format" in capsys.readouterr().err
     assert main(["fsk", "-stdin", "yes", "-format", "cf32"]) == 1
