@@ -528,10 +528,6 @@ def _parse_waterfall(args: _Args, raw_map) -> Command:
     if stdin:
         if sr is None or fmt is None:
             raise ValueError("'waterfall -stdin yes' requires -sr and -format")
-        if mesh is not None:
-            raise ValueError(
-                "'waterfall -stdin yes' cannot use -mesh (pipes cannot seek)"
-            )
         if filenames:
             raise ValueError("'waterfall -stdin yes' takes no filenames")
     elif not filenames:

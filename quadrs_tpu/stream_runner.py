@@ -127,7 +127,15 @@ class WaterfallRunner:
         for s in sources:
             if s.format is not cfg.fmt:
                 raise ValueError(f"source format {s.format} != bank format {cfg.fmt}")
-        _check_pipe_sources(sources, mesh)
+        _check_pipe_sources(sources, mesh, allow_mesh=True)
+        if mesh is not None and getattr(sources[0], "is_pipe", False):
+            # a live pipe shards like a file bank of one: the sharded
+            # staging reads strictly forward (whole stride cells, then
+            # the halo tail), which the sliding LivePipeStream facade
+            # serves; EOF turns its sentinel length real mid-staging
+            from quadrs_tpu.sources import LivePipeStream
+
+            sources = [LivePipeStream(sources[0])]
         if len({s.length for s in sources}) != 1:
             raise ValueError("bank sources must have equal lengths")
         self.sources = sources
@@ -294,15 +302,26 @@ class WaterfallRunner:
         halo = self._lookahead
         total_windows = self._total_windows()
         length = self.sources[0].length
+        # a live pipe's length is a sentinel until EOF: stage forward,
+        # then re-read it after each read — the chunk where the short
+        # read lands recomputes the real window total before yielding
+        live = getattr(self.sources[0], "is_live", False)
         n_w = self.chunk_windows
         w = start_window
         prev_hi = None
         staged = 0
-        while w < total_windows and (limit is None or staged < limit):
-            staged += 1
+        while (live or w < total_windows) and (limit is None or staged < limit):
             lo = w * cfg.stride
             hi = lo + n_w * cfg.stride
             planes = np.stack([s.stage(lo, hi) for s in self.sources])
+            if live:
+                # the short read (if any) made the sentinel length real;
+                # stop BEFORE the tail staging, which would otherwise
+                # rewind the facade on a chunk wholly past EOF
+                length = self.sources[0].length
+                total_windows = self._total_windows()
+                if w >= total_windows:
+                    return
             if planes.shape[-1] < n_w * cfg.stride:  # zero-pad past EOF
                 planes = np.pad(
                     planes,
@@ -313,9 +332,16 @@ class WaterfallRunner:
                 tail = np.stack(
                     [s.stage(min(hi, length), min(hi, length) + halo) for s in self.sources]
                 )
+                if live:
+                    length = self.sources[0].length
                 if tail.shape[-1] < halo:
                     tail = np.pad(tail, ((0, 0), (0, 0), (0, halo - tail.shape[-1])))
                 args.append(replicate_tail(tail, self.mesh))
+            if live:
+                total_windows = self._total_windows()
+                if w >= total_windows:
+                    return
+            staged += 1
             n_valid = min(n_w, total_windows - w)
             # same formula as _staged_chunks: last valid window start +
             # width, capped at EOF (overlap with the previous chunk's

@@ -341,13 +341,83 @@ def test_waterfall_pipe_resume_and_guards():
     stats = WaterfallRunner([mk()], model).run(lambda w, n: rows.append(n))
     assert rows == [] and stats.windows_out == 0
 
+
+@pytest.mark.parametrize(
+    "width,stride,n_samples",
+    [
+        (128, 64, 40_000),   # overlapped: the window halo crosses ICI
+        (128, 128, 40_011),  # tiled, ragged EOF
+        (128, 300, 60_000),  # skipping: whole stride cells staged
+    ],
+)
+def test_waterfall_pipe_mesh_matches_file_mesh(width, stride, n_samples):
+    """A live pipe shards over the waterfall mesh: WaterfallRunner wraps
+    it in LivePipeStream, whose strictly-forward reads back the sharded
+    staging (stride cells + halo tail); EOF turns the sentinel length
+    real mid-staging and clips the final chunk — rows and peaks
+    identical to the file-mesh run at every stride class."""
     import jax
 
-    if len(jax.devices()) >= 2:
-        from quadrs_tpu.parallel.sharding import make_mesh
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.parallel.sharding import make_mesh
+    from quadrs_tpu.stream_runner import WaterfallRunner
 
-        with pytest.raises(ValueError, match="sharded"):
-            WaterfallRunner([mk()], model, mesh=make_mesh(n_time=2, n_stream=1))
+    fmt = FileFormat.COMPLEX_INT8
+    data = _capture_bytes(n_samples, fmt, seed=31)
+    cfg = WaterfallConfig(
+        n_streams=1, fft_width=width, stride=stride, fmt=fmt, frontend="xla"
+    )
+    model = WaterfallModel(cfg)
+    mesh = make_mesh(n_time=4, n_stream=1)
+
+    fsrc = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, 48_000)
+    frows = []
+    fstats = WaterfallRunner([fsrc], model, chunk_windows=37, mesh=mesh).run(
+        lambda w, n: frows.append((w, n))
+    )
+    prows = []
+    pstats = WaterfallRunner(
+        [PipeSource(io.BytesIO(data), fmt, 48_000)], model,
+        chunk_windows=37, mesh=mesh,
+    ).run(lambda w, n: prows.append((w, n)))
+    assert len(prows) == len(frows) > 1
+    for (fw, fn), (pw, pn) in zip(frows, prows):
+        assert fw == pw
+        np.testing.assert_array_equal(fn, pn)
+    assert pstats.samples_in == fstats.samples_in
+    assert pstats.windows_out == fstats.windows_out
+
+    # in-shard peak search over a fresh pipe
+    fpk, ppk = [], []
+    WaterfallRunner([fsrc], model, chunk_windows=37, mesh=mesh).run_search(
+        lambda w, o: fpk.append((w, o))
+    )
+    WaterfallRunner(
+        [PipeSource(io.BytesIO(data), fmt, 48_000)], model,
+        chunk_windows=37, mesh=mesh,
+    ).run_search(lambda w, o: ppk.append((w, o)))
+    assert len(ppk) == len(fpk)
+    for (fw, (fi, fv)), (pw, (pi, pv)) in zip(fpk, ppk):
+        assert fw == pw
+        np.testing.assert_array_equal(fi, pi)
+        np.testing.assert_array_equal(fv, pv)
+
+    # bounded live mesh run stops at the bound without touching the
+    # still-sentinel length; an empty pipe exits cleanly
+    brows = []
+    WaterfallRunner(
+        [PipeSource(io.BytesIO(data), fmt, 48_000)], model,
+        chunk_windows=37, mesh=mesh,
+    ).run(lambda w, n: brows.append((w, n)), max_chunks=1)
+    assert len(brows) == 1
+    np.testing.assert_array_equal(brows[0][1], frows[0][1])
+    empty = []
+    stats = WaterfallRunner(
+        [PipeSource(io.BytesIO(b""), fmt, 48_000)], model, mesh=mesh
+    ).run(lambda w, n: empty.append(n))
+    assert empty == [] and stats.windows_out == 0
 
 
 def test_live_pipe_stream_stages_and_slides():
