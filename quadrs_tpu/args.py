@@ -206,6 +206,12 @@ class ServeCmd(Command):
     chunk: int = 4_000_000
     sample_rate: str | None = None
     format: str | None = None
+    # shard each connection's chunks across a (time, stream) mesh —
+    # live sockets shard like live pipes (stream axis must be 1)
+    mesh: tuple[int, int] | None = None
+    # handle up to N connections concurrently (device compute
+    # interleaves; the compiled chain is shared)
+    parallel: int = 1
 
 
 def _parse_mesh(spec: str) -> tuple[int, int]:
@@ -611,6 +617,10 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     chunk = int(parse_si_uint(map_.pop("chunk", "4M" if mode == "stream" else "2k")))
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
+    mesh = map_.pop("mesh", None)
+    parallel = int(parse_si_uint(map_.pop("parallel", "1")))
+    if parallel < 1:
+        raise ValueError("-parallel must be >= 1")
     _ensure_empty(map_, "serve")
     if sr is None or fmt is None:
         raise ValueError("'serve' requires -sr and -format (a socket has no "
@@ -619,7 +629,8 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         port=port, host=host, once=once, search=search, mode=mode,
         shift=shift, lowpass=lowpass, size=size, decimate=decimate,
         fft_width=fft_width, stride=stride, chunk=chunk, sample_rate=sr,
-        format=fmt,
+        format=fmt, mesh=None if mesh is None else _parse_mesh(mesh),
+        parallel=parallel,
     )
 
 

@@ -38,6 +38,8 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
    serve [-port 7373] [-host 127.0.0.1] [-once no] [-search no] [-shift 0] [-lowpass 200k] \\
          [-power 200] [-decimate 32] [-width 64] [-chunk 4M] -sr R -format F \\
          [-mode stream|waterfall] [-stride =width] [waterfall: the raw fused spectrogram] \\
+         [-mesh TxS] [-parallel 1] [mesh: shard each connection across chips; \\
+          parallel: serve N connections concurrently on the shared compiled chain] \\
          [TCP service: compile once, then each connection streams IQ in, results out] \\
      ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] [-stdin no] FILENAME \\
      fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] FILENAME \\

@@ -71,7 +71,17 @@ def make_sharded_stream_step(
     magnitude *inside the shard* (the reduction is per-window, so it
     never crosses ICI): returns ((S, windows) int32, (S, windows) f32)
     instead of the norms.
+
+    The built step is memoized on the model per (mesh, frontend,
+    search): constructing many runners over one model (the serve
+    daemon builds one per connection) reuses the same jitted wrapper
+    instead of recompiling — equal meshes hash equal, so fresh
+    ``make_mesh`` results hit too.
     """
+    cache = model.__dict__.setdefault("_sharded_step_cache", {})
+    key = ("stream", mesh, frontend, search)
+    if key in cache:
+        return cache[key]
     cfg = model.cfg
     halo_samps = halo_samples(cfg)
     if cfg.taps // (2 * cfg.decimate) >= cfg.fft_width:
@@ -122,7 +132,8 @@ def make_sharded_stream_step(
         # keep the check for the pure-XLA path
         check_vma=(frontend != "pallas"),
     )
-    return jax.jit(step)
+    cache[key] = jax.jit(step)
+    return cache[key]
 
 
 def waterfall_halo(cfg) -> int:
@@ -159,9 +170,16 @@ def make_sharded_waterfall_step(
     reduction is per-window (shard-local), so each shard runs the
     in-kernel peak search and the spectrogram never reaches HBM on the
     fused path.
+
+    Memoized on the model per (mesh, frontend, search), like
+    :func:`make_sharded_stream_step`.
     """
     import dataclasses
 
+    cache = model.__dict__.setdefault("_sharded_step_cache", {})
+    key = ("waterfall", mesh, frontend, search)
+    if key in cache:
+        return cache[key]
     cfg = model.cfg
     halo = waterfall_halo(cfg)
     n_time = mesh.shape["time"]
@@ -222,7 +240,8 @@ def make_sharded_waterfall_step(
             out_specs=out_specs,
             check_vma=not uses_pallas,
         )
-    return jax.jit(step)
+    cache[key] = jax.jit(step)
+    return cache[key]
 
 
 def plan_shard_phases(model: PipelineModel, n_local: int, n_time: int, n_stream: int = 1):

@@ -304,7 +304,9 @@ def run_fsk(cmd: argmod.FskCmd) -> int:
     return 0
 
 
-def _serve_connection(conn, model, cmd: argmod.ServeCmd, sample_rate: int) -> RunStats:
+def _serve_connection(
+    conn, model, cmd: argmod.ServeCmd, sample_rate: int, mesh=None
+) -> RunStats:
     """One client session: raw IQ bytes in, results streamed back over
     the same socket as each chunk completes.
 
@@ -327,10 +329,16 @@ def _serve_connection(conn, model, cmd: argmod.ServeCmd, sample_rate: int) -> Ru
     wf = conn.makefile("wb")
     try:
         src = PipeSource(rf, model.cfg.fmt, sample_rate)
+        # a socket is a live pipe: with a mesh the runner wraps it in
+        # the sliding facade and time-shards each chunk (the sharded
+        # steps are memoized on the model, so connections share one
+        # compiled program)
         if waterfall:
-            runner = WaterfallRunner([src], model, chunk_windows=cmd.chunk)
+            runner = WaterfallRunner(
+                [src], model, chunk_windows=cmd.chunk, mesh=mesh
+            )
         else:
-            runner = StreamRunner(src, model, chunk_samples=cmd.chunk)
+            runner = StreamRunner(src, model, chunk_samples=cmd.chunk, mesh=mesh)
         if cmd.search:
             wf.write(b"window,bin,mag\n")
 
@@ -372,12 +380,16 @@ def _serve_connection(conn, model, cmd: argmod.ServeCmd, sample_rate: int) -> Ru
 
 def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     """The persistent TCP service: compile once, serve many connections
-    sequentially (one chip, one chain).  ``ready(port)`` is called with
-    the bound port once listening — tests bind port 0 and read it back.
-    A failing connection (client gone, bad bytes) is logged and the
-    accept loop continues; ``-once yes`` exits after one connection
-    (``max_connections`` generalizes that for embedders/tests — the CLI
-    itself runs until killed, like any daemon)."""
+    (sequentially by default; ``-parallel N`` runs up to N sessions
+    concurrently on the shared compiled chain, and ``-mesh TxS`` shards
+    each session's chunks across the device mesh — the socket is a live
+    pipe, so it time-shards like ``stream -stdin -mesh``).
+    ``ready(port)`` is called with the bound port once listening —
+    tests bind port 0 and read it back.  A failing connection (client
+    gone, bad bytes) is logged and the accept loop continues;
+    ``-once yes`` exits after one connection (``max_connections``
+    generalizes that for embedders/tests — the CLI itself runs until
+    killed, like any daemon)."""
     import socket
 
     from quadrs_tpu.utils.sniff import guess_details
@@ -409,38 +421,62 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
             )
         )
 
+    mesh = _make_mesh(cmd.mesh)
     srv = socket.create_server((cmd.host, cmd.port))
     port = srv.getsockname()[1]
     print(
         f"serve: listening on {cmd.host}:{port} "
         f"({details.format.name.lower()}, sr {details.sample_rate}, "
-        f"{cmd.mode} {'search' if cmd.search else 'norms'})",
+        f"{cmd.mode} {'search' if cmd.search else 'norms'}"
+        + (f", mesh {cmd.mesh[0]}x{cmd.mesh[1]}" if cmd.mesh else "")
+        + (f", parallel {cmd.parallel}" if cmd.parallel > 1 else "")
+        + ")",
         flush=True,
     )
     if ready is not None:
         ready(port)
     if cmd.once:
         max_connections = 1
+
+    def handle(n_conn: int, conn, peer) -> None:
+        try:
+            stats = _serve_connection(conn, model, cmd, details.sample_rate, mesh)
+            print(
+                f"serve: conn {n_conn} {peer[0]}:{peer[1]} "
+                + _stats_line("done", stats),
+                flush=True,
+            )
+        except Exception as e:  # a daemon survives any one session:
+            # client gone, bad bytes, even a transient device error
+            # (XlaRuntimeError) must not drop future connections
+            print(f"serve: conn {n_conn} failed: {type(e).__name__}: {e}", flush=True)
+        finally:
+            conn.close()
+
     n_conn = 0
     try:
-        while True:
-            conn, peer = srv.accept()
-            n_conn += 1
-            try:
-                stats = _serve_connection(conn, model, cmd, details.sample_rate)
-                print(
-                    f"serve: conn {n_conn} {peer[0]}:{peer[1]} "
-                    + _stats_line("done", stats),
-                    flush=True,
-                )
-            except Exception as e:  # a daemon survives any one session:
-                # client gone, bad bytes, even a transient device error
-                # (XlaRuntimeError) must not drop future connections
-                print(f"serve: conn {n_conn} failed: {type(e).__name__}: {e}", flush=True)
-            finally:
-                conn.close()
-            if max_connections is not None and n_conn >= max_connections:
-                break
+        if cmd.parallel > 1:
+            # concurrent sessions: each connection runs on a pool
+            # thread (its runner stages on its own background thread;
+            # jitted dispatch is thread-safe and the compiled chain is
+            # shared, so sessions interleave on the device)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=cmd.parallel) as pool:
+                while True:
+                    conn, peer = srv.accept()
+                    n_conn += 1
+                    pool.submit(handle, n_conn, conn, peer)
+                    if max_connections is not None and n_conn >= max_connections:
+                        break
+                # the with-block joins: every dispatched session finishes
+        else:
+            while True:
+                conn, peer = srv.accept()
+                n_conn += 1
+                handle(n_conn, conn, peer)
+                if max_connections is not None and n_conn >= max_connections:
+                    break
     finally:
         srv.close()
     return 0

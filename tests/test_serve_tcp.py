@@ -202,6 +202,79 @@ def test_serve_waterfall_norms_mode(capsys):
     )
 
 
+def test_serve_mesh_matches_direct_mesh_run(capsys):
+    """``serve -mesh 4x1`` shards each connection's chunks across the
+    mesh (the socket is a live pipe, wrapped in the sliding facade);
+    the response is bit-equal to a direct mesh StreamRunner over the
+    same bytes."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    data = _capture(30_000, seed=46)
+    cmd = _serve_cmd(mesh=(4, 1))
+    th, port = _start_server(cmd)
+    got = _session(port, data)
+    th.join(timeout=60)
+    assert not th.is_alive()
+
+    cfg = PipelineConfig(
+        sample_rate=48_000, shift_freq=cmd.shift, lp_freq=cmd.lowpass,
+        decimate=cmd.decimate, taps=cmd.size, fft_width=cmd.fft_width,
+        fmt=FileFormat.COMPLEX_INT8,
+    )
+    rows = []
+    StreamRunner(
+        SampleSource(np.frombuffer(data, dtype=np.uint8), cfg.fmt, 48_000),
+        PipelineModel(cfg), chunk_samples=cmd.chunk,
+        mesh=make_mesh(n_time=4, n_stream=1),
+    ).run(lambda w, n: rows.append(n))
+    np.testing.assert_array_equal(
+        np.frombuffer(got, dtype=np.float32).reshape(-1, cmd.fft_width),
+        np.concatenate(rows),
+    )
+    assert "mesh 4x1" in capsys.readouterr().out
+
+
+def test_serve_parallel_concurrent_sessions(capsys):
+    """``-parallel 2`` serves two simultaneous connections on the shared
+    compiled chain; each response matches its own direct run exactly."""
+    cmd = _serve_cmd(search=True, once=False, parallel=2)
+    th, port = _start_server(cmd, max_connections=2)
+
+    payloads = [_capture(25_000, seed=s) for s in (47, 48)]
+    results: list[bytes | None] = [None, None]
+
+    def client(i):
+        results[i] = _session(port, payloads[i])
+
+    clients = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+    for c in clients:
+        c.start()
+    for c in clients:
+        c.join(timeout=120)
+        assert not c.is_alive()
+    th.join(timeout=60)
+    assert not th.is_alive()
+
+    for i in range(2):
+        lines = results[i].decode().strip().splitlines()
+        assert lines[0] == "window,bin,mag"
+        assert lines[-1].startswith("# stream: ")
+        got = [tuple(l.split(",")) for l in lines[1:-1]]
+        want = []
+        for w0, (idx, val) in _direct_rows(payloads[i], cmd, search=True):
+            for j in range(len(idx)):
+                want.append((str(w0 + j), str(int(idx[j])),
+                             f"{float(val[j]):.9g}"))
+        assert got == want
+    out = capsys.readouterr().out
+    assert "parallel 2" in out
+    assert "serve: conn 1 " in out and "serve: conn 2 " in out
+
+
 def test_serve_requires_sr_and_format(capsys):
     from quadrs_tpu.cli import main
 
