@@ -64,9 +64,13 @@ class WaterfallSpec:
 
 
 def supported(width: int) -> bool:
-    """width = 128*b with 2 <= b <= 32 (256..4096): stage 1 is a full
-    128-contraction matmul and stage 2's unroll stays tiny."""
-    return width % 128 == 0 and 2 <= width // 128 <= 32
+    """width = 128*b with 2 <= b <= 64 (256..8192).  Up to b=16 the
+    classic tiled kernel runs (stage 1 a full 128-contraction matmul,
+    stage 2 a tiny unroll); past that every stride rides the strided
+    machinery with the factorized q-DFT stage A (see
+    :func:`_tiled_via_strided`), whose per-class blocks keep scoped
+    VMEM bounded where the classic kernel's resident tables blow it."""
+    return width % 128 == 0 and 2 <= width // 128 <= 64
 
 
 def _lane_broadcast(m: np.ndarray) -> np.ndarray:

@@ -23,6 +23,8 @@ from quadrs_tpu.ops.waterfall_pallas import WaterfallSpec, fused_waterfall, supp
         # b=32 routes the tiled case through the strided machinery (the
         # tiled kernel OOMs scoped VMEM at b=32, see _tiled_via_strided)
         (4096, FileFormat.COMPLEX_INT8, "blackman-harris"),
+        # b=64: the widest supported width, same routing
+        (8192, FileFormat.COMPLEX_INT8, "rectangular"),
     ],
 )
 def test_fused_waterfall_matches_xla(width, fmt, windowing):
@@ -71,7 +73,7 @@ def test_model_frontend_selection():
     assert WaterfallModel(WaterfallConfig(stride=512)).pallas_supported()
     # widths that aren't 128*b stay on the XLA path
     assert not WaterfallModel(WaterfallConfig(fft_width=96, stride=96)).pallas_supported()
-    assert not supported(8192)
+    assert supported(8192) and not supported(128 * 65)
     with pytest.raises(ValueError):
         fused_waterfall(
             jnp.zeros((1, 2, 96), jnp.int8),
@@ -336,7 +338,7 @@ def test_wide_width_fuzz():
 
     rng = np.random.default_rng(0x51DE)
     for case in range(3):
-        b = int(rng.choice([18, 24, 32]))
+        b = int(rng.choice([18, 24, 32, 48, 64]))
         width = 128 * b
         stride = int(
             rng.choice([width, width // 2, 3 * width // 4, width // 4 + 1, width + 300])
