@@ -184,16 +184,19 @@ class ServeCmd(Command):
     """``serve``: a persistent TCP service for the fused chain.  The
     model compiles once at startup; every accepted connection then
     streams raw IQ bytes in and gets results back over the same socket
-    — peak CSV lines (``-search yes``) or raw f32 norms rows — with no
-    per-connection recompilation.  ``-sr``/``-format`` are required (a
-    socket carries no filename to sniff)."""
+    — peak CSV lines (``-search yes``), raw f32 norms rows, or (demod
+    modes) recovered bits text — with no per-connection recompilation.
+    ``-sr``/``-format`` are required (a socket carries no filename to
+    sniff)."""
 
     port: int = 7373
     host: str = "127.0.0.1"
     once: bool = False  # handle one connection then exit (tests, scripts)
     search: bool = False
     # "stream" = shift -> lowpass -> STFT chain; "waterfall" = the raw
-    # fused spectrogram (no mixing/decimation), -width/-stride windows
+    # fused spectrogram (no mixing/decimation), -width/-stride windows;
+    # "ook"/"fsk" = demod-as-a-service: the connection's whole burst is
+    # buffered (like `ook -stdin`), demodulated, and the bits sent back
     mode: str = "stream"
     shift: int = 0
     lowpass: int = 200_000
@@ -212,6 +215,10 @@ class ServeCmd(Command):
     # handle up to N connections concurrently (device compute
     # interleaves; the compiled chain is shared)
     parallel: int = 1
+    # demod-mode knobs (OokCmd/FskCmd counterparts)
+    threshold: float = 0.001  # ook pulse threshold
+    bit: float | None = None  # ook: windows/bit (default 8); fsk: windows/symbol
+    raw: bool = False  # ook: raw pulse bits instead of Manchester
 
 
 def _parse_mesh(spec: str) -> tuple[int, int]:
@@ -599,21 +606,33 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     size = 2 * parse_si_uint(power) if power is not None else 400
     decimate = parse_si_uint(map_.pop("decimate", "32"))
     mode = map_.pop("mode", "stream")
-    if mode not in ("stream", "waterfall"):
-        raise ValueError(f"unknown -mode: {mode!r} (stream|waterfall)")
+    if mode not in ("stream", "waterfall", "ook", "fsk"):
+        raise ValueError(f"unknown -mode: {mode!r} (stream|waterfall|ook|fsk)")
     # reject flags the chosen mode would silently ignore
-    bad = explicit & (
-        {"shift", "lowpass", "power", "decimate"}
-        if mode == "waterfall"
-        else {"stride"}
-    )
+    _inapplicable = {
+        "stream": {"stride", "threshold", "bit", "raw"},
+        "waterfall": {"shift", "lowpass", "power", "decimate",
+                      "threshold", "bit", "raw"},
+        # demod modes buffer the whole burst: chunking, peak search and
+        # mesh sharding don't apply (and -search would shadow the bits)
+        "ook": {"shift", "lowpass", "power", "decimate", "search",
+                "chunk", "mesh"},
+        "fsk": {"threshold", "raw", "search", "chunk", "mesh"},
+    }
+    bad = explicit & _inapplicable[mode]
     if bad:
         raise ValueError(
             f"-{sorted(bad)[0]} does not apply to -mode {mode}"
         )
-    fft_width = int(parse_si_uint(map_.pop("width", "64" if mode == "stream" else "1024")))
-    stride = map_.pop("stride", None)
+    _width_default = {"stream": "64", "waterfall": "1024", "ook": "4",
+                      "fsk": "64"}
+    fft_width = int(parse_si_uint(map_.pop("width", _width_default[mode])))
+    stride = map_.pop("stride", "2" if mode == "ook" else None)
     stride = None if stride is None else int(parse_si_uint(stride))
+    threshold = parse_si_float(map_.pop("threshold", "0.001"))
+    bit = map_.pop("bit", "8" if mode == "ook" else None)
+    bit = None if bit is None else parse_si_float(bit)
+    raw_bits = parse_bool(map_.pop("raw", "no"))
     chunk = int(parse_si_uint(map_.pop("chunk", "4M" if mode == "stream" else "2k")))
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
@@ -630,7 +649,7 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         shift=shift, lowpass=lowpass, size=size, decimate=decimate,
         fft_width=fft_width, stride=stride, chunk=chunk, sample_rate=sr,
         format=fmt, mesh=None if mesh is None else _parse_mesh(mesh),
-        parallel=parallel,
+        parallel=parallel, threshold=threshold, bit=bit, raw=raw_bits,
     )
 
 

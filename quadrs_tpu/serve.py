@@ -304,6 +304,93 @@ def run_fsk(cmd: argmod.FskCmd) -> int:
     return 0
 
 
+def _make_serve_demod(cmd: argmod.ServeCmd):
+    """The demod model behind ``serve -mode ook|fsk`` (built once at
+    startup; the jitted chain it drives is shared by shapes across
+    connections like the stream/waterfall modes)."""
+    if cmd.mode == "ook":
+        from quadrs_tpu.models.demod import OokDemod
+
+        return OokDemod(
+            width=cmd.fft_width,
+            stride=cmd.stride if cmd.stride is not None else 2,
+            threshold=cmd.threshold,
+            samples_per_bit=cmd.bit if cmd.bit is not None else 8.0,
+        )
+    from quadrs_tpu.models.demod import FskDemod
+
+    return FskDemod(
+        center=cmd.shift,
+        bandwidth=cmd.lowpass,
+        decimate=cmd.decimate,
+        taps=cmd.size,
+        fft_width=cmd.fft_width,
+        stride=cmd.stride,
+        samples_per_symbol=1.0 if cmd.bit is None else cmd.bit,
+    )
+
+
+def _demod_connection(
+    conn, demod, cmd: argmod.ServeCmd, fmt, sample_rate: int
+) -> RunStats:
+    """One demod session: the client sends its whole burst and
+    half-closes; the server buffers it (same 1 GiB cap as
+    ``ook -stdin``), demodulates, and sends the bits text back —
+    exactly the lines the ``ook``/``fsk`` commands print, so a shell
+    client can swap ``quadjax ook FILE`` for
+    ``... | nc host port`` and parse nothing new."""
+    import time
+
+    from quadrs_tpu.sources import SampleSource
+
+    rf = conn.makefile("rb")
+    wf = conn.makefile("wb")
+    try:
+        data = rf.read(_STDIN_BUFFER_CAP + 1)
+        if len(data) > _STDIN_BUFFER_CAP:
+            raise ValueError(
+                "connection burst exceeds the demod buffer cap (1 GiB); "
+                "demod modes buffer the whole burst — use -mode "
+                "stream/waterfall for unbounded streams"
+            )
+        src = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, sample_rate)
+        t0 = time.perf_counter()
+        if cmd.mode == "ook":
+            from quadrs_tpu.models.demod import manchester_decode
+
+            err, raw_bits = demod.demodulate(src)
+            if cmd.raw:
+                line = "".join("1" if b else "0" for b in raw_bits)
+            else:
+                line = "".join(str(b) for b in manchester_decode(raw_bits))
+            n_out = len(raw_bits)
+            trailer = f"ook: {len(raw_bits)} raw bits, clock error {err:.3f}"
+        elif cmd.bit is None:
+            syms = demod.symbols(src)
+            line = "".join(str(int(s)) for s in syms)
+            n_out = len(syms)
+            trailer = f"fsk: {len(syms)} symbols"
+        else:
+            err, bits = demod.demodulate(src)
+            line = "".join("1" if b else "0" for b in bits)
+            n_out = len(bits)
+            trailer = f"fsk: {len(bits)} bits, clock error {err:.3f}"
+        wf.write(f"{line}\n# {trailer}\n".encode())
+        wf.flush()
+        return RunStats(
+            samples_in=src.length,
+            windows_out=n_out,
+            seconds=time.perf_counter() - t0,
+        )
+    finally:
+        try:
+            wf.close()
+        except OSError:
+            pass
+        finally:
+            rf.close()
+
+
 def _serve_connection(
     conn, model, cmd: argmod.ServeCmd, sample_rate: int, mesh=None
 ) -> RunStats:
@@ -383,7 +470,10 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     (sequentially by default; ``-parallel N`` runs up to N sessions
     concurrently on the shared compiled chain, and ``-mesh TxS`` shards
     each session's chunks across the device mesh — the socket is a live
-    pipe, so it time-shards like ``stream -stdin -mesh``).
+    pipe, so it time-shards like ``stream -stdin -mesh``).  ``-mode
+    ook|fsk`` serves the demodulators instead: each connection's burst
+    is buffered whole (1 GiB cap) and answered with the bits text the
+    ``ook``/``fsk`` commands print.
     ``ready(port)`` is called with the bound port once listening —
     tests bind port 0 and read it back.  A failing connection (client
     gone, bad bytes) is logged and the accept loop continues;
@@ -395,7 +485,10 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     from quadrs_tpu.utils.sniff import guess_details
 
     details = guess_details("-", cmd.sample_rate, cmd.format)
-    if cmd.mode == "waterfall":
+    demod = cmd.mode in ("ook", "fsk")
+    if demod:
+        model = _make_serve_demod(cmd)
+    elif cmd.mode == "waterfall":
         from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
 
         model = WaterfallModel(
@@ -427,7 +520,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     print(
         f"serve: listening on {cmd.host}:{port} "
         f"({details.format.name.lower()}, sr {details.sample_rate}, "
-        f"{cmd.mode} {'search' if cmd.search else 'norms'}"
+        f"{cmd.mode} {'bits' if demod else 'search' if cmd.search else 'norms'}"
         + (f", mesh {cmd.mesh[0]}x{cmd.mesh[1]}" if cmd.mesh else "")
         + (f", parallel {cmd.parallel}" if cmd.parallel > 1 else "")
         + ")",
@@ -440,7 +533,14 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
 
     def handle(n_conn: int, conn, peer) -> None:
         try:
-            stats = _serve_connection(conn, model, cmd, details.sample_rate, mesh)
+            if demod:
+                stats = _demod_connection(
+                    conn, model, cmd, details.format, details.sample_rate
+                )
+            else:
+                stats = _serve_connection(
+                    conn, model, cmd, details.sample_rate, mesh
+                )
             print(
                 f"serve: conn {n_conn} {peer[0]}:{peer[1]} "
                 + _stats_line("done", stats),

@@ -275,6 +275,91 @@ def test_serve_parallel_concurrent_sessions(capsys):
     assert "serve: conn 1 " in out and "serve: conn 2 " in out
 
 
+def test_serve_ook_demod_mode(capsys):
+    """``serve -mode ook`` buffers the connection's burst and answers
+    with exactly the lines ``quadjax ook`` prints for the same bytes."""
+    import pathlib
+
+    from quadrs_tpu.cli import main
+
+    path = pathlib.Path(__file__).parent.parent / "examples" / "ook-sim.sr400.cf32"
+    cmd = _serve_cmd(
+        mode="ook", fft_width=4, stride=2, bit=16.0, threshold=0.001,
+        raw=False, sample_rate="400", format="cf32",
+    )
+    th, port = _start_server(cmd)
+    reply = _session(port, path.read_bytes()).decode()
+    th.join(timeout=60)
+    assert not th.is_alive()
+    server_out = capsys.readouterr().out
+    assert "ook bits" in server_out
+
+    assert main(["ook", "-bit", "16", str(path)]) == 0
+    want_bits, want_stats = capsys.readouterr().out.strip().splitlines()
+    got = reply.strip().splitlines()
+    assert got[0] == want_bits
+    assert got[1] == f"# {want_stats}"
+
+
+def test_serve_fsk_demod_mode(capsys):
+    """``serve -mode fsk`` answers with the discriminator symbols the
+    ``fsk`` command prints (no -bit: raw symbols)."""
+    import pathlib
+
+    from quadrs_tpu.cli import main
+
+    path = pathlib.Path(__file__).parent.parent / "examples" / "fsk-sim.sr48k.cf32"
+    cmd = _serve_cmd(
+        mode="fsk", shift=0, lowpass=8_000, size=20, decimate=4,
+        fft_width=64, stride=600, bit=None, sample_rate="48k", format="cf32",
+    )
+    th, port = _start_server(cmd)
+    reply = _session(port, path.read_bytes()).decode()
+    th.join(timeout=60)
+    assert not th.is_alive()
+    assert "fsk bits" in capsys.readouterr().out
+
+    assert main(
+        ["fsk", "-lowpass", "8k", "-power", "10", "-decimate", "4",
+         "-width", "64", "-stride", "600", str(path)]
+    ) == 0
+    want_syms, want_stats = capsys.readouterr().out.strip().splitlines()
+    got = reply.strip().splitlines()
+    assert got[0] == want_syms
+    assert got[1] == f"# {want_stats}"
+
+
+def test_serve_demod_mode_parse_and_gating(capsys):
+    """The demod modes parse their knobs and reject inapplicable flags."""
+    from quadrs_tpu.cli import main
+
+    (cmd,) = argmod.parse(
+        ["serve", "-mode", "ook", "-bit", "16", "-threshold", "0.01",
+         "-raw", "yes", "-sr", "400", "-format", "cf32"]
+    )
+    assert cmd.mode == "ook" and cmd.bit == 16.0 and cmd.threshold == 0.01
+    assert cmd.raw and cmd.fft_width == 4 and cmd.stride == 2
+
+    (cmd,) = argmod.parse(
+        ["serve", "-mode", "fsk", "-lowpass", "8k", "-sr", "48k",
+         "-format", "cf32"]
+    )
+    assert cmd.mode == "fsk" and cmd.bit is None and cmd.fft_width == 64
+
+    rc = main(["serve", "-mode", "ook", "-search", "yes",
+               "-sr", "400", "-format", "cf32"])
+    assert rc == 1
+    assert "-search does not apply to -mode ook" in capsys.readouterr().err
+    rc = main(["serve", "-mode", "fsk", "-threshold", "0.1",
+               "-sr", "48k", "-format", "cf32"])
+    assert rc == 1
+    assert "-threshold does not apply to -mode fsk" in capsys.readouterr().err
+    rc = main(["serve", "-mode", "stream", "-bit", "8",
+               "-sr", "48k", "-format", "cf32"])
+    assert rc == 1
+    assert "-bit does not apply to -mode stream" in capsys.readouterr().err
+
+
 def test_serve_requires_sr_and_format(capsys):
     from quadrs_tpu.cli import main
 
