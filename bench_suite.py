@@ -214,11 +214,31 @@ def bench_waterfall(on_accel: bool) -> dict:
     msps = measure_msps_acc(
         step, total, 2.0 if on_accel else 0.3, min_iters=2, stats_out=tstats
     )
+
+    # wide tiled coverage: 4096-pt stride 4096 routes through the
+    # strided machinery (the tiled kernel itself needs 22.1M scoped
+    # VMEM > the 16M limit at b=32); round 4 measured 14.3 Gsps vs 8.9
+    # XLA with full 128-window tiles (2^19 samples/stream)
+    wcfg = WaterfallConfig(n_streams=64, fft_width=4096, stride=4096)
+    wmodel = WaterfallModel(wcfg)
+    w_per = (1 << 19) if on_accel else (1 << 14)
+    wraw = jax.device_put(wmodel.synth_raw(w_per))
+    w_total = wcfg.n_streams * w_per
+
+    @jax.jit
+    def _acc_w(raw, acc):
+        return acc + jnp.sum(wmodel.step(raw))
+
+    wide_msps = measure_msps_acc(
+        lambda i, acc: _acc_w(wraw, acc), w_total, 2.0 if on_accel else 0.3, min_iters=2
+    )
+
     entry = {
         "metric": "64x parallel cs8 fused decode + 1024-pt strided STFT",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip (aggregate)",
         "vs_baseline": round(msps / 100.0, 2),
+        "tiled_4096_msps": round(wide_msps, 1),
         **tstats,
     }
     entry.update(

@@ -180,6 +180,29 @@ class FskCmd(Command):
 
 
 @dataclass
+class FmCmd(Command):
+    """``fm``: demodulate an analog-FM capture to audio
+    (:class:`~quadrs_tpu.models.demod.FmDemod`).  With ``-out`` the
+    normalized audio is written as ``{prefix}.sr{rate}.f32`` (mono LE
+    f32); without it the command prints a deviation-meter summary."""
+
+    filename: str | None
+    shift: int = 0
+    lowpass: int = 100_000
+    size: int = 400
+    decimate: int = 8
+    deviation: float = 75_000.0
+    audio_lowpass: int | None = None  # second-stage cutoff (Hz)
+    audio_decimate: int = 1
+    audio_size: int = 64
+    out: str | None = None
+    overwrite: bool = False
+    sample_rate: str | None = None
+    format: str | None = None
+    stdin: bool = False  # buffer the capture from a pipe
+
+
+@dataclass
 class ServeCmd(Command):
     """``serve``: a persistent TCP service for the fused chain.  The
     model compiles once at startup; every accepted connection then
@@ -593,6 +616,35 @@ def _parse_fsk(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_fm(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    shift = parse_si_int(map_.pop("shift", "0"))
+    lowpass = parse_si_uint(map_.pop("lowpass", "100k"))
+    power = map_.pop("power", None)
+    size = 2 * parse_si_uint(power) if power is not None else 400
+    decimate = parse_si_uint(map_.pop("decimate", "8"))
+    deviation = parse_si_float(map_.pop("deviation", "75k"))
+    if deviation <= 0:
+        raise ValueError("-deviation must be positive")
+    audio_lowpass = map_.pop("audio-lowpass", None)
+    audio_lowpass = None if audio_lowpass is None else parse_si_uint(audio_lowpass)
+    audio_decimate = parse_si_uint(map_.pop("audio-decimate", "1"))
+    audio_power = map_.pop("audio-power", None)
+    audio_size = 2 * parse_si_uint(audio_power) if audio_power is not None else 64
+    out = map_.pop("out", None)
+    overwrite = parse_bool(map_.pop("overwrite", "no"))
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    filename, stdin = _take_capture_arg(args, map_, "fm", sr, fmt)
+    _ensure_empty(map_, "fm")
+    return FmCmd(
+        filename=filename, shift=shift, lowpass=lowpass, size=size,
+        decimate=decimate, deviation=deviation, audio_lowpass=audio_lowpass,
+        audio_decimate=audio_decimate, audio_size=audio_size, out=out,
+        overwrite=overwrite, sample_rate=sr, format=fmt, stdin=stdin,
+    )
+
+
 def _parse_serve(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     explicit = set(map_)  # flags the user actually typed
@@ -670,5 +722,6 @@ _PARSERS = {
     "waterfall": _parse_waterfall,
     "ook": _parse_ook,
     "fsk": _parse_fsk,
+    "fm": _parse_fm,
     "serve": _parse_serve,
 }

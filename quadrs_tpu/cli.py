@@ -45,6 +45,9 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [TCP service: compile once, then each connection streams IQ in, results out] \\
      ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] [-stdin no] FILENAME \\
      fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] FILENAME \\
+      fm [-shift 0] [-lowpass 100k] [-power 200] [-decimate 8] [-deviation 75k] \\
+         [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] \\
+         [-out PREFIX (writes PREFIX.srR.f32 mono audio)] [-overwrite no] [-stdin no] FILENAME \\
 
 
 Formats:
@@ -79,6 +82,7 @@ def _serve_types() -> tuple:
         argmod.WaterfallCmd,
         argmod.OokCmd,
         argmod.FskCmd,
+        argmod.FmCmd,
         argmod.ServeCmd,
     )
 

@@ -117,3 +117,130 @@ class FskDemod:
         """Run-length clock recovery over the symbol stream."""
         syms = [bool(v) for v in self.symbols(stream)]
         return bits_mod.scan(syms, self.samples_per_symbol)
+
+
+@dataclass
+class FmDemod:
+    """Frequency-modulation receiver: shift -> lowpass -> quadrature
+    discriminator -> (optional) audio filter.  No reference counterpart
+    (quadrs demodulates OOK/FSK only) — this is the TPU-native
+    framework's analog-FM model family, built from the same stages.
+
+    The discriminator is the classic polar one: the instantaneous
+    frequency at channel sample ``n`` is
+    ``angle(x[n] * conj(x[n-1])) * rate / (2*pi)`` Hz.  It is computed
+    on device in large chunks (each chunk reads one extra leading
+    sample, so chunk boundaries are exact: the output is independent of
+    the chunk size).  Output sample ``i`` corresponds to channel sample
+    ``i + 1`` — the first channel sample has no predecessor.
+
+    ``deviation`` is the full-scale frequency swing in Hz: audio is
+    ``inst_freq / deviation``, so a transmitter swinging +/-deviation
+    yields audio in [-1, 1].  ``audio_bandwidth``/``audio_decimate``
+    add a second (real) decimating FIR after the discriminator —
+    broadcast FM channels decimate to ~250 kHz for the discriminator
+    and again to an audio rate here.
+    """
+
+    center: int = 0
+    bandwidth: int = 100_000
+    decimate: int = 8
+    taps: int = 400
+    deviation: float = 75_000.0
+    audio_bandwidth: int | None = None
+    audio_decimate: int = 1
+    audio_taps: int = 64
+    chunk: int = 1 << 16  # discriminator samples per device window
+
+    def channel(self, stream: Stream) -> Stream:
+        chain: Stream = stream
+        if self.center:
+            chain = Shift(chain, self.center, chain.sample_rate)
+        return LowPass(chain, self.bandwidth, self.decimate, self.taps)
+
+    def discriminate(self, stream: Stream) -> tuple[int, np.ndarray]:
+        """Instantaneous frequency of the filtered channel.
+
+        Returns ``(channel_rate_hz, f32[channel_len - 1])`` in Hz.
+        """
+        import jax.numpy as jnp
+
+        from quadrs_tpu.runtime import Executor, root_step_of, window_batches
+
+        chan = self.channel(stream)
+        if chan.length < 2:
+            raise ValueError("input too short for the FM discriminator")
+        rate = chan.sample_rate
+        c = min(self.chunk, chan.length - 1)
+        # window at offset o reads chan[o .. o+c]; emits d for samples
+        # o+1 .. o+c (c outputs).  Offsets step by c, so every channel
+        # sample >= 1 is produced exactly once.
+        offsets = np.arange(0, chan.length - 1, c, dtype=np.int64)
+        scale = np.float32(rate / (2.0 * np.pi))
+
+        def post(x):  # (B, c+1) complex -> (B, c) f32 Hz
+            d = x[:, 1:] * jnp.conj(x[:, :-1])
+            return jnp.arctan2(jnp.imag(d), jnp.real(d)) * scale
+
+        batch, batches = window_batches(
+            offsets, c + 1, root_step=root_step_of(chan)
+        )
+        ex = Executor(chan, c + 1, batch=batch, post=post)
+        out = np.empty(chan.length - 1, dtype=np.float32)
+        for offs in batches:
+            freqs, valid = ex.run(offs)
+            for i in range(len(offs)):
+                o, v = int(offs[i]), int(valid[i])
+                if v >= 2:
+                    out[o : o + v - 1] = freqs[i][: v - 1]
+                if v < c + 1:
+                    # short read: only possible at EOF (a decimated
+                    # stage's claimed final sample may be unreadable,
+                    # as in sinks.do_write) — the stream ends here
+                    return rate, out[: o + max(v - 1, 0)]
+        return rate, out
+
+    def demodulate(self, stream: Stream) -> tuple[int, np.ndarray]:
+        """Full receive chain to normalized audio.
+
+        Returns ``(audio_rate_hz, f32 audio)`` with ``inst_freq /
+        deviation`` scaling (and the audio FIR applied when
+        configured).
+        """
+        rate, freq = self.discriminate(stream)
+        audio = freq / np.float32(self.deviation)
+        if self.audio_bandwidth is None and self.audio_decimate == 1:
+            return rate, audio
+        return self._audio_stage(rate, audio)
+
+    def _audio_stage(self, rate: int, audio: np.ndarray) -> tuple[int, np.ndarray]:
+        """Real decimating FIR over the discriminator output (device,
+        one dispatch), with the same taps family and output-length
+        convention as :class:`~quadrs_tpu.stream.LowPass`:
+        ``n_out = 1 + (len - taps) // decimate``."""
+        import jax
+        import jax.numpy as jnp
+
+        from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
+
+        d = self.audio_decimate
+        cutoff_hz = (
+            self.audio_bandwidth
+            if self.audio_bandwidth is not None
+            else rate // (2 * d)  # anti-alias at the output Nyquist
+        )
+        taps = lowpass_taps(cutoff_hz / rate, self.audio_taps)
+        n_out = 1 + (len(audio) - self.audio_taps) // d
+        if n_out < 1:
+            raise ValueError("audio shorter than the audio filter")
+        n_in = n_out * d + self.audio_taps
+        x = np.zeros(n_in, dtype=np.float32)
+        x[: len(audio)] = audio[:n_in]
+
+        @jax.jit
+        def run(a):  # complex packing happens on device (tunnel rule)
+            xc = jax.lax.complex(a, jnp.zeros_like(a))
+            y = fir_decimate(xc[None, :], taps, d, n_out)
+            return jnp.real(y[0])
+
+        return rate // d, np.asarray(run(x))

@@ -304,6 +304,43 @@ def run_fsk(cmd: argmod.FskCmd) -> int:
     return 0
 
 
+def run_fm(cmd: argmod.FmCmd) -> int:
+    """Demodulate an analog-FM capture to audio: write it as mono LE
+    f32 (``-out``) or print a deviation-meter summary."""
+    import time
+
+    from quadrs_tpu.models.demod import FmDemod
+
+    src = _cmd_source(cmd)
+    demod = FmDemod(
+        center=cmd.shift,
+        bandwidth=cmd.lowpass,
+        decimate=cmd.decimate,
+        taps=cmd.size,
+        deviation=cmd.deviation,
+        audio_bandwidth=cmd.audio_lowpass,
+        audio_decimate=cmd.audio_decimate,
+        audio_taps=cmd.audio_size,
+    )
+    t0 = time.perf_counter()
+    rate, audio = demod.demodulate(src)
+    secs = time.perf_counter() - t0
+    if cmd.out is not None:
+        filename = f"{cmd.out}.sr{rate}.f32"
+        with open(filename, "wb" if cmd.overwrite else "xb") as fh:
+            fh.write(audio.astype("<f4").tobytes())
+        print(filename)
+    dev = np.float32(cmd.deviation)
+    peak = float(np.max(np.abs(audio)) * dev) if len(audio) else 0.0
+    rms = float(np.sqrt(np.mean(np.square(audio, dtype=np.float64))) * dev) if len(audio) else 0.0
+    print(
+        f"fm: {len(audio)} audio samples @ {rate} Hz "
+        f"({len(audio) / rate:.3f} s), peak deviation {peak:.0f} Hz, "
+        f"rms {rms:.0f} Hz, {src.length / max(secs, 1e-9) / 1e6:.1f} Msps"
+    )
+    return 0
+
+
 def _make_serve_demod(cmd: argmod.ServeCmd):
     """The demod model behind ``serve -mode ook|fsk`` (built once at
     startup; the jitted chain it drives is shared by shapes across
@@ -348,40 +385,34 @@ def _demod_connection(
     try:
         data = rf.read(_STDIN_BUFFER_CAP + 1)
         if len(data) > _STDIN_BUFFER_CAP:
-            raise ValueError(
+            msg = (
                 "connection burst exceeds the demod buffer cap (1 GiB); "
                 "demod modes buffer the whole burst — use -mode "
                 "stream/waterfall for unbounded streams"
             )
+            try:
+                wf.write(f"# error: {msg}\n".encode())
+                wf.flush()
+            except OSError:
+                pass
+            raise ValueError(msg)
         src = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, sample_rate)
         t0 = time.perf_counter()
-        if cmd.mode == "ook":
-            from quadrs_tpu.models.demod import manchester_decode
-
-            err, raw_bits = demod.demodulate(src)
-            if cmd.raw:
-                line = "".join("1" if b else "0" for b in raw_bits)
-            else:
-                line = "".join(str(b) for b in manchester_decode(raw_bits))
-            n_out = len(raw_bits)
-            trailer = f"ook: {len(raw_bits)} raw bits, clock error {err:.3f}"
-        elif cmd.bit is None:
-            syms = demod.symbols(src)
-            line = "".join(str(int(s)) for s in syms)
-            n_out = len(syms)
-            trailer = f"fsk: {len(syms)} symbols"
-        else:
-            err, bits = demod.demodulate(src)
-            line = "".join("1" if b else "0" for b in bits)
-            n_out = len(bits)
-            trailer = f"fsk: {len(bits)} bits, clock error {err:.3f}"
-        wf.write(f"{line}\n# {trailer}\n".encode())
-        wf.flush()
-        return RunStats(
-            samples_in=src.length,
-            windows_out=n_out,
-            seconds=time.perf_counter() - t0,
-        )
+        try:
+            return _demod_reply(wf, demod, cmd, src, t0)
+        except ValueError as e:
+            # a bad burst (empty, shorter than the filter/window) is a
+            # client mistake, not a daemon fault: answer with the error
+            # so a shell client sees WHY instead of silence, and keep
+            # the session "served" (the accept loop logs stats, not a
+            # failure)
+            wf.write(f"# error: {e}\n".encode())
+            wf.flush()
+            return RunStats(
+                samples_in=src.length,
+                windows_out=0,
+                seconds=time.perf_counter() - t0,
+            )
     finally:
         try:
             wf.close()
@@ -389,6 +420,41 @@ def _demod_connection(
             pass
         finally:
             rf.close()
+
+
+def _demod_reply(wf, demod, cmd: argmod.ServeCmd, src, t0) -> RunStats:
+    """Demodulate one buffered burst and write the bits text; split
+    from :func:`_demod_connection` so burst-validation errors can be
+    answered over the socket."""
+    import time
+
+    if cmd.mode == "ook":
+        from quadrs_tpu.models.demod import manchester_decode
+
+        err, raw_bits = demod.demodulate(src)
+        if cmd.raw:
+            line = "".join("1" if b else "0" for b in raw_bits)
+        else:
+            line = "".join(str(b) for b in manchester_decode(raw_bits))
+        n_out = len(raw_bits)
+        trailer = f"ook: {len(raw_bits)} raw bits, clock error {err:.3f}"
+    elif cmd.bit is None:
+        syms = demod.symbols(src)
+        line = "".join(str(int(s)) for s in syms)
+        n_out = len(syms)
+        trailer = f"fsk: {len(syms)} symbols"
+    else:
+        err, bits = demod.demodulate(src)
+        line = "".join("1" if b else "0" for b in bits)
+        n_out = len(bits)
+        trailer = f"fsk: {len(bits)} bits, clock error {err:.3f}"
+    wf.write(f"{line}\n# {trailer}\n".encode())
+    wf.flush()
+    return RunStats(
+        samples_in=src.length,
+        windows_out=n_out,
+        seconds=time.perf_counter() - t0,
+    )
 
 
 def _serve_connection(
@@ -587,5 +653,6 @@ RUNNERS = {
     argmod.WaterfallCmd: run_waterfall,
     argmod.OokCmd: run_ook,
     argmod.FskCmd: run_fsk,
+    argmod.FmCmd: run_fm,
     argmod.ServeCmd: run_serve,
 }

@@ -388,3 +388,31 @@ def test_usage_lists_serve():
     from quadrs_tpu.cli import USAGE
 
     assert "serve [-port 7373]" in USAGE
+
+
+def test_serve_demod_empty_burst_answers_error_and_survives(capsys):
+    """An empty (or too-short) burst must not kill the daemon NOR leave
+    the client with silence: the server answers ``# error: ...`` and the
+    next connection is served normally."""
+    import pathlib
+
+    from quadrs_tpu.cli import main
+
+    path = pathlib.Path(__file__).parent.parent / "examples" / "ook-sim.sr400.cf32"
+    cmd = _serve_cmd(
+        mode="ook", fft_width=4, stride=2, bit=16.0, threshold=0.001,
+        raw=False, sample_rate="400", format="cf32", once=False,
+    )
+    th, port = _start_server(cmd, max_connections=2)
+    bad = _session(port, b"").decode()
+    assert bad.startswith("# error: "), bad
+    assert "shorter than the envelope window" in bad
+
+    good = _session(port, path.read_bytes()).decode()
+    th.join(timeout=60)
+    assert not th.is_alive()
+    capsys.readouterr()
+
+    assert main(["ook", "-bit", "16", str(path)]) == 0
+    want_bits = capsys.readouterr().out.strip().splitlines()[0]
+    assert good.strip().splitlines()[0] == want_bits
