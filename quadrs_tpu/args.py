@@ -242,6 +242,11 @@ class ServeCmd(Command):
     threshold: float = 0.001  # ook pulse threshold
     bit: float | None = None  # ook: windows/bit (default 8); fsk: windows/symbol
     raw: bool = False  # ook: raw pulse bits instead of Manchester
+    # fm-mode knobs (FmCmd counterparts)
+    deviation: float = 75_000.0
+    audio_lowpass: int | None = None
+    audio_decimate: int = 1
+    audio_size: int = 64
 
 
 def _parse_mesh(spec: str) -> tuple[int, int]:
@@ -653,23 +658,22 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     once = parse_bool(map_.pop("once", "no"))
     search = parse_bool(map_.pop("search", "no"))
     shift = parse_si_int(map_.pop("shift", "0"))
-    lowpass = parse_si_uint(map_.pop("lowpass", "200k"))
-    power = map_.pop("power", None)
-    size = 2 * parse_si_uint(power) if power is not None else 400
-    decimate = parse_si_uint(map_.pop("decimate", "32"))
     mode = map_.pop("mode", "stream")
-    if mode not in ("stream", "waterfall", "ook", "fsk"):
-        raise ValueError(f"unknown -mode: {mode!r} (stream|waterfall|ook|fsk)")
+    if mode not in ("stream", "waterfall", "ook", "fsk", "fm"):
+        raise ValueError(f"unknown -mode: {mode!r} (stream|waterfall|ook|fsk|fm)")
     # reject flags the chosen mode would silently ignore
+    _fm_flags = {"deviation", "audio-lowpass", "audio-decimate", "audio-power"}
     _inapplicable = {
-        "stream": {"stride", "threshold", "bit", "raw"},
+        "stream": {"stride", "threshold", "bit", "raw"} | _fm_flags,
         "waterfall": {"shift", "lowpass", "power", "decimate",
-                      "threshold", "bit", "raw"},
+                      "threshold", "bit", "raw"} | _fm_flags,
         # demod modes buffer the whole burst: chunking, peak search and
         # mesh sharding don't apply (and -search would shadow the bits)
         "ook": {"shift", "lowpass", "power", "decimate", "search",
-                "chunk", "mesh"},
-        "fsk": {"threshold", "raw", "search", "chunk", "mesh"},
+                "chunk", "mesh"} | _fm_flags,
+        "fsk": {"threshold", "raw", "search", "chunk", "mesh"} | _fm_flags,
+        "fm": {"width", "stride", "threshold", "bit", "raw", "search",
+               "chunk", "mesh"},
     }
     bad = explicit & _inapplicable[mode]
     if bad:
@@ -677,8 +681,21 @@ def _parse_serve(args: _Args, raw_map) -> Command:
             f"-{sorted(bad)[0]} does not apply to -mode {mode}"
         )
     _width_default = {"stream": "64", "waterfall": "1024", "ook": "4",
-                      "fsk": "64"}
+                      "fsk": "64", "fm": "64"}
     fft_width = int(parse_si_uint(map_.pop("width", _width_default[mode])))
+    # channel-filter defaults match the standalone command of each mode
+    lowpass = parse_si_uint(map_.pop("lowpass", "100k" if mode == "fm" else "200k"))
+    power = map_.pop("power", None)
+    size = 2 * parse_si_uint(power) if power is not None else 400
+    decimate = parse_si_uint(map_.pop("decimate", "8" if mode == "fm" else "32"))
+    deviation = parse_si_float(map_.pop("deviation", "75k"))
+    if deviation <= 0:
+        raise ValueError("-deviation must be positive")
+    audio_lowpass = map_.pop("audio-lowpass", None)
+    audio_lowpass = None if audio_lowpass is None else parse_si_uint(audio_lowpass)
+    audio_decimate = parse_si_uint(map_.pop("audio-decimate", "1"))
+    audio_power = map_.pop("audio-power", None)
+    audio_size = 2 * parse_si_uint(audio_power) if audio_power is not None else 64
     stride = map_.pop("stride", "2" if mode == "ook" else None)
     stride = None if stride is None else int(parse_si_uint(stride))
     threshold = parse_si_float(map_.pop("threshold", "0.001"))
@@ -702,6 +719,8 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         fft_width=fft_width, stride=stride, chunk=chunk, sample_rate=sr,
         format=fmt, mesh=None if mesh is None else _parse_mesh(mesh),
         parallel=parallel, threshold=threshold, bit=bit, raw=raw_bits,
+        deviation=deviation, audio_lowpass=audio_lowpass,
+        audio_decimate=audio_decimate, audio_size=audio_size,
     )
 
 

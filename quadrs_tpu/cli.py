@@ -37,9 +37,10 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] [-stdin no] FILENAME... \\
    serve [-port 7373] [-host 127.0.0.1] [-once no] [-search no] [-shift 0] [-lowpass 200k] \\
          [-power 200] [-decimate 32] [-width 64] [-chunk 4M] -sr R -format F \\
-         [-mode stream|waterfall|ook|fsk] [-stride =width] [waterfall: the raw fused spectrogram] \\
-         [ook/fsk: demod-as-a-service — send the burst, read back the bits; \\
-          -threshold/-bit/-raw as in the ook and fsk commands] \\
+         [-mode stream|waterfall|ook|fsk|fm] [-stride =width] [waterfall: the raw fused spectrogram] \\
+         [ook/fsk/fm: demod-as-a-service — send the burst, read back the bits (or, \\
+          fm: a "# fm N RATE" header + N f32 audio samples); -threshold/-bit/-raw/ \\
+          -deviation/-audio-* as in the ook, fsk and fm commands] \\
          [-mesh TxS] [-parallel 1] [mesh: shard each connection across chips; \\
           parallel: serve N connections concurrently on the shared compiled chain] \\
          [TCP service: compile once, then each connection streams IQ in, results out] \\

@@ -354,6 +354,19 @@ def _make_serve_demod(cmd: argmod.ServeCmd):
             threshold=cmd.threshold,
             samples_per_bit=cmd.bit if cmd.bit is not None else 8.0,
         )
+    if cmd.mode == "fm":
+        from quadrs_tpu.models.demod import FmDemod
+
+        return FmDemod(
+            center=cmd.shift,
+            bandwidth=cmd.lowpass,
+            decimate=cmd.decimate,
+            taps=cmd.size,
+            deviation=cmd.deviation,
+            audio_bandwidth=cmd.audio_lowpass,
+            audio_decimate=cmd.audio_decimate,
+            audio_taps=cmd.audio_size,
+        )
     from quadrs_tpu.models.demod import FskDemod
 
     return FskDemod(
@@ -428,6 +441,20 @@ def _demod_reply(wf, demod, cmd: argmod.ServeCmd, src, t0) -> RunStats:
     answered over the socket."""
     import time
 
+    if cmd.mode == "fm":
+        # audio is binary: a self-describing header line gives the
+        # client the exact byte count before the f32 payload, then the
+        # stats trailer closes the session like the other demod modes
+        rate, audio = demod.demodulate(src)
+        wf.write(f"# fm {len(audio)} {rate}\n".encode())
+        wf.write(audio.astype("<f4").tobytes())
+        wf.write(f"\n# fm: {len(audio)} audio samples @ {rate} Hz\n".encode())
+        wf.flush()
+        return RunStats(
+            samples_in=src.length,
+            windows_out=len(audio),
+            seconds=time.perf_counter() - t0,
+        )
     if cmd.mode == "ook":
         from quadrs_tpu.models.demod import manchester_decode
 
@@ -551,7 +578,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     from quadrs_tpu.utils.sniff import guess_details
 
     details = guess_details("-", cmd.sample_rate, cmd.format)
-    demod = cmd.mode in ("ook", "fsk")
+    demod = cmd.mode in ("ook", "fsk", "fm")
     if demod:
         model = _make_serve_demod(cmd)
     elif cmd.mode == "waterfall":
@@ -586,7 +613,10 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     print(
         f"serve: listening on {cmd.host}:{port} "
         f"({details.format.name.lower()}, sr {details.sample_rate}, "
-        f"{cmd.mode} {'bits' if demod else 'search' if cmd.search else 'norms'}"
+        f"{cmd.mode} "
+        + ("audio" if cmd.mode == "fm"
+           else "bits" if demod
+           else "search" if cmd.search else "norms")
         + (f", mesh {cmd.mesh[0]}x{cmd.mesh[1]}" if cmd.mesh else "")
         + (f", parallel {cmd.parallel}" if cmd.parallel > 1 else "")
         + ")",

@@ -416,3 +416,64 @@ def test_serve_demod_empty_burst_answers_error_and_survives(capsys):
     assert main(["ook", "-bit", "16", str(path)]) == 0
     want_bits = capsys.readouterr().out.strip().splitlines()[0]
     assert good.strip().splitlines()[0] == want_bits
+
+
+def test_serve_fm_demod_mode(capsys, tmp_path):
+    """``serve -mode fm`` answers with a self-describing header line,
+    the f32 audio bytes, and a stats trailer; the audio equals the
+    library FmDemod run on the same bytes."""
+    import numpy as np
+
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.models.demod import FmDemod
+    from quadrs_tpu.sources import SampleSource
+
+    sr = 100_000
+    t = np.arange(60_000) / sr
+    inst = 3_000.0 * np.cos(2 * np.pi * 200.0 * t)
+    phase = 2 * np.pi * np.cumsum(inst) / sr
+    x = (np.cos(phase) + 1j * np.sin(phase)).astype(np.complex64)
+    raw = np.empty(2 * len(x), dtype=np.float32)
+    raw[0::2], raw[1::2] = x.real, x.imag
+    payload = raw.tobytes()
+
+    cmd = _serve_cmd(
+        mode="fm", shift=0, lowpass=10_000, size=80, decimate=4,
+        bit=None, sample_rate="100k", format="cf32",
+    )
+    cmd = type(cmd)(**{**cmd.__dict__, "deviation": 3_000.0})
+    th, port = _start_server(cmd)
+    reply = _session(port, payload)
+    th.join(timeout=60)
+    assert not th.is_alive()
+    assert "fm audio" in capsys.readouterr().out
+
+    header, rest = reply.split(b"\n", 1)
+    n, rate = header.decode().removeprefix("# fm ").split()
+    n, rate = int(n), int(rate)
+    assert rate == sr // 4
+    audio = np.frombuffer(rest[: 4 * n], dtype="<f4")
+    trailer = rest[4 * n :].decode()
+    assert trailer.startswith("\n# fm: ")
+
+    demod = FmDemod(bandwidth=10_000, decimate=4, taps=80, deviation=3_000.0)
+    want_rate, want = demod.demodulate(
+        SampleSource(
+            np.frombuffer(payload, dtype=np.uint8), FileFormat.COMPLEX_FLOAT32, sr
+        )
+    )
+    assert want_rate == rate and len(want) == n
+    np.testing.assert_array_equal(audio, want)
+
+
+def test_serve_fm_mode_gating(capsys):
+    from quadrs_tpu.cli import main
+
+    rc = main(["serve", "-mode", "fm", "-threshold", "0.5",
+               "-sr", "2M", "-format", "cu8"])
+    assert rc == 1
+    assert "-threshold does not apply to -mode fm" in capsys.readouterr().err
+    rc = main(["serve", "-mode", "ook", "-deviation", "75k",
+               "-sr", "400", "-format", "cf32"])
+    assert rc == 1
+    assert "-deviation does not apply to -mode ook" in capsys.readouterr().err
