@@ -203,6 +203,28 @@ class FmCmd(Command):
 
 
 @dataclass
+class AmCmd(Command):
+    """``am``: demodulate an amplitude-modulated capture to audio
+    (:class:`~quadrs_tpu.models.demod.AmDemod`).  Audio is in
+    modulation-depth units (``envelope / carrier - 1``); ``-out`` writes
+    ``{prefix}.sr{rate}.f32`` like ``fm``."""
+
+    filename: str | None
+    shift: int = 0
+    lowpass: int = 10_000
+    size: int = 400
+    decimate: int = 8
+    audio_lowpass: int | None = None
+    audio_decimate: int = 1
+    audio_size: int = 64
+    out: str | None = None
+    overwrite: bool = False
+    sample_rate: str | None = None
+    format: str | None = None
+    stdin: bool = False  # buffer the capture from a pipe
+
+
+@dataclass
 class ServeCmd(Command):
     """``serve``: a persistent TCP service for the fused chain.  The
     model compiles once at startup; every accepted connection then
@@ -650,6 +672,32 @@ def _parse_fm(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_am(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    shift = parse_si_int(map_.pop("shift", "0"))
+    lowpass = parse_si_uint(map_.pop("lowpass", "10k"))
+    power = map_.pop("power", None)
+    size = 2 * parse_si_uint(power) if power is not None else 400
+    decimate = parse_si_uint(map_.pop("decimate", "8"))
+    audio_lowpass = map_.pop("audio-lowpass", None)
+    audio_lowpass = None if audio_lowpass is None else parse_si_uint(audio_lowpass)
+    audio_decimate = parse_si_uint(map_.pop("audio-decimate", "1"))
+    audio_power = map_.pop("audio-power", None)
+    audio_size = 2 * parse_si_uint(audio_power) if audio_power is not None else 64
+    out = map_.pop("out", None)
+    overwrite = parse_bool(map_.pop("overwrite", "no"))
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    filename, stdin = _take_capture_arg(args, map_, "am", sr, fmt)
+    _ensure_empty(map_, "am")
+    return AmCmd(
+        filename=filename, shift=shift, lowpass=lowpass, size=size,
+        decimate=decimate, audio_lowpass=audio_lowpass,
+        audio_decimate=audio_decimate, audio_size=audio_size, out=out,
+        overwrite=overwrite, sample_rate=sr, format=fmt, stdin=stdin,
+    )
+
+
 def _parse_serve(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     explicit = set(map_)  # flags the user actually typed
@@ -659,8 +707,10 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     search = parse_bool(map_.pop("search", "no"))
     shift = parse_si_int(map_.pop("shift", "0"))
     mode = map_.pop("mode", "stream")
-    if mode not in ("stream", "waterfall", "ook", "fsk", "fm"):
-        raise ValueError(f"unknown -mode: {mode!r} (stream|waterfall|ook|fsk|fm)")
+    if mode not in ("stream", "waterfall", "ook", "fsk", "fm", "am"):
+        raise ValueError(
+            f"unknown -mode: {mode!r} (stream|waterfall|ook|fsk|fm|am)"
+        )
     # reject flags the chosen mode would silently ignore
     _fm_flags = {"deviation", "audio-lowpass", "audio-decimate", "audio-power"}
     _inapplicable = {
@@ -674,6 +724,8 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         "fsk": {"threshold", "raw", "search", "chunk", "mesh"} | _fm_flags,
         "fm": {"width", "stride", "threshold", "bit", "raw", "search",
                "chunk", "mesh"},
+        "am": {"width", "stride", "threshold", "bit", "raw", "search",
+               "chunk", "mesh", "deviation"},
     }
     bad = explicit & _inapplicable[mode]
     if bad:
@@ -681,13 +733,16 @@ def _parse_serve(args: _Args, raw_map) -> Command:
             f"-{sorted(bad)[0]} does not apply to -mode {mode}"
         )
     _width_default = {"stream": "64", "waterfall": "1024", "ook": "4",
-                      "fsk": "64", "fm": "64"}
+                      "fsk": "64", "fm": "64", "am": "64"}
     fft_width = int(parse_si_uint(map_.pop("width", _width_default[mode])))
     # channel-filter defaults match the standalone command of each mode
-    lowpass = parse_si_uint(map_.pop("lowpass", "100k" if mode == "fm" else "200k"))
+    _lp_default = {"fm": "100k", "am": "10k"}
+    lowpass = parse_si_uint(map_.pop("lowpass", _lp_default.get(mode, "200k")))
     power = map_.pop("power", None)
     size = 2 * parse_si_uint(power) if power is not None else 400
-    decimate = parse_si_uint(map_.pop("decimate", "8" if mode == "fm" else "32"))
+    decimate = parse_si_uint(
+        map_.pop("decimate", "8" if mode in ("fm", "am") else "32")
+    )
     deviation = parse_si_float(map_.pop("deviation", "75k"))
     if deviation <= 0:
         raise ValueError("-deviation must be positive")
@@ -742,5 +797,6 @@ _PARSERS = {
     "ook": _parse_ook,
     "fsk": _parse_fsk,
     "fm": _parse_fm,
+    "am": _parse_am,
     "serve": _parse_serve,
 }

@@ -37,10 +37,10 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] [-stdin no] FILENAME... \\
    serve [-port 7373] [-host 127.0.0.1] [-once no] [-search no] [-shift 0] [-lowpass 200k] \\
          [-power 200] [-decimate 32] [-width 64] [-chunk 4M] -sr R -format F \\
-         [-mode stream|waterfall|ook|fsk|fm] [-stride =width] [waterfall: the raw fused spectrogram] \\
-         [ook/fsk/fm: demod-as-a-service — send the burst, read back the bits (or, \\
-          fm: a "# fm N RATE" header + N f32 audio samples); -threshold/-bit/-raw/ \\
-          -deviation/-audio-* as in the ook, fsk and fm commands] \\
+         [-mode stream|waterfall|ook|fsk|fm|am] [-stride =width] [waterfall: the raw fused spectrogram] \\
+         [ook/fsk/fm/am: demod-as-a-service — send the burst, read back the bits (or, \\
+          fm/am: a "# MODE N RATE" header + N f32 audio samples); -threshold/-bit/-raw/ \\
+          -deviation/-audio-* as in the ook, fsk, fm and am commands] \\
          [-mesh TxS] [-parallel 1] [mesh: shard each connection across chips; \\
           parallel: serve N connections concurrently on the shared compiled chain] \\
          [TCP service: compile once, then each connection streams IQ in, results out] \\
@@ -49,6 +49,9 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
       fm [-shift 0] [-lowpass 100k] [-power 200] [-decimate 8] [-deviation 75k] \\
          [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] \\
          [-out PREFIX (writes PREFIX.srR.f32 mono audio)] [-overwrite no] [-stdin no] FILENAME \\
+      am [-shift 0] [-lowpass 10k] [-power 200] [-decimate 8] \\
+         [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] \\
+         [-out PREFIX] [-overwrite no] [-stdin no] FILENAME [audio = envelope/carrier - 1] \\
 
 
 Formats:
@@ -84,6 +87,7 @@ def _serve_types() -> tuple:
         argmod.OokCmd,
         argmod.FskCmd,
         argmod.FmCmd,
+        argmod.AmCmd,
         argmod.ServeCmd,
     )
 

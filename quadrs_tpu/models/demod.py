@@ -214,33 +214,120 @@ class FmDemod:
         return self._audio_stage(rate, audio)
 
     def _audio_stage(self, rate: int, audio: np.ndarray) -> tuple[int, np.ndarray]:
-        """Real decimating FIR over the discriminator output (device,
-        one dispatch), with the same taps family and output-length
-        convention as :class:`~quadrs_tpu.stream.LowPass`:
-        ``n_out = 1 + (len - taps) // decimate``."""
-        import jax
+        return _audio_fir(
+            rate, audio, self.audio_bandwidth, self.audio_decimate, self.audio_taps
+        )
+
+
+def _audio_fir(
+    rate: int,
+    audio: np.ndarray,
+    bandwidth: int | None,
+    decimate: int,
+    n_taps: int,
+) -> tuple[int, np.ndarray]:
+    """Real decimating FIR over a demodulated audio signal (device, one
+    dispatch), with the same taps family and output-length convention as
+    :class:`~quadrs_tpu.stream.LowPass`:
+    ``n_out = 1 + (len - taps) // decimate``."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
+
+    d = decimate
+    cutoff_hz = (
+        bandwidth
+        if bandwidth is not None
+        else rate // (2 * d)  # anti-alias at the output Nyquist
+    )
+    taps = lowpass_taps(cutoff_hz / rate, n_taps)
+    n_out = 1 + (len(audio) - n_taps) // d
+    if n_out < 1:
+        raise ValueError("audio shorter than the audio filter")
+    n_in = n_out * d + n_taps
+    x = np.zeros(n_in, dtype=np.float32)
+    x[: len(audio)] = audio[:n_in]
+
+    @jax.jit
+    def run(a):  # complex packing happens on device (tunnel rule)
+        xc = jax.lax.complex(a, jnp.zeros_like(a))
+        y = fir_decimate(xc[None, :], taps, d, n_out)
+        return jnp.real(y[0])
+
+    return rate // d, np.asarray(run(x))
+
+
+@dataclass
+class AmDemod:
+    """Amplitude-modulation receiver: shift -> lowpass -> envelope
+    detector -> (optional) audio filter.  No reference counterpart —
+    the third analog product alongside :class:`FmDemod`, built from the
+    same stages.
+
+    The envelope is ``|x[n]|`` of the filtered channel; audio is the
+    modulation ``envelope / mean(envelope) - 1`` (so a transmitter at
+    modulation depth m yields audio swinging +/-m around zero,
+    independent of capture gain).  The whole capture's mean is the
+    carrier estimate — these are buffered bursts, like the other demod
+    models.
+    """
+
+    center: int = 0
+    bandwidth: int = 10_000
+    decimate: int = 8
+    taps: int = 400
+    audio_bandwidth: int | None = None
+    audio_decimate: int = 1
+    audio_taps: int = 64
+    chunk: int = 1 << 16  # envelope samples per device window
+
+    def channel(self, stream: Stream) -> Stream:
+        chain: Stream = stream
+        if self.center:
+            chain = Shift(chain, self.center, chain.sample_rate)
+        return LowPass(chain, self.bandwidth, self.decimate, self.taps)
+
+    def envelope(self, stream: Stream) -> tuple[int, np.ndarray]:
+        """``(channel_rate_hz, |x| f32[channel_len])`` of the filtered
+        channel (chunked on device; no window overlap needed)."""
         import jax.numpy as jnp
 
-        from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
+        from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 
-        d = self.audio_decimate
-        cutoff_hz = (
-            self.audio_bandwidth
-            if self.audio_bandwidth is not None
-            else rate // (2 * d)  # anti-alias at the output Nyquist
+        chan = self.channel(stream)
+        if chan.length < 1:
+            raise ValueError("input too short for the AM envelope")
+        rate = chan.sample_rate
+        c = min(self.chunk, chan.length)
+        offsets = np.arange(0, chan.length, c, dtype=np.int64)
+
+        def post(x):  # (B, c) complex -> (B, c) f32
+            return jnp.abs(x)
+
+        batch, batches = window_batches(offsets, c, root_step=root_step_of(chan))
+        ex = Executor(chan, c, batch=batch, post=post)
+        out = np.empty(chan.length, dtype=np.float32)
+        for offs in batches:
+            envs, valid = ex.run(offs)
+            for i in range(len(offs)):
+                o, v = int(offs[i]), int(valid[i])
+                out[o : o + v] = envs[i][:v]
+                if v < c:
+                    # short read: EOF only (see FmDemod.discriminate)
+                    return rate, out[: o + v]
+        return rate, out
+
+    def demodulate(self, stream: Stream) -> tuple[int, np.ndarray]:
+        """Full receive chain to audio in modulation-depth units
+        (``envelope / carrier - 1``)."""
+        rate, env = self.envelope(stream)
+        carrier = float(np.mean(env, dtype=np.float64))
+        if carrier <= 0.0:
+            raise ValueError("no carrier: the channel envelope is all zero")
+        audio = (env / np.float32(carrier)) - np.float32(1.0)
+        if self.audio_bandwidth is None and self.audio_decimate == 1:
+            return rate, audio
+        return _audio_fir(
+            rate, audio, self.audio_bandwidth, self.audio_decimate, self.audio_taps
         )
-        taps = lowpass_taps(cutoff_hz / rate, self.audio_taps)
-        n_out = 1 + (len(audio) - self.audio_taps) // d
-        if n_out < 1:
-            raise ValueError("audio shorter than the audio filter")
-        n_in = n_out * d + self.audio_taps
-        x = np.zeros(n_in, dtype=np.float32)
-        x[: len(audio)] = audio[:n_in]
-
-        @jax.jit
-        def run(a):  # complex packing happens on device (tunnel rule)
-            xc = jax.lax.complex(a, jnp.zeros_like(a))
-            y = fir_decimate(xc[None, :], taps, d, n_out)
-            return jnp.real(y[0])
-
-        return rate // d, np.asarray(run(x))

@@ -341,6 +341,41 @@ def run_fm(cmd: argmod.FmCmd) -> int:
     return 0
 
 
+def run_am(cmd: argmod.AmCmd) -> int:
+    """Demodulate an AM capture to audio (modulation-depth units):
+    write mono LE f32 (``-out``) or print a modulation-meter summary."""
+    import time
+
+    from quadrs_tpu.models.demod import AmDemod
+
+    src = _cmd_source(cmd)
+    demod = AmDemod(
+        center=cmd.shift,
+        bandwidth=cmd.lowpass,
+        decimate=cmd.decimate,
+        taps=cmd.size,
+        audio_bandwidth=cmd.audio_lowpass,
+        audio_decimate=cmd.audio_decimate,
+        audio_taps=cmd.audio_size,
+    )
+    t0 = time.perf_counter()
+    rate, audio = demod.demodulate(src)
+    secs = time.perf_counter() - t0
+    if cmd.out is not None:
+        filename = f"{cmd.out}.sr{rate}.f32"
+        with open(filename, "wb" if cmd.overwrite else "xb") as fh:
+            fh.write(audio.astype("<f4").tobytes())
+        print(filename)
+    peak = float(np.max(np.abs(audio))) if len(audio) else 0.0
+    rms = float(np.sqrt(np.mean(np.square(audio, dtype=np.float64)))) if len(audio) else 0.0
+    print(
+        f"am: {len(audio)} audio samples @ {rate} Hz "
+        f"({len(audio) / rate:.3f} s), peak modulation {peak:.3f}, "
+        f"rms {rms:.3f}, {src.length / max(secs, 1e-9) / 1e6:.1f} Msps"
+    )
+    return 0
+
+
 def _make_serve_demod(cmd: argmod.ServeCmd):
     """The demod model behind ``serve -mode ook|fsk`` (built once at
     startup; the jitted chain it drives is shared by shapes across
@@ -353,6 +388,18 @@ def _make_serve_demod(cmd: argmod.ServeCmd):
             stride=cmd.stride if cmd.stride is not None else 2,
             threshold=cmd.threshold,
             samples_per_bit=cmd.bit if cmd.bit is not None else 8.0,
+        )
+    if cmd.mode == "am":
+        from quadrs_tpu.models.demod import AmDemod
+
+        return AmDemod(
+            center=cmd.shift,
+            bandwidth=cmd.lowpass,
+            decimate=cmd.decimate,
+            taps=cmd.size,
+            audio_bandwidth=cmd.audio_lowpass,
+            audio_decimate=cmd.audio_decimate,
+            audio_taps=cmd.audio_size,
         )
     if cmd.mode == "fm":
         from quadrs_tpu.models.demod import FmDemod
@@ -441,14 +488,16 @@ def _demod_reply(wf, demod, cmd: argmod.ServeCmd, src, t0) -> RunStats:
     answered over the socket."""
     import time
 
-    if cmd.mode == "fm":
+    if cmd.mode in ("fm", "am"):
         # audio is binary: a self-describing header line gives the
         # client the exact byte count before the f32 payload, then the
         # stats trailer closes the session like the other demod modes
         rate, audio = demod.demodulate(src)
-        wf.write(f"# fm {len(audio)} {rate}\n".encode())
+        wf.write(f"# {cmd.mode} {len(audio)} {rate}\n".encode())
         wf.write(audio.astype("<f4").tobytes())
-        wf.write(f"\n# fm: {len(audio)} audio samples @ {rate} Hz\n".encode())
+        wf.write(
+            f"\n# {cmd.mode}: {len(audio)} audio samples @ {rate} Hz\n".encode()
+        )
         wf.flush()
         return RunStats(
             samples_in=src.length,
@@ -578,7 +627,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     from quadrs_tpu.utils.sniff import guess_details
 
     details = guess_details("-", cmd.sample_rate, cmd.format)
-    demod = cmd.mode in ("ook", "fsk", "fm")
+    demod = cmd.mode in ("ook", "fsk", "fm", "am")
     if demod:
         model = _make_serve_demod(cmd)
     elif cmd.mode == "waterfall":
@@ -614,7 +663,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
         f"serve: listening on {cmd.host}:{port} "
         f"({details.format.name.lower()}, sr {details.sample_rate}, "
         f"{cmd.mode} "
-        + ("audio" if cmd.mode == "fm"
+        + ("audio" if cmd.mode in ("fm", "am")
            else "bits" if demod
            else "search" if cmd.search else "norms")
         + (f", mesh {cmd.mesh[0]}x{cmd.mesh[1]}" if cmd.mesh else "")
@@ -684,5 +733,6 @@ RUNNERS = {
     argmod.OokCmd: run_ook,
     argmod.FskCmd: run_fsk,
     argmod.FmCmd: run_fm,
+    argmod.AmCmd: run_am,
     argmod.ServeCmd: run_serve,
 }

@@ -477,3 +477,44 @@ def test_serve_fm_mode_gating(capsys):
                "-sr", "400", "-format", "cf32"])
     assert rc == 1
     assert "-deviation does not apply to -mode ook" in capsys.readouterr().err
+
+
+def test_serve_am_demod_mode(capsys):
+    """``serve -mode am`` answers with the "# am N RATE" header, the
+    f32 audio, and a trailer; audio equals the library AmDemod run."""
+    import numpy as np
+
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.models.demod import AmDemod
+    from quadrs_tpu.sources import SampleSource
+
+    sr = 100_000
+    t = np.arange(40_000) / sr
+    x = (1.0 + 0.5 * np.cos(2 * np.pi * 250.0 * t)).astype(np.complex64)
+    raw = np.empty(2 * len(x), dtype=np.float32)
+    raw[0::2], raw[1::2] = x.real, x.imag
+    payload = raw.tobytes()
+
+    cmd = _serve_cmd(
+        mode="am", shift=0, lowpass=8_000, size=80, decimate=4,
+        bit=None, sample_rate="100k", format="cf32",
+    )
+    th, port = _start_server(cmd)
+    reply = _session(port, payload)
+    th.join(timeout=60)
+    assert not th.is_alive()
+    assert "am audio" in capsys.readouterr().out
+
+    header, rest = reply.split(b"\n", 1)
+    n, rate = map(int, header.decode().removeprefix("# am ").split())
+    audio = np.frombuffer(rest[: 4 * n], dtype="<f4")
+    assert rest[4 * n :].decode().startswith("\n# am: ")
+
+    demod = AmDemod(bandwidth=8_000, decimate=4, taps=80)
+    want_rate, want = demod.demodulate(
+        SampleSource(
+            np.frombuffer(payload, dtype=np.uint8), FileFormat.COMPLEX_FLOAT32, sr
+        )
+    )
+    assert (want_rate, len(want)) == (rate, n)
+    np.testing.assert_array_equal(audio, want)
