@@ -225,6 +225,28 @@ class AmCmd(Command):
 
 
 @dataclass
+class ChannelizeCmd(Command):
+    """``channelize``: split a capture into K equally-spaced channels in
+    one pass (:class:`~quadrs_tpu.models.channelizer.Channelize` — the
+    polyphase filter bank; channel ``k`` matches ``shift -{k*sr/K}`` +
+    ``lowpass -decimate K``).  ``-out`` writes each selected channel as
+    ``{prefix}.ch{k}.sr{rate}.cf32``; without it the command prints a
+    per-channel RMS meter."""
+
+    filename: str | None
+    channels: int = 8
+    size: int = 40  # prototype taps (2 * -power, reference lowpass default)
+    frequency: int | None = None  # cutoff; defaults to sr/(2K)
+    chunk: int = 1 << 18  # output samples per executor pull
+    select: tuple[int, ...] | None = None  # channels to write/print (all)
+    out: str | None = None
+    overwrite: bool = False
+    sample_rate: str | None = None
+    format: str | None = None
+    stdin: bool = False  # buffer the capture from a pipe
+
+
+@dataclass
 class ServeCmd(Command):
     """``serve``: a persistent TCP service for the fused chain.  The
     model compiles once at startup; every accepted connection then
@@ -698,6 +720,43 @@ def _parse_am(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_channelize(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    channels = int(parse_si_uint(map_.pop("channels", "8")))
+    if channels < 2:
+        raise ValueError("-channels must be at least 2")
+    power = map_.pop("power", None)
+    size = 2 * parse_si_uint(power) if power is not None else 40
+    freq = map_.pop("freq", None)
+    freq = None if freq is None else int(parse_si_uint(freq))
+    chunk = int(parse_si_uint(map_.pop("chunk", "256k")))
+    select_raw = map_.pop("select", None)
+    select: tuple[int, ...] | None = None
+    if select_raw is not None:
+        try:
+            select = tuple(int(parse_si_uint(tok)) for tok in select_raw.split(","))
+        except ValueError:
+            raise ValueError(f"bad -select list: {select_raw!r}")
+        if not select:
+            raise ValueError("empty -select list")
+        bad = [ch for ch in select if ch >= channels]
+        if bad:
+            raise ValueError(
+                f"-select channel {bad[0]} out of range (channels={channels})"
+            )
+    out = map_.pop("out", None)
+    overwrite = parse_bool(map_.pop("overwrite", "no"))
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    filename, stdin = _take_capture_arg(args, map_, "channelize", sr, fmt)
+    _ensure_empty(map_, "channelize")
+    return ChannelizeCmd(
+        filename=filename, channels=channels, size=size, frequency=freq,
+        chunk=chunk, select=select, out=out, overwrite=overwrite,
+        sample_rate=sr, format=fmt, stdin=stdin,
+    )
+
+
 def _parse_serve(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     explicit = set(map_)  # flags the user actually typed
@@ -798,5 +857,6 @@ _PARSERS = {
     "fsk": _parse_fsk,
     "fm": _parse_fm,
     "am": _parse_am,
+    "channelize": _parse_channelize,
     "serve": _parse_serve,
 }

@@ -52,6 +52,10 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
       am [-shift 0] [-lowpass 10k] [-power 200] [-decimate 8] \\
          [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] \\
          [-out PREFIX] [-overwrite no] [-stdin no] FILENAME [audio = envelope/carrier - 1] \\
+channelize [-channels 8] [-power 20] [-freq =sr/2K] [-chunk 256k] [-select 0,3,..] \\
+         [-out PREFIX (writes PREFIX.chK.srR.cf32 per channel)] [-overwrite no] \\
+         [-stdin no] FILENAME [polyphase filter bank: every channel in one pass; \\
+          channel k = shift -k*sr/K + lowpass -decimate K] \\
 
 
 Formats:
@@ -88,6 +92,7 @@ def _serve_types() -> tuple:
         argmod.FskCmd,
         argmod.FmCmd,
         argmod.AmCmd,
+        argmod.ChannelizeCmd,
         argmod.ServeCmd,
     )
 

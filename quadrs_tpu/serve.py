@@ -376,6 +376,67 @@ def run_am(cmd: argmod.AmCmd) -> int:
     return 0
 
 
+def run_channelize(cmd: argmod.ChannelizeCmd) -> int:
+    """Split a capture into K channels in one polyphase-bank pass:
+    write each selected channel as ``{prefix}.ch{k}.sr{rate}.cf32``
+    (``-out``), or print a per-channel RMS meter."""
+    import time
+
+    from quadrs_tpu.models.channelizer import Channelize, run_channelize as run_bank
+
+    src = _cmd_source(cmd)
+    chan = Channelize(
+        src, cmd.channels, frequency=cmd.frequency, size=cmd.size
+    )
+    k = chan.channels
+    select = tuple(range(k)) if cmd.select is None else cmd.select
+    rate = chan.sample_rate
+
+    def center(ch: int) -> int:
+        # DFT-bin order: the upper half aliases to negative frequencies
+        return ch * src.sample_rate // k if ch < (k + 1) // 2 else (
+            (ch - k) * src.sample_rate // k
+        )
+
+    files = {}
+    sumsq = np.zeros(k, dtype=np.float64)
+    n_out = 0
+    t0 = time.perf_counter()
+    try:
+        if cmd.out is not None:
+            for ch in select:
+                name = f"{cmd.out}.ch{ch}.sr{rate}.cf32"
+                files[ch] = open(name, "wb" if cmd.overwrite else "xb")
+        for piece in run_bank(chan, chunk=cmd.chunk):
+            n_out = piece.start + piece.data.shape[1]
+            sumsq += np.sum(
+                np.square(piece.data.real, dtype=np.float64)
+                + np.square(piece.data.imag, dtype=np.float64),
+                axis=1,
+            )
+            for ch, fh in files.items():
+                row = piece.data[ch]
+                pair = np.empty((len(row), 2), dtype="<f4")
+                pair[:, 0] = row.real
+                pair[:, 1] = row.imag
+                fh.write(pair.tobytes())
+    finally:
+        for fh in files.values():
+            fh.close()
+    secs = time.perf_counter() - t0
+    rms = np.sqrt(sumsq / max(n_out, 1))
+    for ch in select:
+        line = f"channel {ch}: center {center(ch)} Hz, rms {rms[ch]:.6g}"
+        if cmd.out is not None:
+            line += f", wrote {cmd.out}.ch{ch}.sr{rate}.cf32"
+        print(line)
+    print(
+        f"channelize: {k} channels @ {rate} Hz, {n_out} samples each, "
+        f"{secs:.2f}s, {src.length / max(secs, 1e-9) / 1e6:.1f} Msps"
+    )
+    return 0
+
+
 def _make_serve_demod(cmd: argmod.ServeCmd):
     """The demod model behind ``serve -mode ook|fsk`` (built once at
     startup; the jitted chain it drives is shared by shapes across
@@ -734,5 +795,6 @@ RUNNERS = {
     argmod.FskCmd: run_fsk,
     argmod.FmCmd: run_fm,
     argmod.AmCmd: run_am,
+    argmod.ChannelizeCmd: run_channelize,
     argmod.ServeCmd: run_serve,
 }
