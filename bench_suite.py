@@ -422,6 +422,74 @@ def bench_waterfall_search(on_accel: bool) -> dict:
     return entry
 
 
+def bench_channelizer(on_accel: bool) -> dict:
+    """Polyphase filter bank: all K channels in one pass vs K separate
+    shift+lowpass chains (the reference's only way to extract them).
+
+    Input rate of the bank step (branch FMAs + cross-branch MXU DFT);
+    ``vs_separate`` A/Bs it against the naive composition — K
+    full-rate NCO mixes + K decimating FIRs built from the same
+    validated ops — on the same chunk in the same session.
+    """
+    import jax.numpy as jnp
+
+    from quadrs_tpu.ops.channelizer import channelize_block
+    from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
+
+    k, taps_n = 16, 128
+    n_out = (1 << 16) if on_accel else (1 << 13)
+    chunk = n_out * k
+    taps = lowpass_taps(1.0 / (2 * k), taps_n)
+
+    rng = np.random.default_rng(7)
+    xr = jnp.asarray(rng.standard_normal(chunk + taps_n).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal(chunk + taps_n).astype(np.float32))
+    gains = np.linspace(0.5, 1.5, 16, dtype=np.float32)  # defeat CSE
+
+    @jax.jit
+    def _bank(g, acc):
+        x = (jax.lax.complex(xr, xi) * g)[None, :]
+        out = channelize_block(x, taps, k, n_out)
+        return acc + jnp.sum(jnp.real(out) ** 2 + jnp.imag(out) ** 2)
+
+    # the naive alternative: K premixed band-pass FIRs (mix folded into
+    # complex taps — already the *fast* XLA spelling; a per-sample NCO
+    # mix per channel would only be slower)
+    premixed = [
+        (taps.astype(np.complex128) * np.exp(-2j * np.pi * np.arange(taps_n) * ch / k)).astype(np.complex64)
+        for ch in range(k)
+    ]
+
+    @jax.jit
+    def _separate(g, acc):
+        x = (jax.lax.complex(xr, xi) * g)[None, :]
+        for ch in range(k):
+            y = fir_decimate(x, premixed[ch], k, n_out, impl="auto")
+            acc = acc + jnp.sum(jnp.real(y) ** 2 + jnp.imag(y) ** 2)
+        return acc
+
+    def step_of(fn):
+        return lambda i, acc: fn(jnp.float32(gains[i % 16]), acc)
+
+    secs = 2.0 if on_accel else 0.3
+    tstats: dict = {}
+    msps = measure_msps_acc(step_of(_bank), chunk, secs, min_iters=2, stats_out=tstats)
+    sep = measure_msps_acc(step_of(_separate), chunk, secs, min_iters=2)
+    entry = {
+        "metric": f"{k}-channel polyphase bank (128-tap prototype; input rate)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+        "separate_chains_msps": round(sep, 1),
+        "vs_separate": round(msps / max(sep, 1e-9), 2),
+        **tstats,
+    }
+    # per input sample: branch FIRs = N complex*real MACs (4 flops each)
+    # and the dense K-point DFT = K^2 complex MACs per K inputs = 8*K
+    entry.update(roofline(msps, 4.0 * taps_n + 8.0 * k, 8.0))
+    return entry
+
+
 def _sustained_capture(n_samples: int) -> str:
     """A synthetic cs8 capture file, cached across runs (2 bytes/sample)."""
     path = f"/tmp/quadrs-sustained-{n_samples}.sr21M.cs8"
@@ -695,6 +763,7 @@ def suite(on_accel: bool) -> list[dict]:
         bench_waterfall(on_accel),
         bench_waterfall_strided(on_accel),
         bench_waterfall_search(on_accel),
+        bench_channelizer(on_accel),
         bench_disk_staging(on_accel),
         bench_disk_sustained(on_accel),
         bench_long_fir_sustained(on_accel),
@@ -710,6 +779,7 @@ def main() -> None:
         bench_waterfall,
         bench_waterfall_strided,
         bench_waterfall_search,
+        bench_channelizer,
         bench_disk_staging,
         bench_disk_sustained,
         bench_long_fir_sustained,

@@ -23,7 +23,7 @@ the MXU.
 """
 
 from quadrs_tpu.formats import FileFormat, FileDetails
-from quadrs_tpu.stream import LowPass, Shift, Stream
+from quadrs_tpu.stream import LowPass, Resample, Shift, Stream
 from quadrs_tpu.sources import (
     LivePipeStream,
     PipeSource,
@@ -42,6 +42,7 @@ __all__ = [
     "Stream",
     "Shift",
     "LowPass",
+    "Resample",
     "LivePipeStream",
     "PipeSource",
     "SampleSource",

@@ -413,6 +413,32 @@ def _parse_lowpass(args: _Args, raw_map) -> Command:
     return Octagon(ops.LowPassOp(size=size, decimate=decimate, frequency=frequency))
 
 
+def _parse_resample(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    ratio = args.next()
+    if ratio is None:
+        raise ValueError("'resample' requires an UP/DOWN ratio argument")
+    if "/" not in ratio:
+        raise ValueError(f"resample ratio must be UP/DOWN (e.g. 3/2): '{ratio}'")
+    up_s, down_s = ratio.split("/", 1)
+    up, down = int(parse_si_uint(up_s)), int(parse_si_uint(down_s))
+    if up == 0 or down == 0:
+        raise ValueError(f"resample ratio terms must be positive: '{ratio}'")
+    power = map_.pop("power", None)
+    size = map_.pop("size", None)
+    if power is not None and size is not None:
+        raise ValueError("resample takes -power or -size, not both")
+    _ensure_empty(map_, "resample")
+    return Octagon(
+        ops.ResampleOp(
+            up=up,
+            down=down,
+            size=int(parse_si_uint(size)) if size is not None else None,
+            power=int(parse_si_uint(power)) if power is not None else 8,
+        )
+    )
+
+
 def _parse_sparkfft(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     width = int(parse_si_uint(map_.pop("width", "128")))
@@ -842,6 +868,7 @@ _PARSERS = {
     "from": _parse_from,
     "shift": _parse_shift,
     "lowpass": _parse_lowpass,
+    "resample": _parse_resample,
     "sparkfft": _parse_sparkfft,
     "bucket": _parse_bucket,
     "write": _parse_write,

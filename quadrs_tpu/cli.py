@@ -19,6 +19,7 @@ usage: {us} \\
     from [-sr SAMPLE_RATE] [-format cf32|cs8|cu8|cs16] FILENAME.sr32k.cf32 \\
    shift [-]FREQUENCY \\
  lowpass [-power 20] [-decimate 8] FREQUENCY \\
+resample [-power 8] [-size N] UP/DOWN [rational rate conversion, e.g. 3/2 or 147/160] \\
 sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
   bucket [-width 128] [-stride =width] [-by freq] COUNT \\
    write [-overwrite no] FILENAME_PREFIX \\

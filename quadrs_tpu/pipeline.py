@@ -40,6 +40,17 @@ class LowPassOp(Operation):
 
 
 @dataclass
+class ResampleOp(Operation):
+    """Rational rate conversion by ``up/down`` (TPU-native addition;
+    the reference only decimates)."""
+
+    up: int
+    down: int
+    size: int | None = None
+    power: int = 8
+
+
+@dataclass
 class SparkFftOp(Operation):
     width: int = 128
     stride: int | None = None
@@ -91,6 +102,13 @@ def exec_operation(
         if stream is None:
             raise ValueError("lowpass requires an input")
         return LowPass(stream, op.frequency, op.decimate, op.size)
+
+    if isinstance(op, ResampleOp):
+        if stream is None:
+            raise ValueError("resample requires an input")
+        from quadrs_tpu.stream import Resample
+
+        return Resample(stream, op.up, op.down, size=op.size, power=op.power)
 
     if isinstance(op, SparkFftOp):
         if stream is None:
