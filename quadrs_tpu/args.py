@@ -195,8 +195,10 @@ class FmCmd(Command):
     audio_lowpass: int | None = None  # second-stage cutoff (Hz)
     audio_decimate: int = 1
     audio_size: int = 64
+    audio_rate: int | None = None  # rational resample to this exact Hz
     out: str | None = None
     overwrite: bool = False
+    wav: bool = False  # -out writes {prefix}.wav instead of raw f32
     sample_rate: str | None = None
     format: str | None = None
     stdin: bool = False  # buffer the capture from a pipe
@@ -217,8 +219,10 @@ class AmCmd(Command):
     audio_lowpass: int | None = None
     audio_decimate: int = 1
     audio_size: int = 64
+    audio_rate: int | None = None  # rational resample to this exact Hz
     out: str | None = None
     overwrite: bool = False
+    wav: bool = False  # -out writes {prefix}.wav instead of raw f32
     sample_rate: str | None = None
     format: str | None = None
     stdin: bool = False  # buffer the capture from a pipe
@@ -291,6 +295,7 @@ class ServeCmd(Command):
     audio_lowpass: int | None = None
     audio_decimate: int = 1
     audio_size: int = 64
+    audio_rate: int | None = None  # fm/am: rational resample to this Hz
 
 
 def _parse_mesh(spec: str) -> tuple[int, int]:
@@ -706,8 +711,13 @@ def _parse_fm(args: _Args, raw_map) -> Command:
     audio_decimate = parse_si_uint(map_.pop("audio-decimate", "1"))
     audio_power = map_.pop("audio-power", None)
     audio_size = 2 * parse_si_uint(audio_power) if audio_power is not None else 64
+    audio_rate = map_.pop("audio-rate", None)
+    audio_rate = None if audio_rate is None else int(parse_si_uint(audio_rate))
     out = map_.pop("out", None)
     overwrite = parse_bool(map_.pop("overwrite", "no"))
+    wav = parse_bool(map_.pop("wav", "no"))
+    if wav and out is None:
+        raise ValueError("fm -wav requires -out")
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     filename, stdin = _take_capture_arg(args, map_, "fm", sr, fmt)
@@ -715,8 +725,9 @@ def _parse_fm(args: _Args, raw_map) -> Command:
     return FmCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, deviation=deviation, audio_lowpass=audio_lowpass,
-        audio_decimate=audio_decimate, audio_size=audio_size, out=out,
-        overwrite=overwrite, sample_rate=sr, format=fmt, stdin=stdin,
+        audio_decimate=audio_decimate, audio_size=audio_size,
+        audio_rate=audio_rate, out=out, overwrite=overwrite, wav=wav,
+        sample_rate=sr, format=fmt, stdin=stdin,
     )
 
 
@@ -732,8 +743,13 @@ def _parse_am(args: _Args, raw_map) -> Command:
     audio_decimate = parse_si_uint(map_.pop("audio-decimate", "1"))
     audio_power = map_.pop("audio-power", None)
     audio_size = 2 * parse_si_uint(audio_power) if audio_power is not None else 64
+    audio_rate = map_.pop("audio-rate", None)
+    audio_rate = None if audio_rate is None else int(parse_si_uint(audio_rate))
     out = map_.pop("out", None)
     overwrite = parse_bool(map_.pop("overwrite", "no"))
+    wav = parse_bool(map_.pop("wav", "no"))
+    if wav and out is None:
+        raise ValueError("am -wav requires -out")
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     filename, stdin = _take_capture_arg(args, map_, "am", sr, fmt)
@@ -741,8 +757,9 @@ def _parse_am(args: _Args, raw_map) -> Command:
     return AmCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, audio_lowpass=audio_lowpass,
-        audio_decimate=audio_decimate, audio_size=audio_size, out=out,
-        overwrite=overwrite, sample_rate=sr, format=fmt, stdin=stdin,
+        audio_decimate=audio_decimate, audio_size=audio_size,
+        audio_rate=audio_rate, out=out, overwrite=overwrite, wav=wav,
+        sample_rate=sr, format=fmt, stdin=stdin,
     )
 
 
@@ -797,7 +814,8 @@ def _parse_serve(args: _Args, raw_map) -> Command:
             f"unknown -mode: {mode!r} (stream|waterfall|ook|fsk|fm|am)"
         )
     # reject flags the chosen mode would silently ignore
-    _fm_flags = {"deviation", "audio-lowpass", "audio-decimate", "audio-power"}
+    _fm_flags = {"deviation", "audio-lowpass", "audio-decimate", "audio-power",
+                 "audio-rate"}
     _inapplicable = {
         "stream": {"stride", "threshold", "bit", "raw"} | _fm_flags,
         "waterfall": {"shift", "lowpass", "power", "decimate",
@@ -836,6 +854,8 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     audio_decimate = parse_si_uint(map_.pop("audio-decimate", "1"))
     audio_power = map_.pop("audio-power", None)
     audio_size = 2 * parse_si_uint(audio_power) if audio_power is not None else 64
+    audio_rate = map_.pop("audio-rate", None)
+    audio_rate = None if audio_rate is None else int(parse_si_uint(audio_rate))
     stride = map_.pop("stride", "2" if mode == "ook" else None)
     stride = None if stride is None else int(parse_si_uint(stride))
     threshold = parse_si_float(map_.pop("threshold", "0.001"))
@@ -861,6 +881,7 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         parallel=parallel, threshold=threshold, bit=bit, raw=raw_bits,
         deviation=deviation, audio_lowpass=audio_lowpass,
         audio_decimate=audio_decimate, audio_size=audio_size,
+        audio_rate=audio_rate,
     )
 
 

@@ -48,11 +48,12 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
      ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] [-stdin no] FILENAME \\
      fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] FILENAME \\
       fm [-shift 0] [-lowpass 100k] [-power 200] [-decimate 8] [-deviation 75k] \\
-         [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] \\
-         [-out PREFIX (writes PREFIX.srR.f32 mono audio)] [-overwrite no] [-stdin no] FILENAME \\
+         [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\
+         [-out PREFIX (writes PREFIX.srR.f32 mono audio)] [-wav no (write PREFIX.wav instead)] \\
+         [-overwrite no] [-stdin no] FILENAME \\
       am [-shift 0] [-lowpass 10k] [-power 200] [-decimate 8] \\
-         [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] \\
-         [-out PREFIX] [-overwrite no] [-stdin no] FILENAME [audio = envelope/carrier - 1] \\
+         [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\
+         [-out PREFIX] [-wav no] [-overwrite no] [-stdin no] FILENAME [audio = envelope/carrier - 1] \\
 channelize [-channels 8] [-power 20] [-freq =sr/2K] [-chunk 256k] [-select 0,3,..] \\
          [-out PREFIX (writes PREFIX.chK.srR.cf32 per channel)] [-overwrite no] \\
          [-stdin no] FILENAME [polyphase filter bank: every channel in one pass; \\

@@ -139,7 +139,10 @@ class FmDemod:
     yields audio in [-1, 1].  ``audio_bandwidth``/``audio_decimate``
     add a second (real) decimating FIR after the discriminator —
     broadcast FM channels decimate to ~250 kHz for the discriminator
-    and again to an audio rate here.
+    and again to an audio rate here.  ``audio_rate`` rationally
+    resamples the result to an exact device rate (48 kHz is rarely an
+    integer divisor of the channel rate; see
+    :func:`quadrs_tpu.ops.resample.resample_real`).
     """
 
     center: int = 0
@@ -150,6 +153,7 @@ class FmDemod:
     audio_bandwidth: int | None = None
     audio_decimate: int = 1
     audio_taps: int = 64
+    audio_rate: int | None = None  # rational resample to this exact Hz
     chunk: int = 1 << 16  # discriminator samples per device window
 
     def channel(self, stream: Stream) -> Stream:
@@ -209,14 +213,18 @@ class FmDemod:
         """
         rate, freq = self.discriminate(stream)
         audio = freq / np.float32(self.deviation)
-        if self.audio_bandwidth is None and self.audio_decimate == 1:
-            return rate, audio
         return self._audio_stage(rate, audio)
 
     def _audio_stage(self, rate: int, audio: np.ndarray) -> tuple[int, np.ndarray]:
-        return _audio_fir(
-            rate, audio, self.audio_bandwidth, self.audio_decimate, self.audio_taps
-        )
+        if self.audio_bandwidth is not None or self.audio_decimate != 1:
+            rate, audio = _audio_fir(
+                rate, audio, self.audio_bandwidth, self.audio_decimate, self.audio_taps
+            )
+        if self.audio_rate is not None and self.audio_rate != rate:
+            from quadrs_tpu.ops.resample import resample_real
+
+            rate, audio = resample_real(audio, rate, self.audio_rate)
+        return rate, audio
 
 
 def _audio_fir(
@@ -280,6 +288,7 @@ class AmDemod:
     audio_bandwidth: int | None = None
     audio_decimate: int = 1
     audio_taps: int = 64
+    audio_rate: int | None = None  # rational resample to this exact Hz
     chunk: int = 1 << 16  # envelope samples per device window
 
     def channel(self, stream: Stream) -> Stream:
@@ -326,8 +335,12 @@ class AmDemod:
         if carrier <= 0.0:
             raise ValueError("no carrier: the channel envelope is all zero")
         audio = (env / np.float32(carrier)) - np.float32(1.0)
-        if self.audio_bandwidth is None and self.audio_decimate == 1:
-            return rate, audio
-        return _audio_fir(
-            rate, audio, self.audio_bandwidth, self.audio_decimate, self.audio_taps
-        )
+        if self.audio_bandwidth is not None or self.audio_decimate != 1:
+            rate, audio = _audio_fir(
+                rate, audio, self.audio_bandwidth, self.audio_decimate, self.audio_taps
+            )
+        if self.audio_rate is not None and self.audio_rate != rate:
+            from quadrs_tpu.ops.resample import resample_real
+
+            rate, audio = resample_real(audio, rate, self.audio_rate)
+        return rate, audio

@@ -32,6 +32,7 @@ Frames come from the no-gather row-slice builder
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +83,55 @@ def resample_tables(size: int, up: int, down: int):
 
     d = gamma - gamma_min + q_count - 1  # last frame-relative index read
     return weights, gamma_min, frame_len, d.astype(np.int64)
+
+
+def resample_real(
+    audio: np.ndarray, rate: int, target_rate: int, *, power: int = 8
+) -> tuple[int, np.ndarray]:
+    """Resample a whole real (f32) signal from ``rate`` to
+    ``target_rate`` Hz — the demod models' audio stage (FM/AM audio to
+    a sound-device rate like 48 kHz, which is rarely an integer divisor
+    of the channel rate).
+
+    Same tables and semantics as :func:`resample_tables` with the
+    window at offset 0 (phase class w=0): one ``(frames, m) @ (m, L)``
+    matmul over the burst, output length = the exact full-window count.
+    Identity when the rates already match.
+    """
+    rate, target_rate = int(rate), int(target_rate)
+    if rate <= 0 or target_rate <= 0:
+        raise ValueError("rates must be positive")
+    if rate == target_rate:
+        return rate, audio
+    g = math.gcd(rate, target_rate)
+    l, m_ = target_rate // g, rate // g
+    size = 2 * int(power) * max(l, m_)
+    weights, gamma_min, frame_len, d = resample_tables(size, l, m_)
+    avail = len(audio) - gamma_min
+    jmax = (avail - 1 - d[0]) // m_
+    n_out = int(np.min((jmax + 1) * l + np.arange(l)))
+    if n_out < 1:
+        raise ValueError("audio shorter than the resampling filter")
+    nb = -(-n_out // l)
+    n_in = (nb - 1) * m_ + frame_len
+    x = np.zeros(n_in, dtype=np.float32)
+    take = min(n_in, max(0, len(audio) - gamma_min))
+    x[:take] = audio[gamma_min : gamma_min + take]
+
+    from quadrs_tpu.ops.fir import _overlapped_frames
+
+    @jax.jit
+    def run(a):
+        frames = _overlapped_frames(a[None, :], m_, frame_len, nb)  # (1, nb, m)
+        y = jnp.einsum(
+            "bfm,ml->bfl",
+            frames,
+            jnp.asarray(weights[0]),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return y.reshape(-1)[:n_out]
+
+    return target_rate, np.asarray(run(x))
 
 
 def resample_block(

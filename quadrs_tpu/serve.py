@@ -304,6 +304,20 @@ def run_fsk(cmd: argmod.FskCmd) -> int:
     return 0
 
 
+def _write_audio(cmd, rate: int, audio: "np.ndarray") -> str:
+    """Write demodulated audio per the command's output flags: raw mono
+    LE f32 (`{prefix}.sr{rate}.f32`) or, with `-wav yes`, a playable
+    mono float32 WAV (`{prefix}.wav` — same samples, RIFF-wrapped)."""
+    if cmd.wav:
+        from quadrs_tpu.utils.wav import write_wav
+
+        return write_wav(f"{cmd.out}.wav", rate, audio, overwrite=cmd.overwrite)
+    filename = f"{cmd.out}.sr{rate}.f32"
+    with open(filename, "wb" if cmd.overwrite else "xb") as fh:
+        fh.write(audio.astype("<f4").tobytes())
+    return filename
+
+
 def run_fm(cmd: argmod.FmCmd) -> int:
     """Demodulate an analog-FM capture to audio: write it as mono LE
     f32 (``-out``) or print a deviation-meter summary."""
@@ -321,15 +335,13 @@ def run_fm(cmd: argmod.FmCmd) -> int:
         audio_bandwidth=cmd.audio_lowpass,
         audio_decimate=cmd.audio_decimate,
         audio_taps=cmd.audio_size,
+        audio_rate=cmd.audio_rate,
     )
     t0 = time.perf_counter()
     rate, audio = demod.demodulate(src)
     secs = time.perf_counter() - t0
     if cmd.out is not None:
-        filename = f"{cmd.out}.sr{rate}.f32"
-        with open(filename, "wb" if cmd.overwrite else "xb") as fh:
-            fh.write(audio.astype("<f4").tobytes())
-        print(filename)
+        print(_write_audio(cmd, rate, audio))
     dev = np.float32(cmd.deviation)
     peak = float(np.max(np.abs(audio)) * dev) if len(audio) else 0.0
     rms = float(np.sqrt(np.mean(np.square(audio, dtype=np.float64))) * dev) if len(audio) else 0.0
@@ -357,15 +369,13 @@ def run_am(cmd: argmod.AmCmd) -> int:
         audio_bandwidth=cmd.audio_lowpass,
         audio_decimate=cmd.audio_decimate,
         audio_taps=cmd.audio_size,
+        audio_rate=cmd.audio_rate,
     )
     t0 = time.perf_counter()
     rate, audio = demod.demodulate(src)
     secs = time.perf_counter() - t0
     if cmd.out is not None:
-        filename = f"{cmd.out}.sr{rate}.f32"
-        with open(filename, "wb" if cmd.overwrite else "xb") as fh:
-            fh.write(audio.astype("<f4").tobytes())
-        print(filename)
+        print(_write_audio(cmd, rate, audio))
     peak = float(np.max(np.abs(audio))) if len(audio) else 0.0
     rms = float(np.sqrt(np.mean(np.square(audio, dtype=np.float64)))) if len(audio) else 0.0
     print(
@@ -461,6 +471,7 @@ def _make_serve_demod(cmd: argmod.ServeCmd):
             audio_bandwidth=cmd.audio_lowpass,
             audio_decimate=cmd.audio_decimate,
             audio_taps=cmd.audio_size,
+            audio_rate=cmd.audio_rate,
         )
     if cmd.mode == "fm":
         from quadrs_tpu.models.demod import FmDemod
@@ -474,6 +485,7 @@ def _make_serve_demod(cmd: argmod.ServeCmd):
             audio_bandwidth=cmd.audio_lowpass,
             audio_decimate=cmd.audio_decimate,
             audio_taps=cmd.audio_size,
+            audio_rate=cmd.audio_rate,
         )
     from quadrs_tpu.models.demod import FskDemod
 
