@@ -490,6 +490,55 @@ def bench_channelizer(on_accel: bool) -> dict:
     return entry
 
 
+def bench_resample(on_accel: bool) -> dict:
+    """Rational resampler at L/M = 147/160 (the 48 kHz -> 44.1 kHz
+    family — the classic awkward ratio) over a 64-stream bank: input
+    rate of the per-phase weight matmul (``ops/resample.resample_block``,
+    one ``(nb, m) @ (m, L)`` per stream per block)."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.ops.resample import resample_block, resample_tables
+
+    up, down = 147, 160
+    size = 2 * 8 * max(up, down)
+    _, _, m, _ = resample_tables(size, up, down)
+    b = 64
+    n_out = (1 << 14) if on_accel else (1 << 11)
+    nb = -(-n_out // up)
+    n_in = (nb - 1) * down + m
+
+    rng = np.random.default_rng(11)
+    xr = jnp.asarray(rng.standard_normal((b, n_in)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((b, n_in)).astype(np.float32))
+    w_sel = jnp.zeros((b,), dtype=jnp.int32)
+    gains = np.linspace(0.5, 1.5, 16, dtype=np.float32)  # defeat CSE
+
+    @jax.jit
+    def _step(g, acc):
+        x = jax.lax.complex(xr, xi) * g
+        y = resample_block(x, w_sel, size, up, down, n_out)
+        return acc + jnp.sum(jnp.real(y) ** 2 + jnp.imag(y) ** 2)
+
+    step = lambda i, acc: _step(jnp.float32(gains[i % 16]), acc)
+    chunk = b * nb * down  # input samples consumed per iteration
+    secs = 2.0 if on_accel else 0.3
+    tstats: dict = {}
+    msps = measure_msps_acc(step, chunk, secs, min_iters=2, stats_out=tstats)
+    entry = {
+        "metric": f"64x rational resample {up}/{down} (per-phase weight matmul; input rate)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+        **tstats,
+    }
+    # executed dense flops: nb*m*L complex-x-real MACs (4 flops) per
+    # ~nb*down inputs (the weight matrix carries the polyphase zeros;
+    # the MXU computes them — that IS the design, m x L stays matmul-
+    # shaped instead of gather-shaped)
+    entry.update(roofline(msps, 4.0 * m * up / down, 8.0 * (1.0 + up / down)))
+    return entry
+
+
 def _sustained_capture(n_samples: int) -> str:
     """A synthetic cs8 capture file, cached across runs (2 bytes/sample)."""
     path = f"/tmp/quadrs-sustained-{n_samples}.sr21M.cs8"
@@ -764,6 +813,7 @@ def suite(on_accel: bool) -> list[dict]:
         bench_waterfall_strided(on_accel),
         bench_waterfall_search(on_accel),
         bench_channelizer(on_accel),
+        bench_resample(on_accel),
         bench_disk_staging(on_accel),
         bench_disk_sustained(on_accel),
         bench_long_fir_sustained(on_accel),
@@ -780,6 +830,7 @@ def main() -> None:
         bench_waterfall_strided,
         bench_waterfall_search,
         bench_channelizer,
+        bench_resample,
         bench_disk_staging,
         bench_disk_sustained,
         bench_long_fir_sustained,

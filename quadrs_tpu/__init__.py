@@ -32,7 +32,7 @@ from quadrs_tpu.sources import (
     open_capture,
 )
 from quadrs_tpu.pipeline import Operation, exec_operation, run_pipeline
-from quadrs_tpu.stream_runner import RunStats, StreamRunner
+from quadrs_tpu.stream_runner import RunStats, ScanResult, StreamRunner, WaterfallRunner
 
 __version__ = "0.1.0"
 
@@ -52,5 +52,7 @@ __all__ = [
     "exec_operation",
     "run_pipeline",
     "StreamRunner",
+    "WaterfallRunner",
     "RunStats",
+    "ScanResult",
 ]

@@ -141,6 +141,30 @@ class WaterfallCmd(Command):
 
 
 @dataclass
+class ScanCmd(Command):
+    """``scan``: rtl_power-style band survey — per-bin average/max power
+    and occupancy (fraction of windows above ``-threshold``) over every
+    window of the capture(s), reduced on device chunk by chunk.
+    Terminal command: every remaining token is a capture filename."""
+
+    filenames: list[str]
+    fft_width: int = 1024
+    stride: int | None = None  # defaults to width
+    windowing: str = "rectangular"
+    chunk_windows: int = 2_000
+    chunks: int | None = None
+    threshold: float = 0.0
+    top: int = 20  # report the N strongest bins per stream
+    db: bool = False  # print power columns in dBFS-style 10*log10
+    out: str | None = None
+    overwrite: bool = False
+    sample_rate: str | None = None
+    format: str | None = None
+    mesh: tuple[int, int] | None = None
+    stdin: bool = False  # single live pipe stream instead of files
+
+
+@dataclass
 class OokCmd(Command):
     """``ook``: demodulate an on-off-keyed capture to bits
     (:class:`~quadrs_tpu.models.demod.OokDemod`; the README's
@@ -656,6 +680,49 @@ def _parse_waterfall(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_scan(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    fft_width = int(parse_si_uint(map_.pop("width", "1024")))
+    stride = map_.pop("stride", None)
+    stride = None if stride is None else int(parse_si_uint(stride))
+    windowing = map_.pop("window", "rectangular")
+    if windowing not in ("rectangular", "blackman-harris", "blackmanharris"):
+        raise ValueError(f"unknown -window: {windowing!r}")
+    chunk_windows = int(parse_si_uint(map_.pop("chunk", "2k")))
+    chunks = map_.pop("chunks", None)
+    chunks = None if chunks is None else int(parse_si_uint(chunks))
+    threshold = parse_si_float(map_.pop("threshold", "0"))
+    top = int(parse_si_uint(map_.pop("top", "20")))
+    db = parse_bool(map_.pop("db", "no"))
+    out = map_.pop("out", None)
+    overwrite = parse_bool(map_.pop("overwrite", "no"))
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    mesh = map_.pop("mesh", None)
+    stdin = parse_bool(map_.pop("stdin", "no"))
+    _ensure_empty(map_, "scan")
+    filenames = []
+    while True:  # terminal command: everything left is a capture file
+        tok = args.next()
+        if tok is None:
+            break
+        filenames.append(tok)
+    if stdin:
+        if sr is None or fmt is None:
+            raise ValueError("'scan -stdin yes' requires -sr and -format")
+        if filenames:
+            raise ValueError("'scan -stdin yes' takes no filenames")
+    elif not filenames:
+        raise ValueError("'scan' requires at least one capture filename")
+    return ScanCmd(
+        filenames=filenames, fft_width=fft_width, stride=stride,
+        windowing=windowing, chunk_windows=chunk_windows, chunks=chunks,
+        threshold=threshold, top=top, db=db, out=out, overwrite=overwrite,
+        sample_rate=sr, format=fmt,
+        mesh=None if mesh is None else _parse_mesh(mesh), stdin=stdin,
+    )
+
+
 def _parse_ook(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     width = int(parse_si_uint(map_.pop("width", "4")))
@@ -901,6 +968,7 @@ _PARSERS = {
     # and the composed demodulators, driven from the shell
     "stream": _parse_stream,
     "waterfall": _parse_waterfall,
+    "scan": _parse_scan,
     "ook": _parse_ook,
     "fsk": _parse_fsk,
     "fm": _parse_fm,

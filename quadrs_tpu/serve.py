@@ -257,6 +257,87 @@ def run_waterfall(cmd: argmod.WaterfallCmd) -> int:
     return 0
 
 
+def _scan_bank(cmd):
+    """Sources + model + runner for a scan command (the waterfall bank
+    construction with the scan command's knobs)."""
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.stream_runner import WaterfallRunner
+
+    if cmd.stdin:
+        sources = [_stdin_pipe_source(cmd)]
+    else:
+        sources = [
+            open_capture(f, cmd.sample_rate, cmd.format) for f in cmd.filenames
+        ]
+    fmts = {s.format for s in sources}
+    if len(fmts) != 1:
+        raise ValueError(f"bank files disagree on format: {sorted(f.name for f in fmts)}")
+    cfg = WaterfallConfig(
+        n_streams=len(sources),
+        fft_width=cmd.fft_width,
+        stride=cmd.stride if cmd.stride is not None else cmd.fft_width,
+        fmt=sources[0].format,
+        windowing=cmd.windowing,
+    )
+    model = WaterfallModel(cfg)
+    runner = WaterfallRunner(
+        sources, model, chunk_windows=cmd.chunk_windows, mesh=_make_mesh(cmd.mesh)
+    )
+    return sources, model, runner
+
+
+def run_scan(cmd: argmod.ScanCmd) -> int:
+    """Band survey (the rtl_power product): per-bin average/max power
+    and occupancy over every window, reduced on device — prints the
+    strongest bins with their frequency offsets; ``-out`` writes the
+    full per-bin table as CSV per stream."""
+    sources, model, runner = _scan_bank(cmd)
+    result = runner.run_scan(threshold=cmd.threshold, max_chunks=cmd.chunks)
+
+    width = model.cfg.fft_width
+    sr = sources[0].sample_rate
+    # fftshifted bin b <-> frequency offset (b - width//2) * sr / width
+    freq = (np.arange(width) - width // 2) * (sr / width)
+    avg, occ = result.avg, result.occupancy
+
+    def fmt_pow(v: float) -> str:
+        if not cmd.db:
+            return f"{v:12.6g}"
+        return f"{10.0 * np.log10(max(v, 1e-30)):9.2f} dB"
+
+    wrote: list[str] = []
+    if cmd.out is not None:
+        for s in range(len(sources)):
+            path = f"{cmd.out}.s{s}.scan.csv"
+            with open(path, "w" if cmd.overwrite else "x") as fh:
+                fh.write("bin,freq_hz,avg,max,above,occupancy\n")
+                for b in range(width):
+                    fh.write(
+                        f"{b},{freq[b]:.6g},{avg[s, b]:.9g},"
+                        f"{result.max_norms[s, b]:.9g},{result.above[s, b]},"
+                        f"{occ[s, b]:.6g}\n"
+                    )
+            wrote.append(path)
+
+    for s in range(len(sources)):
+        tag = f" stream={s}" if len(sources) > 1 else ""
+        print(
+            f"scan{tag}: {result.windows} windows of {width} bins, "
+            f"threshold {cmd.threshold:g}"
+        )
+        order = np.argsort(avg[s])[::-1][: cmd.top]
+        print("   bin     freq_hz          avg          max  occupancy")
+        for b in order:
+            print(
+                f"  {b:4d} {freq[b]:+11.1f} {fmt_pow(avg[s, b])} "
+                f"{fmt_pow(float(result.max_norms[s, b]))} {occ[s, b]:9.1%}"
+            )
+    for path in wrote:
+        print(f"wrote {path}")
+    print(_stats_line("scan", result.stats))
+    return 0
+
+
 def run_ook(cmd: argmod.OokCmd) -> int:
     """Demodulate an OOK capture and print the recovered bits."""
     from quadrs_tpu.models.demod import OokDemod, manchester_decode
@@ -803,6 +884,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
 RUNNERS = {
     argmod.StreamCmd: run_stream,
     argmod.WaterfallCmd: run_waterfall,
+    argmod.ScanCmd: run_scan,
     argmod.OokCmd: run_ook,
     argmod.FskCmd: run_fsk,
     argmod.FmCmd: run_fm,

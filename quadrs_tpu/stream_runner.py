@@ -37,6 +37,34 @@ class RunStats:
         return self.samples_in / self.seconds / 1e6 if self.seconds else 0.0
 
 
+@dataclass
+class ScanResult:
+    """Per-bin power statistics over every window of a scan run — the
+    rtl_power-style band survey.  Bins are fftshifted (bin ``width//2``
+    is DC; see :func:`quadrs_tpu.ops.stft.stft_norms`).
+
+    Per-chunk sums/maxima/counts reduce on device (f32) and accumulate
+    across chunks on the host in f64/int64, so error is bounded by the
+    windows-per-chunk count, not the capture length."""
+
+    sum_norms: np.ndarray  # (S, width) f64 — Σ norm over valid windows
+    max_norms: np.ndarray  # (S, width) f32 — max norm over valid windows
+    above: np.ndarray  # (S, width) int64 — windows with norm > threshold
+    windows: int  # valid windows per stream
+    threshold: float
+    stats: RunStats
+
+    @property
+    def avg(self) -> np.ndarray:
+        """(S, width) f64 mean norm per bin (zeros when no windows)."""
+        return self.sum_norms / max(self.windows, 1)
+
+    @property
+    def occupancy(self) -> np.ndarray:
+        """(S, width) f64 fraction of windows with norm > threshold."""
+        return self.above / max(self.windows, 1)
+
+
 def _background(gen, depth: int = 2):
     """Run a generator on a daemon thread, yielding its items through a
     bounded queue: staging (pread + numpy copies + device_put) overlaps
@@ -369,6 +397,86 @@ class WaterfallRunner:
             return self._run(self._wstep_search, on_peaks, start_window, max_chunks)
         return self._run(self.model.jit_search(), on_peaks, start_window, max_chunks)
 
+    def _chunk_gen(self, start_window: int, limit):
+        """The staged-chunk generator for this runner's source/mesh
+        configuration — one selection point shared by every run mode."""
+        if self._wstep is not None:
+            return self._staged_chunks_sharded(start_window, limit=limit)
+        if getattr(self.sources[0], "is_pipe", False):
+            return self._staged_chunks_pipe(start_window, limit=limit)
+        return self._staged_chunks(start_window, limit=limit)
+
+    def run_scan(
+        self,
+        threshold: float = 0.0,
+        start_window: int = 0,
+        max_chunks=None,
+    ) -> ScanResult:
+        """Band survey (the rtl_power product): per fftshifted bin, the
+        average and maximum window power plus the count of windows above
+        ``threshold``, over every valid window of the run.  Each chunk's
+        spectrogram reduces on device — only ``3 * width`` scalars per
+        chunk cross to the host — so the scan streams at the waterfall's
+        norms rate regardless of capture length.  Works on every runner
+        configuration (file banks, a live pipe, a mesh: the reduction is
+        an ordinary jitted consumer of the sharded step's output)."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        step = self._wstep if self._wstep is not None else self.model.jit_step()
+
+        @jax.jit
+        def reduce_chunk(norms, n_valid, thr):
+            valid = (jnp.arange(norms.shape[1], dtype=jnp.int32) < n_valid)[
+                None, :, None
+            ]
+            s = jnp.sum(jnp.where(valid, norms, 0.0), axis=1)
+            mx = jnp.max(jnp.where(valid, norms, -jnp.inf), axis=1)
+            above = jnp.sum(
+                (valid & (norms > thr)).astype(jnp.int32), axis=1
+            )
+            return s, mx, above
+
+        n_s = len(self.sources)
+        width = self.model.cfg.fft_width
+        sum_f64 = np.zeros((n_s, width), np.float64)
+        max_f32 = np.full((n_s, width), -np.inf, np.float32)
+        above = np.zeros((n_s, width), np.int64)
+        windows = 0
+        stats = RunStats()
+        t0 = time.perf_counter()
+        done = 0
+        chunks = _background(self._chunk_gen(start_window, max_chunks))
+        for w, n_valid, new_samples, args in chunks:
+            norms = step(*args)
+            s, mx, ab = reduce_chunk(
+                norms, jnp.int32(n_valid), jnp.float32(threshold)
+            )
+            stats.samples_in += new_samples * n_s
+            stats.windows_out += n_s * n_valid
+            windows += n_valid
+            sum_f64 += np.asarray(s, dtype=np.float64)
+            np.maximum(max_f32, np.asarray(mx), out=max_f32)
+            above += np.asarray(ab, dtype=np.int64)
+            done += 1
+            if max_chunks is not None and done >= max_chunks:
+                chunks.close()
+                break
+        stats.seconds = time.perf_counter() - t0
+        PROFILER.account("waterfall_runner", stats.samples_in, stats.seconds)
+        if windows == 0:
+            max_f32.fill(0.0)
+        return ScanResult(
+            sum_norms=sum_f64,
+            max_norms=max_f32,
+            above=above,
+            windows=windows,
+            threshold=float(threshold),
+            stats=stats,
+        )
+
     def _run(self, step, emit, start_window: int, max_chunks) -> RunStats:
         import time
 
@@ -381,13 +489,7 @@ class WaterfallRunner:
         # full output into one accumulator the closing fetch observes
         acc = jnp.float32(0.0) if emit is None else None
         done = 0
-        if self._wstep is not None:
-            gen = self._staged_chunks_sharded(start_window, limit=max_chunks)
-        elif getattr(self.sources[0], "is_pipe", False):
-            gen = self._staged_chunks_pipe(start_window, limit=max_chunks)
-        else:
-            gen = self._staged_chunks(start_window, limit=max_chunks)
-        chunks = _background(gen)
+        chunks = _background(self._chunk_gen(start_window, max_chunks))
         for w, n_valid, new_samples, args in chunks:
             out = step(*args)
             # each generator reports the real stream samples it newly

@@ -1,0 +1,226 @@
+"""Band survey (``run_scan`` / ``quadjax scan``): per-bin avg/max power
+and occupancy over every window, reduced on device chunk by chunk.
+
+The oracle is the validated ``WaterfallModel.jit_step`` norms over the
+whole capture, reduced sequentially in numpy f64 — the scan must match
+it from chunked runs at any chunk size, through the CLI, off a pipe,
+and on a mesh.
+"""
+
+from __future__ import annotations
+
+import io
+import pathlib
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from quadrs_tpu.cli import USAGE, main
+from quadrs_tpu.formats import FileFormat
+from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+from quadrs_tpu.sources import SampleSource, open_capture
+from quadrs_tpu.stream_runner import WaterfallRunner
+
+
+def _mem_bank(n_streams: int, n: int, seed: int = 5, sr: int = 48_000):
+    """In-memory cf32 sources with distinct random content per stream."""
+    rng = np.random.default_rng(seed)
+    sources = []
+    for _ in range(n_streams):
+        iq = (rng.standard_normal(2 * n) * 0.3).astype("<f4")
+        sources.append(
+            SampleSource(
+                np.frombuffer(iq.tobytes(), dtype=np.uint8),
+                FileFormat.COMPLEX_FLOAT32,
+                sr,
+            )
+        )
+    return sources
+
+
+def _oracle(sources, cfg, threshold: float):
+    model = WaterfallModel(cfg)
+    raw = np.stack([s.stage(0, s.length) for s in sources])
+    norms = np.asarray(model.jit_step()(raw))  # (S, W_n, width)
+    return (
+        norms.astype(np.float64).sum(axis=1),
+        norms.max(axis=1),
+        (norms > threshold).sum(axis=1).astype(np.int64),
+        norms.shape[1],
+        norms,
+    )
+
+
+@pytest.mark.parametrize("stride", [128, 64, 192])
+def test_run_scan_matches_oracle(stride):
+    cfg = WaterfallConfig(
+        n_streams=2, fft_width=128, stride=stride, fmt=FileFormat.COMPLEX_FLOAT32
+    )
+    sources = _mem_bank(2, 4096)
+    want_sum, want_max, _, want_windows, norms = _oracle(sources, cfg, 0.0)
+    thr = float(np.median(norms))
+    want_above = (norms > thr).sum(axis=1).astype(np.int64)
+    runner = WaterfallRunner(sources, WaterfallModel(cfg), chunk_windows=7)
+    res = runner.run_scan(threshold=thr)
+    assert res.windows == want_windows
+    np.testing.assert_allclose(res.sum_norms, want_sum, rtol=1e-5)
+    np.testing.assert_allclose(res.max_norms, want_max, rtol=1e-6)
+    np.testing.assert_array_equal(res.above, want_above)
+    # derived views
+    np.testing.assert_allclose(res.avg, want_sum / want_windows, rtol=1e-6)
+    assert res.occupancy.min() >= 0 and res.occupancy.max() <= 1
+    assert res.stats.windows_out == 2 * want_windows
+
+
+def test_run_scan_chunk_invariance():
+    cfg = WaterfallConfig(
+        n_streams=1, fft_width=64, stride=32, fmt=FileFormat.COMPLEX_FLOAT32
+    )
+    sources = _mem_bank(1, 2048, seed=9)
+    model = WaterfallModel(cfg)
+    a = WaterfallRunner(sources, model, chunk_windows=5).run_scan(threshold=1.0)
+    b = WaterfallRunner(sources, model, chunk_windows=1000).run_scan(threshold=1.0)
+    np.testing.assert_allclose(a.sum_norms, b.sum_norms, rtol=1e-6)
+    np.testing.assert_array_equal(a.max_norms, b.max_norms)
+    np.testing.assert_array_equal(a.above, b.above)
+    assert a.windows == b.windows
+
+
+def test_run_scan_max_chunks():
+    cfg = WaterfallConfig(
+        n_streams=1, fft_width=64, stride=64, fmt=FileFormat.COMPLEX_FLOAT32
+    )
+    sources = _mem_bank(1, 64 * 12, seed=2)
+    res = WaterfallRunner(sources, WaterfallModel(cfg), chunk_windows=4).run_scan(
+        max_chunks=2
+    )
+    assert res.windows == 8  # 2 chunks x 4 windows
+
+
+@pytest.fixture(scope="module")
+def tone_capture(tmp_path_factory) -> pathlib.Path:
+    d = tmp_path_factory.mktemp("scan")
+    prefix = d / "tones"
+    rc = main(
+        ["gen", "-cos", "6k", "-cos", "-12k", "-len", "0.1", "48k",
+         "write", str(prefix)]
+    )
+    assert rc == 0
+    return d / "tones.sr48000.cf32"
+
+
+def test_cli_scan_finds_tones(tone_capture, tmp_path, capsys):
+    """The two generated tones are the two strongest bins, at the right
+    frequency offsets, with ~100% occupancy above a threshold that the
+    noise floor never crosses."""
+    out = tmp_path / "survey"
+    rc = main(
+        ["scan", "-width", "256", "-stride", "128", "-chunk", "9",
+         "-threshold", "10", "-top", "3", "-out", str(out), str(tone_capture)]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    lines = captured.strip().splitlines()
+    assert lines[-1].startswith("scan: ")
+    assert any("wrote" in ln for ln in lines)
+
+    csv = (tmp_path / "survey.s0.scan.csv").read_text().splitlines()
+    assert csv[0] == "bin,freq_hz,avg,max,above,occupancy"
+    assert len(csv) == 1 + 256
+    rows = [ln.split(",") for ln in csv[1:]]
+    avg = np.array([float(r[2]) for r in rows])
+    occ = np.array([float(r[5]) for r in rows])
+    freq = np.array([float(r[1]) for r in rows])
+    # strongest two bins sit at the tone offsets (bin width 187.5 Hz)
+    top2 = np.argsort(avg)[::-1][:2]
+    got = sorted(freq[top2])
+    assert abs(got[0] - (-12_000)) <= 48_000 / 256
+    assert abs(got[1] - 6_000) <= 48_000 / 256
+    # the tones are on in (almost) every window; spectral floor never is
+    assert occ[top2].min() > 0.9
+    assert occ[np.argsort(avg)[: 200]].max() == 0.0
+    # the printed table leads with the same two bins
+    table = [ln for ln in lines if ln.strip() and ln.lstrip()[0].isdigit()]
+    printed_bins = [int(ln.split()[0]) for ln in table[:2]]
+    assert set(printed_bins) == set(int(b) for b in top2)
+
+
+def test_cli_scan_db_and_errors(tone_capture, capsys):
+    rc = main(
+        ["scan", "-width", "64", "-top", "1", "-db", "yes", str(tone_capture)]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert " dB " in captured or captured.count("dB") >= 1
+    # grammar errors
+    assert main(["scan"]) == 1
+    assert "requires at least one capture" in capsys.readouterr().err
+    assert main(["scan", "-stdin", "yes"]) == 1
+    assert "-sr and -format" in capsys.readouterr().err
+    assert main(["scan", "-window", "hann", str(tone_capture)]) == 1
+    assert "unknown -window" in capsys.readouterr().err
+
+
+def test_usage_lists_scan():
+    assert "scan [-width 1024]" in USAGE
+
+
+def test_cli_scan_stdin_matches_file(tone_capture, tmp_path, capsys, monkeypatch):
+    """``scan -stdin yes`` over the piped bytes == the file scan."""
+    out_f = tmp_path / "file"
+    assert (
+        main(
+            ["scan", "-width", "128", "-stride", "96", "-chunk", "5",
+             "-threshold", "10", "-out", str(out_f), str(tone_capture)]
+        )
+        == 0
+    )
+    data = tone_capture.read_bytes()
+    monkeypatch.setattr(sys, "stdin", SimpleNamespace(buffer=io.BytesIO(data)))
+    out_p = tmp_path / "pipe"
+    assert (
+        main(
+            ["scan", "-width", "128", "-stride", "96", "-chunk", "5",
+             "-threshold", "10", "-out", str(out_p), "-stdin", "yes",
+             "-sr", "48k", "-format", "cf32"]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    a = (tmp_path / "file.s0.scan.csv").read_text()
+    b = (tmp_path / "pipe.s0.scan.csv").read_text()
+    assert a == b
+
+
+def test_scan_mesh_matches_single(tone_capture, tmp_path, capsys):
+    """``scan -mesh 2x2`` (time x stream) over a two-file bank must
+    reproduce the single-device survey."""
+    import shutil
+
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    second = tmp_path / "tones2.sr48000.cf32"
+    shutil.copy(tone_capture, second)
+    base = ["scan", "-width", "256", "-stride", "128", "-chunk", "8",
+            "-threshold", "10"]
+    solo, meshed = tmp_path / "solo", tmp_path / "mesh"
+    assert main([*base, "-out", str(solo), str(tone_capture), str(second)]) == 0
+    assert (
+        main([*base, "-mesh", "2x2", "-out", str(meshed), str(tone_capture),
+              str(second)])
+        == 0
+    )
+    capsys.readouterr()
+    for s in range(2):
+        a = (tmp_path / f"solo.s{s}.scan.csv").read_text().splitlines()
+        b = (tmp_path / f"mesh.s{s}.scan.csv").read_text().splitlines()
+        assert len(a) == len(b) == 257
+        for la, lb in zip(a[1:], b[1:]):
+            ra, rb = la.split(","), lb.split(",")
+            assert ra[0] == rb[0] and ra[4] == rb[4]  # bin, above
+            np.testing.assert_allclose(float(rb[2]), float(ra[2]), rtol=1e-5)
+            np.testing.assert_allclose(float(rb[3]), float(ra[3]), rtol=1e-5)
