@@ -404,11 +404,43 @@ def bench_waterfall_search(on_accel: bool) -> dict:
         min_iters=2,
         stats_out=tstats,
     )
+
+    # band survey (quadjax scan): in-kernel window-axis reduction vs the
+    # runner's pre-round-4 spelling (norms to HBM + jitted XLA reduce)
+    scj = model.jit_scan()
+    n_w = (per_stream - cfg.fft_width) // cfg.stride + 1
+    stepj = model.jit_step()
+
+    @jax.jit
+    def _acc_scan(raw, thr, acc):
+        s, mx, ab = scj(raw, thr)
+        return acc + jnp.sum(s) + jnp.sum(mx) + jnp.sum(ab)
+
+    @jax.jit
+    def _acc_scan_xla(raw, thr, acc):
+        norms = stepj(raw)
+        return (
+            acc
+            + jnp.sum(norms.astype(jnp.float32).sum(axis=1))
+            + jnp.sum(jnp.max(norms, axis=1))
+            + jnp.sum(jnp.sum((norms > thr).astype(jnp.float32), axis=1))
+        )
+
+    thr = jnp.float32(8.0)
+    scan_msps = measure_msps_acc(
+        lambda i, acc: _acc_scan(raw, thr, acc), total, 2.0 if on_accel else 0.3, min_iters=2
+    )
+    scan_xla = measure_msps_acc(
+        lambda i, acc: _acc_scan_xla(raw, thr, acc), total, 2.0 if on_accel else 0.3, min_iters=2
+    )
+
     entry = {
         "metric": "64x cs8 waterfall peak search (in-kernel reduction)",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip (aggregate)",
         "vs_baseline": round(msps / 100.0, 2),
+        "scan_msps": round(scan_msps, 1),
+        "scan_xla_reduce_msps": round(scan_xla, 1),
         **tstats,
     }
     entry.update(

@@ -118,6 +118,32 @@ class WaterfallModel:
         return jax.jit(run)
 
     @functools.cache
+    def jit_scan(self):
+        """Jitted band-survey step, symmetric with :meth:`jit_search`:
+        ``(raw, threshold)`` -> per (stream, fftshifted bin) the
+        ``(sum, max, count > threshold)`` of the window norms, each
+        (S, width) f32.  On the fused path the reduction happens in
+        VMEM and the spectrogram never reaches HBM
+        (:func:`quadrs_tpu.ops.waterfall_pallas.fused_waterfall_scan`)."""
+
+        def run(r, thr):
+            if self._use_pallas():
+                from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_scan
+
+                spec, n_windows, stride, interpret = self._fused_args(r.shape[-1])
+                return fused_waterfall_scan(
+                    r, spec, n_windows, thr, stride=stride, interpret=interpret
+                )
+            norms = self.step(r)
+            return (
+                jnp.sum(norms, axis=1),
+                jnp.max(norms, axis=1),
+                jnp.sum((norms > thr).astype(jnp.float32), axis=1),
+            )
+
+        return jax.jit(run)
+
+    @functools.cache
     def jit_step(self):
         return jax.jit(self.step)
 

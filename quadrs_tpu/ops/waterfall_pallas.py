@@ -360,6 +360,41 @@ def fused_waterfall_search(
     return idx, val
 
 
+def fused_waterfall_scan(
+    planes: jax.Array,
+    spec: WaterfallSpec,
+    n_windows: int,
+    threshold: jax.Array,
+    *,
+    stride: int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Band-survey reduction without materializing the spectrogram: per
+    (stream, fftshifted bin) the sum and max of the window norms plus
+    the count of windows above ``threshold`` (a traced f32 scalar,
+    passed via scalar prefetch — one compile serves every occupancy
+    level), each an (S, width) f32 array.
+
+    The reduction runs over the window axis INSIDE the kernel: each
+    page's (windows, 128-bin) magnitudes fold into a per-stream stat
+    block that is revisited across the tile grid axis, so the f32 norms
+    — the dominant HBM write of the norms path, and the read the XLA
+    reduction pays on top — never leave VMEM.  Every width rides the
+    strided machinery (the tiled case is ``s_r = b``, zero overlap, the
+    same specialization :func:`_tiled_via_strided` uses); overlapped
+    128-multiple strides assemble windows in kernel, all other strides
+    pre-arrange contiguous windows first like the norms path."""
+    width = spec.width
+    if stride is None:
+        stride = width
+    if stride != width and not _strided_supported(width, stride):
+        planes = _contiguous_windows(planes, width, stride, n_windows)
+        stride = width
+    return _fused_waterfall_strided(
+        planes, spec, n_windows, stride, interpret, scan_thr=threshold
+    )
+
+
 # ---------------------------------------------------------------------------
 # Strided (overlapped/skipping) windows, assembled IN KERNEL.
 #
@@ -608,7 +643,16 @@ def _pick_win_tile(n_windows: int) -> int:
     return max(32, -(-n_windows // 32) * 32)
 
 
-def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False, wt: int = _WIN_TILE):
+def _kernel_strided(
+    spec: WaterfallSpec,
+    s_r: int,
+    search: bool = False,
+    wt: int = _WIN_TILE,
+    scan: bool = False,
+    n_windows: int = 0,
+):
+    from jax.experimental import pallas as pl
+
     from quadrs_tpu.ops.frontend_pallas import _decode_ref
 
     width = spec.width
@@ -616,7 +660,13 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False, wt: int
     fac = _factor_b(b)
     halo = _uses_halo(width, s_r)
 
-    def kernel(re_ref, im_ref, *rest):
+    def kernel(*refs):
+        if scan:
+            # threshold rides scalar prefetch (SMEM): one compile serves
+            # every occupancy level
+            thr_ref, re_ref, im_ref, *rest = refs
+        else:
+            re_ref, im_ref, *rest = refs
         if halo:
             hre_ref, him_ref, *rest = rest
         if fac is None:
@@ -693,6 +743,14 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False, wt: int
                 pi = vi_t[s : s + 1]
                 yield s, ar * pr - ai * pi, ar * pi + ai * pr
 
+        if scan:
+            t_idx = pl.program_id(1)
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (wt, 128), 0)
+            # mask the last tile's padding windows (they read real
+            # leftover/halo rows and would otherwise pollute the stats)
+            valid = (t_idx * wt + row_i) < n_windows
+            thr = thr_ref[0]
+
         best_val = None
         best_j = None
         for s, ar, ai in pages_factored() if fac is not None else pages_direct():
@@ -704,6 +762,39 @@ def _kernel_strided(spec: WaterfallSpec, s_r: int, search: bool = False, wt: int
                 ai, f1r, precision=p_hi, preferred_element_type=jnp.float32
             )
             mag = jnp.sqrt(zr * zr + zi * zi)
+            if scan:
+                # band survey: reduce this page over its window sublanes
+                # and accumulate into the per-stream output block, which
+                # is revisited across the tile grid axis (norms never
+                # leave VMEM).  Counts are f32 — exact to 2^24 windows
+                # per chunk, far past any staged chunk.  A (1, 128) lane
+                # row is not a legal tile, so rows broadcast to 8
+                # sublanes like the search outputs.
+                m0 = jnp.where(valid, mag, 0.0)
+                srow = jnp.broadcast_to(jnp.sum(m0, axis=0, keepdims=True), (8, 128))
+                mrow = jnp.broadcast_to(jnp.max(m0, axis=0, keepdims=True), (8, 128))
+                arow = jnp.broadcast_to(
+                    jnp.sum(
+                        jnp.where(valid & (mag > thr), 1.0, 0.0),
+                        axis=0,
+                        keepdims=True,
+                    ),
+                    (8, 128),
+                )
+
+                @pl.when(t_idx == 0)
+                def _(s=s, srow=srow, mrow=mrow, arow=arow):
+                    out_refs[0][0, s] = srow
+                    out_refs[1][0, s] = mrow
+                    out_refs[2][0, s] = arow
+
+                @pl.when(t_idx > 0)
+                def _(s=s, srow=srow, mrow=mrow, arow=arow):
+                    out_refs[0][0, s] = out_refs[0][0, s] + srow
+                    out_refs[1][0, s] = jnp.maximum(out_refs[1][0, s], mrow)
+                    out_refs[2][0, s] = out_refs[2][0, s] + arow
+
+                continue
             if not search:
                 out_refs[0][0, 0, s] = mag
                 continue
@@ -748,6 +839,7 @@ def _fused_waterfall_strided(
     stride: int,
     interpret: bool,
     search: bool = False,
+    scan_thr: jax.Array | None = None,
 ):
     from jax.experimental import pallas as pl
 
@@ -783,13 +875,15 @@ def _fused_waterfall_strided(
 
     hb = _HALO_ROWS
     halo = _uses_halo(width, s_r)
+    # index maps take *_ so the same specs serve the scan variant's
+    # PrefetchScalarGridSpec (which appends the scalar refs)
     in_specs = [
-        pl.BlockSpec((1, s_r, wt, 128), lambda si, t: (si, 0, t, 0)),
-        pl.BlockSpec((1, s_r, wt, 128), lambda si, t: (si, 0, t, 0)),
+        pl.BlockSpec((1, s_r, wt, 128), lambda si, t, *_: (si, 0, t, 0)),
+        pl.BlockSpec((1, s_r, wt, 128), lambda si, t, *_: (si, 0, t, 0)),
         *(
             [
                 pl.BlockSpec(
-                    (1, s_r, hb, 128), lambda si, t: (si, 0, (t + 1) * (wt // hb), 0)
+                    (1, s_r, hb, 128), lambda si, t, *_: (si, 0, (t + 1) * (wt // hb), 0)
                 )
             ]
             * 2
@@ -797,11 +891,11 @@ def _fused_waterfall_strided(
             else []
         ),
         *[
-            pl.BlockSpec((rows, 128), lambda si, t: (0, 0))
+            pl.BlockSpec((rows, 128), lambda si, t, *_: (0, 0))
             for rows in table_rows
         ],
-        pl.BlockSpec((128, 128), lambda si, t: (0, 0)),
-        pl.BlockSpec((128, 128), lambda si, t: (0, 0)),
+        pl.BlockSpec((128, 128), lambda si, t, *_: (0, 0)),
+        pl.BlockSpec((128, 128), lambda si, t, *_: (0, 0)),
     ]
     if search:
         out_specs = [
@@ -825,6 +919,49 @@ def _fused_waterfall_strided(
 
         params = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
         kwargs["compiler_params"] = params(vmem_limit_bytes=64 * 1024 * 1024)
+    operands = (
+        x[0],
+        x[1],
+        *((x[0], x[1]) if halo else ()),
+        *tables,
+        jnp.asarray(f1r),
+        jnp.asarray(f1i),
+    )
+    if scan_thr is not None:
+        # band survey: per-stream (b, 8, 128) stat blocks revisited
+        # across the tile grid axis; threshold via scalar prefetch
+        from jax.experimental.pallas import tpu as pltpu
+
+        out_specs = [
+            pl.BlockSpec((1, b, 8, 128), lambda si, t, *_: (si, 0, 0, 0))
+        ] * 3
+        out_shape = [
+            jax.ShapeDtypeStruct((s_streams, b, 8, 128), jnp.float32)
+        ] * 3
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(s_streams, tiles),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        ssum, smax, sabove = pl.pallas_call(
+            _kernel_strided(
+                spec, s_r, wt=wt, scan=True, n_windows=n_windows
+            ),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            **kwargs,
+        )(jnp.asarray(scan_thr, jnp.float32).reshape(1), *operands)
+
+        from quadrs_tpu.ops.stft import fftshift
+
+        def to_bins(o):
+            # pages carry bin k = s' + b*r: (S, s', lane r) -> k order
+            o = jnp.transpose(o[:, :, 0, :], (0, 2, 1)).reshape(s_streams, width)
+            return fftshift(o)
+
+        return to_bins(ssum), to_bins(smax), to_bins(sabove)
     out = pl.pallas_call(
         _kernel_strided(spec, s_r, search=search, wt=wt),
         grid=(s_streams, tiles),
@@ -833,14 +970,7 @@ def _fused_waterfall_strided(
         out_shape=out_shape,
         interpret=interpret,
         **kwargs,
-    )(
-        x[0],
-        x[1],
-        *((x[0], x[1]) if halo else ()),
-        *tables,
-        jnp.asarray(f1r),
-        jnp.asarray(f1i),
-    )
+    )(*operands)
 
     if search:
         val, j = out

@@ -416,16 +416,25 @@ class WaterfallRunner:
         average and maximum window power plus the count of windows above
         ``threshold``, over every valid window of the run.  Each chunk's
         spectrogram reduces on device — only ``3 * width`` scalars per
-        chunk cross to the host — so the scan streams at the waterfall's
-        norms rate regardless of capture length.  Works on every runner
-        configuration (file banks, a live pipe, a mesh: the reduction is
-        an ordinary jitted consumer of the sharded step's output)."""
+        chunk cross to the host.  On the single-device path the
+        reduction runs through ``WaterfallModel.jit_scan`` — in kernel
+        on the fused path, where the spectrogram never reaches HBM
+        (:func:`quadrs_tpu.ops.waterfall_pallas.fused_waterfall_scan`);
+        on a mesh a jitted reduction consumes the sharded step's global
+        norms."""
         import time
 
         import jax
         import jax.numpy as jnp
 
-        step = self._wstep if self._wstep is not None else self.model.jit_step()
+        if self._wstep is None:
+            # single-device (file bank or pipe): staged chunks carry
+            # exactly n_valid windows, so the model-level scan step needs
+            # no extra masking beyond its own tile padding
+            scan_step = self.model.jit_scan()
+            step = None
+        else:
+            step = self._wstep
 
         @jax.jit
         def reduce_chunk(norms, n_valid, thr):
@@ -450,10 +459,13 @@ class WaterfallRunner:
         done = 0
         chunks = _background(self._chunk_gen(start_window, max_chunks))
         for w, n_valid, new_samples, args in chunks:
-            norms = step(*args)
-            s, mx, ab = reduce_chunk(
-                norms, jnp.int32(n_valid), jnp.float32(threshold)
-            )
+            if step is None:
+                s, mx, ab = scan_step(args[0], jnp.float32(threshold))
+            else:
+                norms = step(*args)
+                s, mx, ab = reduce_chunk(
+                    norms, jnp.int32(n_valid), jnp.float32(threshold)
+                )
             stats.samples_in += new_samples * n_s
             stats.windows_out += n_s * n_valid
             windows += n_valid

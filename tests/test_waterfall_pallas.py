@@ -704,3 +704,119 @@ def test_strided_small_window_tiles(width, stride, nws):
         near_tie = np.abs(picked - top) <= 3e-5 * np.maximum(top, 1e-9)
         assert np.all(same | near_tie), nw
         np.testing.assert_allclose(gm, top, rtol=3e-5, err_msg=f"nw={nw}")
+
+
+# ---------------------------------------------------------------------------
+# In-kernel band survey (fused_waterfall_scan)
+
+
+@pytest.mark.parametrize(
+    "width,stride,fmt,windowing",
+    [
+        (256, 256, FileFormat.COMPLEX_INT8, "rectangular"),       # tiled, small b
+        (1024, 1024, FileFormat.COMPLEX_INT8, "blackman-harris"), # tiled b=8
+        (1024, 256, FileFormat.COMPLEX_UINT8, "rectangular"),     # overlapped in-kernel
+        (512, 640, FileFormat.COMPLEX_FLOAT32, "rectangular"),    # skipping: pre-arranged
+        (512, 320, FileFormat.COMPLEX_INT16, "rectangular"),      # non-128 overlap: pre-arranged
+        (4096, 1024, FileFormat.COMPLEX_INT8, "rectangular"),     # wide b=32, 4x overlap
+    ],
+)
+def test_fused_waterfall_scan_matches_xla(width, stride, fmt, windowing):
+    """(sum, max, above) per bin from the in-kernel survey == the XLA
+    norms reduced in numpy; threshold chosen mid-gap so the f32 count
+    cannot straddle a boundary between the two paths."""
+    from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_scan
+
+    cfg = WaterfallConfig(
+        n_streams=2, fft_width=width, stride=stride, fmt=fmt,
+        windowing=windowing, frontend="xla",
+    )
+    model = WaterfallModel(cfg)
+    nw = 7 if width < 4096 else 3
+    n = (nw - 1) * stride + width + 13
+    raw = model.synth_raw(n, seed=4)
+    norms = np.asarray(model.jit_step()(jnp.asarray(raw)))  # (S, nw, width)
+    assert norms.shape[1] == nw
+    # mid-gap threshold near the median: immune to cross-path f32 noise
+    flat = np.unique(np.sort(norms.ravel()))
+    k = len(flat) // 2
+    gaps = np.diff(flat[max(0, k - 200) : k + 200])
+    j = int(np.argmax(gaps)) + max(0, k - 200)
+    thr = float((flat[j] + flat[j + 1]) / 2)
+
+    spec = WaterfallSpec(fmt=fmt, width=width, windowing=windowing)
+    ssum, smax, sabove = jax.jit(
+        lambda p, t: fused_waterfall_scan(
+            p, spec, nw, t, stride=stride, interpret=jax.default_backend() != "tpu"
+        )
+    )(jnp.asarray(raw), jnp.float32(thr))
+    want_sum = norms.astype(np.float64).sum(axis=1)
+    # per-value kernel-vs-XLA f32 noise (the norms tests' 2e-5 * max)
+    # accumulates across the nw summed windows
+    np.testing.assert_allclose(
+        np.asarray(ssum), want_sum, rtol=3e-5, atol=nw * 2e-5 * norms.max()
+    )
+    np.testing.assert_allclose(
+        np.asarray(smax), norms.max(axis=1), rtol=2e-5, atol=2e-5 * norms.max()
+    )
+    # counts: exact except where a norm sits within cross-path f32 noise
+    # of the threshold — bound with the noise band instead
+    noise = 2e-5 * norms.max()
+    lo = (norms > thr + noise).sum(axis=1)
+    hi = (norms > thr - noise).sum(axis=1)
+    got_above = np.asarray(sabove).astype(np.int64)
+    assert np.all(got_above >= lo) and np.all(got_above <= hi)
+
+
+def test_fused_waterfall_scan_tile_boundaries():
+    """Window counts around the 128-window tile boundary mask the
+    padding correctly (sum/max/above see only real windows)."""
+    from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_scan
+
+    cfg = WaterfallConfig(n_streams=1, fft_width=256, stride=256, frontend="xla")
+    model = WaterfallModel(cfg)
+    spec = WaterfallSpec(fmt=cfg.fmt, width=256)
+    for nw in (1, 31, 32, 127, 128, 129, 300):
+        raw = model.synth_raw(nw * 256 + 64, seed=nw)
+        norms = np.asarray(model.jit_step()(jnp.asarray(raw)))[:, :nw]
+        ssum, smax, sabove = jax.jit(
+            lambda p, nw=nw: fused_waterfall_scan(
+                p, spec, nw, jnp.float32(8.0),
+                interpret=jax.default_backend() != "tpu",
+            )
+        )(jnp.asarray(raw))
+        np.testing.assert_allclose(
+            np.asarray(ssum), norms.astype(np.float64).sum(axis=1), rtol=3e-5,
+            err_msg=f"nw={nw}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(smax), norms.max(axis=1), rtol=2e-5,
+            atol=2e-5 * norms.max(), err_msg=f"nw={nw}",
+        )
+        got_above = np.asarray(sabove).astype(np.int64)
+        want_above = (norms > 8.0).sum(axis=1)
+        assert np.abs(got_above - want_above).max() <= max(
+            1, int(0.002 * nw)
+        ), f"nw={nw}"
+
+
+def test_model_jit_scan_pallas_matches_xla():
+    """WaterfallModel(frontend='pallas').jit_scan == the XLA model's,
+    for a threshold away from any norm."""
+    xla = WaterfallModel(
+        WaterfallConfig(n_streams=2, fft_width=512, stride=128, frontend="xla")
+    )
+    pal = WaterfallModel(
+        WaterfallConfig(n_streams=2, fft_width=512, stride=128, frontend="pallas")
+    )
+    raw = xla.synth_raw(4096, seed=11)
+    norms = np.asarray(xla.jit_step()(jnp.asarray(raw)))
+    flat = np.unique(np.sort(norms.ravel()))
+    k = len(flat) // 2
+    thr = float((flat[k] + flat[k + 1]) / 2)
+    a = [np.asarray(x) for x in xla.jit_scan()(jnp.asarray(raw), jnp.float32(thr))]
+    b = [np.asarray(x) for x in pal.jit_scan()(jnp.asarray(raw), jnp.float32(thr))]
+    np.testing.assert_allclose(b[0], a[0], rtol=3e-5)
+    np.testing.assert_allclose(b[1], a[1], rtol=2e-5, atol=2e-5 * a[1].max())
+    # counts may differ where a norm sits within f32 noise of thr
+    assert np.abs(b[2].astype(np.int64) - a[2].astype(np.int64)).max() <= 2
