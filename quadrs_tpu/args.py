@@ -876,9 +876,9 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     search = parse_bool(map_.pop("search", "no"))
     shift = parse_si_int(map_.pop("shift", "0"))
     mode = map_.pop("mode", "stream")
-    if mode not in ("stream", "waterfall", "ook", "fsk", "fm", "am"):
+    if mode not in ("stream", "waterfall", "scan", "ook", "fsk", "fm", "am"):
         raise ValueError(
-            f"unknown -mode: {mode!r} (stream|waterfall|ook|fsk|fm|am)"
+            f"unknown -mode: {mode!r} (stream|waterfall|scan|ook|fsk|fm|am)"
         )
     # reject flags the chosen mode would silently ignore
     _fm_flags = {"deviation", "audio-lowpass", "audio-decimate", "audio-power",
@@ -887,6 +887,10 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         "stream": {"stride", "threshold", "bit", "raw"} | _fm_flags,
         "waterfall": {"shift", "lowpass", "power", "decimate",
                       "threshold", "bit", "raw"} | _fm_flags,
+        # scan is the waterfall bank reduced to per-bin stats: the
+        # channel-chain and demod knobs don't apply, nor does -search
+        "scan": {"shift", "lowpass", "power", "decimate", "bit", "raw",
+                 "search"} | _fm_flags,
         # demod modes buffer the whole burst: chunking, peak search and
         # mesh sharding don't apply (and -search would shadow the bits)
         "ook": {"shift", "lowpass", "power", "decimate", "search",
@@ -902,8 +906,8 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         raise ValueError(
             f"-{sorted(bad)[0]} does not apply to -mode {mode}"
         )
-    _width_default = {"stream": "64", "waterfall": "1024", "ook": "4",
-                      "fsk": "64", "fm": "64", "am": "64"}
+    _width_default = {"stream": "64", "waterfall": "1024", "scan": "1024",
+                      "ook": "4", "fsk": "64", "fm": "64", "am": "64"}
     fft_width = int(parse_si_uint(map_.pop("width", _width_default[mode])))
     # channel-filter defaults match the standalone command of each mode
     _lp_default = {"fm": "100k", "am": "10k"}
@@ -925,7 +929,9 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     audio_rate = None if audio_rate is None else int(parse_si_uint(audio_rate))
     stride = map_.pop("stride", "2" if mode == "ook" else None)
     stride = None if stride is None else int(parse_si_uint(stride))
-    threshold = parse_si_float(map_.pop("threshold", "0.001"))
+    threshold = parse_si_float(
+        map_.pop("threshold", "0" if mode == "scan" else "0.001")
+    )
     bit = map_.pop("bit", "8" if mode == "ook" else None)
     bit = None if bit is None else parse_si_float(bit)
     raw_bits = parse_bool(map_.pop("raw", "no"))

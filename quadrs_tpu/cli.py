@@ -42,7 +42,8 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [band survey: per-bin avg/max power + occupancy over every window] \\
    serve [-port 7373] [-host 127.0.0.1] [-once no] [-search no] [-shift 0] [-lowpass 200k] \\
          [-power 200] [-decimate 32] [-width 64] [-chunk 4M] -sr R -format F \\
-         [-mode stream|waterfall|ook|fsk|fm|am] [-stride =width] [waterfall: the raw fused spectrogram] \\
+         [-mode stream|waterfall|scan|ook|fsk|fm|am] [-stride =width] [waterfall: the raw \\
+          fused spectrogram; scan: the per-bin band-survey CSV, -threshold as in scan] \\
          [ook/fsk/fm/am: demod-as-a-service — send the burst, read back the bits (or, \\
           fm/am: a "# MODE N RATE" header + N f32 audio samples); -threshold/-bit/-raw/ \\
           -deviation/-audio-* as in the ook, fsk, fm and am commands] \\

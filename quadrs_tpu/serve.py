@@ -286,6 +286,20 @@ def _scan_bank(cmd):
     return sources, model, runner
 
 
+def _scan_csv_lines(result, s: int, freq) -> "list[str]":
+    """The survey CSV rows for stream ``s`` (shared by ``quadjax scan
+    -out`` and ``serve -mode scan``)."""
+    avg, occ = result.avg, result.occupancy
+    lines = ["bin,freq_hz,avg,max,above,occupancy\n"]
+    for b in range(freq.shape[0]):
+        lines.append(
+            f"{b},{freq[b]:.6g},{avg[s, b]:.9g},"
+            f"{result.max_norms[s, b]:.9g},{result.above[s, b]},"
+            f"{occ[s, b]:.6g}\n"
+        )
+    return lines
+
+
 def run_scan(cmd: argmod.ScanCmd) -> int:
     """Band survey (the rtl_power product): per-bin average/max power
     and occupancy over every window, reduced on device — prints the
@@ -310,13 +324,7 @@ def run_scan(cmd: argmod.ScanCmd) -> int:
         for s in range(len(sources)):
             path = f"{cmd.out}.s{s}.scan.csv"
             with open(path, "w" if cmd.overwrite else "x") as fh:
-                fh.write("bin,freq_hz,avg,max,above,occupancy\n")
-                for b in range(width):
-                    fh.write(
-                        f"{b},{freq[b]:.6g},{avg[s, b]:.9g},"
-                        f"{result.max_norms[s, b]:.9g},{result.above[s, b]},"
-                        f"{occ[s, b]:.6g}\n"
-                    )
+                fh.writelines(_scan_csv_lines(result, s, freq))
             wrote.append(path)
 
     for s in range(len(sources)):
@@ -707,7 +715,7 @@ def _serve_connection(
     from quadrs_tpu.sources import PipeSource
     from quadrs_tpu.stream_runner import StreamRunner, WaterfallRunner
 
-    waterfall = cmd.mode == "waterfall"
+    waterfall = cmd.mode in ("waterfall", "scan")
     rf = conn.makefile("rb")
     wf = conn.makefile("wb")
     try:
@@ -722,7 +730,21 @@ def _serve_connection(
             )
         else:
             runner = StreamRunner(src, model, chunk_samples=cmd.chunk, mesh=mesh)
-        if cmd.search:
+        if cmd.mode == "scan":
+            # band survey: the reduction streams on device; the reply is
+            # one small CSV at EOF (bin,freq_hz,avg,max,above,occupancy)
+            result = runner.run_scan(threshold=cmd.threshold)
+            width = model.cfg.fft_width
+            freq = (np.arange(width) - width // 2) * (sample_rate / width)
+            wf.writelines(
+                ln.encode() for ln in _scan_csv_lines(result, 0, freq)
+            )
+            stats = result.stats
+            wf.write(
+                f"# {_stats_line('scan', stats)} "
+                f"({result.windows} windows, threshold {cmd.threshold:g})\n".encode()
+            )
+        elif cmd.search:
             wf.write(b"window,bin,mag\n")
 
             def on_peaks(w0, out):
@@ -784,7 +806,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     demod = cmd.mode in ("ook", "fsk", "fm", "am")
     if demod:
         model = _make_serve_demod(cmd)
-    elif cmd.mode == "waterfall":
+    elif cmd.mode in ("waterfall", "scan"):
         from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
 
         model = WaterfallModel(
@@ -819,6 +841,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
         f"{cmd.mode} "
         + ("audio" if cmd.mode in ("fm", "am")
            else "bits" if demod
+           else "survey" if cmd.mode == "scan"
            else "search" if cmd.search else "norms")
         + (f", mesh {cmd.mesh[0]}x{cmd.mesh[1]}" if cmd.mesh else "")
         + (f", parallel {cmd.parallel}" if cmd.parallel > 1 else "")

@@ -518,3 +518,58 @@ def test_serve_am_demod_mode(capsys):
     )
     assert (want_rate, len(want)) == (rate, n)
     np.testing.assert_array_equal(audio, want)
+
+
+def test_serve_scan_mode(capsys):
+    """-mode scan answers each connection with the band-survey CSV —
+    identical to a direct pipe run_scan over the same bytes."""
+    import io
+
+    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
+    from quadrs_tpu.serve import _scan_csv_lines
+    from quadrs_tpu.sources import PipeSource
+    from quadrs_tpu.stream_runner import WaterfallRunner
+
+    data = _capture(20_000, seed=47)
+    cmd = _serve_cmd(mode="scan", fft_width=128, chunk=50, stride=64,
+                     threshold=8.0)
+    th, port = _start_server(cmd)
+    text = _session(port, data).decode()
+    th.join(timeout=60)
+    lines = text.strip().splitlines()
+    assert lines[0] == "bin,freq_hz,avg,max,above,occupancy"
+    assert len(lines) == 1 + 128 + 1
+    assert lines[-1].startswith("# scan: ") and "threshold 8" in lines[-1]
+
+    model = WaterfallModel(
+        WaterfallConfig(n_streams=1, fft_width=128, stride=64,
+                        fmt=FileFormat.COMPLEX_INT8)
+    )
+    runner = WaterfallRunner(
+        [PipeSource(io.BytesIO(data), FileFormat.COMPLEX_INT8, 48_000)],
+        model, chunk_windows=50,
+    )
+    result = runner.run_scan(threshold=8.0)
+    freq = (np.arange(128) - 64) * (48_000 / 128)
+    want = [ln.rstrip("\n") for ln in _scan_csv_lines(result, 0, freq)]
+    assert lines[: 1 + 128] == want
+    # occupancy actually discriminates at this threshold
+    occ = np.array([float(l.split(",")[5]) for l in lines[1:129]])
+    assert 0.0 < occ.mean() < 1.0
+
+
+def test_serve_scan_mode_gating(capsys):
+    with pytest.raises(ValueError, match="does not apply to -mode scan"):
+        argmod.parse(
+            "serve -mode scan -search yes -sr 48k -format cs8".split()
+        )
+    with pytest.raises(ValueError, match="does not apply to -mode scan"):
+        argmod.parse(
+            "serve -mode scan -deviation 75k -sr 48k -format cs8".split()
+        )
+    # threshold/stride/width/chunk/mesh all apply
+    (c,) = argmod.parse(
+        "serve -mode scan -width 256 -stride 128 -threshold 0.5 "
+        "-chunk 100 -sr 48k -format cs8".split()
+    )
+    assert c.mode == "scan" and c.threshold == 0.5 and c.stride == 128
