@@ -112,6 +112,10 @@ class StreamCmd(Command):
     chunk: int = 4_000_000  # matches the CLI default "4M" (decimal SI)
     chunks: int | None = None
     search: bool = False
+    scan: bool = False  # band survey of the decimated channel
+    threshold: float = 0.0  # scan occupancy level
+    top: int = 20  # scan: strongest bins to print
+    db: bool = False  # scan: dB power columns
     out: str | None = None
     sample_rate: str | None = None
     format: str | None = None
@@ -627,6 +631,17 @@ def _parse_stream(args: _Args, raw_map) -> Command:
     chunks = map_.pop("chunks", None)
     chunks = None if chunks is None else int(parse_si_uint(chunks))
     search = parse_bool(map_.pop("search", "no"))
+    scan = parse_bool(map_.pop("scan", "no"))
+    if search and scan:
+        raise ValueError("'stream' takes -search or -scan, not both")
+    scan_flags = {"threshold", "top", "db"} & set(map_)
+    if scan_flags and not scan:
+        raise ValueError(
+            f"-{sorted(scan_flags)[0]} requires 'stream -scan yes'"
+        )
+    threshold = parse_si_float(map_.pop("threshold", "0"))
+    top = int(parse_si_uint(map_.pop("top", "20")))
+    db = parse_bool(map_.pop("db", "no"))
     out = map_.pop("out", None)
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
@@ -636,7 +651,8 @@ def _parse_stream(args: _Args, raw_map) -> Command:
     return StreamCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, fft_width=fft_width, chunk=chunk, chunks=chunks,
-        search=search, out=out, sample_rate=sr, format=fmt,
+        search=search, scan=scan, threshold=threshold, top=top, db=db,
+        out=out, sample_rate=sr, format=fmt,
         mesh=None if mesh is None else _parse_mesh(mesh), stdin=stdin,
     )
 

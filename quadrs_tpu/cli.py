@@ -33,6 +33,8 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
          [-stdin no] [-sr R] [-format F] [live waterfall off a pipe: rtl_sdr - | {us} eui -live yes -stdin yes ...] \\
   stream [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] \\
          [-chunk 4M] [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] \\
+         [-scan no] [-threshold 0] [-top 20] [-db no] [scan: band survey of the \\
+          decimated channel — per-bin avg/max power + occupancy, absolute Hz] \\
          [-stdin no] FILENAME [live pipe: rtl_sdr - | {us} stream -stdin yes -sr 2M -format cu8] \\
 waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] [-stdin no] FILENAME... \\

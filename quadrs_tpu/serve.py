@@ -132,6 +132,23 @@ def run_stream(cmd: argmod.StreamCmd) -> int:
     runner = StreamRunner(
         src, model, chunk_samples=cmd.chunk, mesh=_make_mesh(cmd.mesh)
     )
+    if cmd.scan:
+        # band survey of the DECIMATED channel: bins at the channel
+        # rate, centered on the shift frequency (absolute Hz printed)
+        result = runner.run_scan(threshold=cmd.threshold, max_chunks=cmd.chunks)
+        width = cfg.fft_width
+        ch_rate = src.sample_rate / cmd.decimate
+        # shift f multiplies by e^{j 2pi f n / sr} (src/shift.rs:28), so
+        # the tone that lands at DC is the one at -f: center = -shift
+        freq = -cmd.shift + (np.arange(width) - width // 2) * (ch_rate / width)
+        if cmd.out is not None:
+            path = f"{cmd.out}.scan.csv"
+            with open(path, "w") as fh:
+                fh.writelines(_scan_csv_lines(result, 0, freq))
+            print(f"wrote {path}")
+        _print_survey(result, freq, cmd.top, cmd.db, name="stream scan")
+        print(_stats_line("stream", result.stats))
+        return 0
     tracker = _PeakTracker(1)
     wrote: list[str] = []
 
@@ -300,6 +317,32 @@ def _scan_csv_lines(result, s: int, freq) -> "list[str]":
     return lines
 
 
+def _print_survey(result, freq, top: int, db: bool, name: str = "scan") -> None:
+    """Print the strongest-bins table of a :class:`ScanResult` (shared
+    by ``quadjax scan`` and ``stream -scan``)."""
+    width = freq.shape[0]
+    avg, occ = result.avg, result.occupancy
+
+    def fmt_pow(v: float) -> str:
+        if not db:
+            return f"{v:12.6g}"
+        return f"{10.0 * np.log10(max(v, 1e-30)):9.2f} dB"
+
+    for s in range(avg.shape[0]):
+        tag = f" stream={s}" if avg.shape[0] > 1 else ""
+        print(
+            f"{name}{tag}: {result.windows} windows of {width} bins, "
+            f"threshold {result.threshold:g}"
+        )
+        order = np.argsort(avg[s])[::-1][:top]
+        print("   bin     freq_hz          avg          max  occupancy")
+        for b in order:
+            print(
+                f"  {b:4d} {freq[b]:+11.1f} {fmt_pow(avg[s, b])} "
+                f"{fmt_pow(float(result.max_norms[s, b]))} {occ[s, b]:9.1%}"
+            )
+
+
 def run_scan(cmd: argmod.ScanCmd) -> int:
     """Band survey (the rtl_power product): per-bin average/max power
     and occupancy over every window, reduced on device — prints the
@@ -312,12 +355,6 @@ def run_scan(cmd: argmod.ScanCmd) -> int:
     sr = sources[0].sample_rate
     # fftshifted bin b <-> frequency offset (b - width//2) * sr / width
     freq = (np.arange(width) - width // 2) * (sr / width)
-    avg, occ = result.avg, result.occupancy
-
-    def fmt_pow(v: float) -> str:
-        if not cmd.db:
-            return f"{v:12.6g}"
-        return f"{10.0 * np.log10(max(v, 1e-30)):9.2f} dB"
 
     wrote: list[str] = []
     if cmd.out is not None:
@@ -327,19 +364,7 @@ def run_scan(cmd: argmod.ScanCmd) -> int:
                 fh.writelines(_scan_csv_lines(result, s, freq))
             wrote.append(path)
 
-    for s in range(len(sources)):
-        tag = f" stream={s}" if len(sources) > 1 else ""
-        print(
-            f"scan{tag}: {result.windows} windows of {width} bins, "
-            f"threshold {cmd.threshold:g}"
-        )
-        order = np.argsort(avg[s])[::-1][: cmd.top]
-        print("   bin     freq_hz          avg          max  occupancy")
-        for b in order:
-            print(
-                f"  {b:4d} {freq[b]:+11.1f} {fmt_pow(avg[s, b])} "
-                f"{fmt_pow(float(result.max_norms[s, b]))} {occ[s, b]:9.1%}"
-            )
+    _print_survey(result, freq, cmd.top, cmd.db, name="scan")
     for path in wrote:
         print(f"wrote {path}")
     print(_stats_line("scan", result.stats))

@@ -774,6 +774,95 @@ class StreamRunner:
         crosses ICI)."""
         return self._run(on_peaks, start_window, max_chunks, search=True)
 
+    def run_scan(
+        self,
+        threshold: float = 0.0,
+        start_window: int = 0,
+        max_chunks=None,
+    ) -> ScanResult:
+        """:meth:`WaterfallRunner.run_scan`'s counterpart for the
+        shift+FIR chain: per fftshifted bin of the DECIMATED channel,
+        the average/max window power and the count of windows above
+        ``threshold``.  Single-device chunks reduce on device (a jitted
+        consumer of the chunk's norms — 3*width scalars to the host per
+        chunk); the mesh path reduces the assembled global rows in
+        numpy as they stream (they are materialized for callbacks
+        anyway).  Bin ``width//2`` is the channel center (i.e. the
+        shift frequency)."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        width = self.model.cfg.fft_width
+        n_s = len(self.sources)
+        sum_f64 = np.zeros((n_s, width), np.float64)
+        max_f32 = np.full((n_s, width), -np.inf, np.float32)
+        above = np.zeros((n_s, width), np.int64)
+        windows = 0
+
+        if self._sharded_step is None:
+            model = self.model
+            use_pallas = self._use_pallas()
+
+            @jax.jit
+            def red(norms, thr):
+                return (
+                    jnp.sum(norms, axis=0),
+                    jnp.max(norms, axis=0),
+                    jnp.sum((norms > thr).astype(jnp.float32), axis=0),
+                )
+
+            thr = jnp.float32(threshold)
+            stats = RunStats()
+            t0 = time.perf_counter()
+            done = 0
+            chunks = self._prefetched(start_window * self._win_raw)
+            for off, planes, valid in chunks:
+                if use_pallas:
+                    bases = model.stream_bases(off, planes.shape[1])
+                    nv = None if valid == planes.shape[1] else int(valid)
+                    out = model.jit_step_stream_pallas(planes, bases, n_valid=nv)
+                else:
+                    theta0 = model.theta0(np.asarray([off]))[0]
+                    out = model.jit_step_stream(planes, theta0, np.int32(valid))
+                sm, mx, ab = red(out, thr)
+                stats.samples_in += planes.shape[1] - self._lookahead
+                stats.windows_out += out.shape[0]
+                windows += out.shape[0]
+                sum_f64[0] += np.asarray(sm, dtype=np.float64)
+                np.maximum(max_f32[0], np.asarray(mx), out=max_f32[0])
+                above[0] += np.asarray(ab).astype(np.int64)
+                done += 1
+                if max_chunks is not None and done >= max_chunks:
+                    chunks.close()
+                    break
+            stats.seconds = time.perf_counter() - t0
+            PROFILER.account("stream_runner", stats.samples_in, stats.seconds)
+        else:
+            windows_box = [0]
+
+            def on_rows(w0, rows):
+                r = rows if rows.ndim == 3 else rows[None]
+                windows_box[0] += r.shape[1]
+                sum_f64[...] += r.astype(np.float64).sum(axis=1)
+                np.maximum(max_f32, r.max(axis=1), out=max_f32)
+                above[...] += (r > np.float32(threshold)).sum(axis=1)
+
+            stats = self.run(on_rows, start_window, max_chunks)
+            windows = windows_box[0]
+
+        if windows == 0:
+            max_f32.fill(0.0)
+        return ScanResult(
+            sum_norms=sum_f64,
+            max_norms=max_f32,
+            above=above,
+            windows=windows,
+            threshold=float(threshold),
+            stats=stats,
+        )
+
     def _run(self, emit, start_window: int, max_chunks, search: bool) -> RunStats:
         import time
 

@@ -224,3 +224,105 @@ def test_scan_mesh_matches_single(tone_capture, tmp_path, capsys):
             assert ra[0] == rb[0] and ra[4] == rb[4]  # bin, above
             np.testing.assert_allclose(float(rb[2]), float(ra[2]), rtol=1e-5)
             np.testing.assert_allclose(float(rb[3]), float(ra[3]), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# StreamRunner.run_scan (survey of the decimated shift+FIR channel)
+
+
+def _stream_rig(n=40_000, sr=48_000, seed=13):
+    from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
+
+    rng = np.random.default_rng(seed)
+    iq = (rng.standard_normal(2 * n) * 0.3).astype("<f4")
+    src = SampleSource(
+        np.frombuffer(iq.tobytes(), dtype=np.uint8), FileFormat.COMPLEX_FLOAT32, sr
+    )
+    cfg = PipelineConfig(
+        sample_rate=sr, shift_freq=1_000, lp_freq=8_000, decimate=4,
+        taps=40, fft_width=32, fmt=FileFormat.COMPLEX_FLOAT32,
+    )
+    return src, PipelineModel(cfg)
+
+
+def test_stream_run_scan_matches_run_reduce():
+    """run_scan == reducing run()'s rows, chunk-count invariant."""
+    from quadrs_tpu.stream_runner import StreamRunner
+
+    src, model = _stream_rig()
+    rows = []
+    StreamRunner(src, model, chunk_samples=6_000).run(
+        lambda w0, r: rows.append(r)
+    )
+    norms = np.concatenate(rows, axis=0)
+    thr = float(np.median(norms))
+    res = StreamRunner(src, model, chunk_samples=6_000).run_scan(threshold=thr)
+    assert res.windows == norms.shape[0]
+    np.testing.assert_allclose(res.sum_norms[0], norms.astype(np.float64).sum(axis=0), rtol=1e-6)
+    np.testing.assert_array_equal(res.max_norms[0], norms.max(axis=0))
+    np.testing.assert_array_equal(res.above[0], (norms > thr).sum(axis=0))
+    # a different chunking compiles a different batch shape, so values
+    # wobble by ulps (documented f32 behavior); the survey agrees within
+    # noise and counts can flip only for norms within that noise of thr
+    res2 = StreamRunner(src, model, chunk_samples=20_000).run_scan(threshold=thr)
+    np.testing.assert_allclose(res2.sum_norms, res.sum_norms, rtol=1e-5)
+    np.testing.assert_allclose(res2.max_norms, res.max_norms, rtol=1e-5)
+    noise = 1e-5 * norms.max()
+    lo = (norms > thr + noise).sum(axis=0)
+    hi = (norms > thr - noise).sum(axis=0)
+    assert np.all(res2.above[0] >= lo) and np.all(res2.above[0] <= hi)
+
+
+def test_stream_run_scan_mesh_matches_single():
+    import jax
+
+    from quadrs_tpu.parallel.sharding import make_mesh
+    from quadrs_tpu.stream_runner import StreamRunner
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    src, model = _stream_rig(seed=14)
+    solo = StreamRunner(src, model, chunk_samples=8_000).run_scan(threshold=1.0)
+    mesh = make_mesh(n_time=4, n_stream=1)
+    shard = StreamRunner(src, model, chunk_samples=8_000, mesh=mesh).run_scan(
+        threshold=1.0
+    )
+    assert shard.windows == solo.windows
+    np.testing.assert_allclose(shard.sum_norms, solo.sum_norms, rtol=1e-5)
+    np.testing.assert_allclose(shard.max_norms, solo.max_norms, rtol=1e-5)
+    # counts can wobble only where a norm sits within f32 noise of thr
+    assert np.abs(shard.above - solo.above).max() <= 1
+
+
+def test_cli_stream_scan(tone_capture, tmp_path, capsys):
+    """stream -scan surveys the decimated channel; the tone at -12 kHz
+    shifted to the channel center shows up at its absolute frequency."""
+    from quadrs_tpu.cli import main
+
+    out = tmp_path / "ch"
+    # shift 12k centers the channel on the capture's -12 kHz tone
+    rc = main(
+        ["stream", "-shift", "12k", "-lowpass", "8k", "-power", "20",
+         "-decimate", "4", "-width", "32", "-chunk", "6000",
+         "-scan", "yes", "-threshold", "0.5", "-top", "3",
+         "-out", str(out), str(tone_capture)]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    lines = captured.strip().splitlines()
+    assert lines[-1].startswith("stream: ")
+    assert any(ln.startswith("stream scan: ") for ln in lines)
+    csv = (tmp_path / "ch.scan.csv").read_text().splitlines()
+    assert csv[0] == "bin,freq_hz,avg,max,above,occupancy"
+    assert len(csv) == 1 + 32
+    rows = [ln.split(",") for ln in csv[1:]]
+    avg = np.array([float(r[2]) for r in rows])
+    freq = np.array([float(r[1]) for r in rows])
+    # channel rate 12 kHz over 32 bins = 375 Hz/bin; the -12 kHz tone
+    # sits at the channel center (= -shift) after the shift
+    assert abs(freq[int(np.argmax(avg))] - (-12_000)) <= 375
+    # gating: scan-only flags and -search/-scan exclusivity
+    assert main(["stream", "-top", "5", str(tone_capture)]) == 1
+    assert "requires 'stream -scan yes'" in capsys.readouterr().err
+    assert main(["stream", "-scan", "yes", "-search", "yes", str(tone_capture)]) == 1
+    assert "not both" in capsys.readouterr().err
