@@ -116,6 +116,9 @@ class StreamCmd(Command):
     threshold: float = 0.0  # scan occupancy level
     top: int = 20  # scan: strongest bins to print
     db: bool = False  # scan: dB power columns
+    trigger: float | None = None  # burst recorder: channel peak level
+    pre: int = 1  # trigger: context windows before each burst
+    post: int = 1  # trigger: context windows after each burst
     out: str | None = None
     sample_rate: str | None = None
     format: str | None = None
@@ -642,16 +645,35 @@ def _parse_stream(args: _Args, raw_map) -> Command:
     threshold = parse_si_float(map_.pop("threshold", "0"))
     top = int(parse_si_uint(map_.pop("top", "20")))
     db = parse_bool(map_.pop("db", "no"))
+    trigger = map_.pop("trigger", None)
+    trig_flags = {"pre", "post"} & set(map_)
+    if trig_flags and trigger is None:
+        raise ValueError(
+            f"-{sorted(trig_flags)[0]} requires 'stream -trigger LEVEL'"
+        )
+    trigger = None if trigger is None else parse_si_float(trigger)
+    if trigger is not None and (search or scan):
+        raise ValueError("'stream -trigger' excludes -search/-scan")
+    pre = int(parse_si_uint(map_.pop("pre", "1")))
+    post = int(parse_si_uint(map_.pop("post", "1")))
     out = map_.pop("out", None)
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     mesh = map_.pop("mesh", None)
     filename, stdin = _take_capture_arg(args, map_, "stream", sr, fmt)
     _ensure_empty(map_, "stream")
+    if trigger is not None:
+        if out is None:
+            raise ValueError("'stream -trigger' requires -out (burst files)")
+        if stdin:
+            raise ValueError(
+                "'stream -trigger' needs a seekable capture file, not -stdin"
+            )
     return StreamCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, fft_width=fft_width, chunk=chunk, chunks=chunks,
         search=search, scan=scan, threshold=threshold, top=top, db=db,
+        trigger=trigger, pre=pre, post=post,
         out=out, sample_rate=sr, format=fmt,
         mesh=None if mesh is None else _parse_mesh(mesh), stdin=stdin,
     )

@@ -132,6 +132,8 @@ def run_stream(cmd: argmod.StreamCmd) -> int:
     runner = StreamRunner(
         src, model, chunk_samples=cmd.chunk, mesh=_make_mesh(cmd.mesh)
     )
+    if cmd.trigger is not None:
+        return _run_stream_trigger(cmd, src, runner)
     if cmd.scan:
         # band survey of the DECIMATED channel: bins at the channel
         # rate, centered on the shift frequency (absolute Hz printed)
@@ -191,6 +193,43 @@ def run_stream(cmd: argmod.StreamCmd) -> int:
         print(line)
     for path in wrote:
         print(f"wrote {path}")
+    print(_stats_line("stream", stats))
+    return 0
+
+
+_FORMAT_EXT = {"COMPLEX_FLOAT32": "cf32", "COMPLEX_INT8": "cs8",
+               "COMPLEX_UINT8": "cu8", "COMPLEX_INT16": "cs16"}
+
+
+def _run_stream_trigger(cmd: argmod.StreamCmd, src, runner) -> int:
+    """Burst recorder (the rtl_433-style squelch): gate on the decimated
+    channel's per-window peak magnitude (the in-kernel search output),
+    widen each active run by -pre/-post windows, and write every burst
+    as a byte-exact, re-``from``-able slice of the ORIGINAL capture —
+    ``{out}.bK.s{start}.sr{rate}.{fmt}`` (native format, no decode)."""
+    from quadrs_tpu.stream_runner import burst_spans
+
+    vals: list[np.ndarray] = []
+    stats = runner.run_search(lambda w0, out: vals.append(np.asarray(out[1])))
+    val = np.concatenate(vals) if vals else np.zeros(0, np.float32)
+    win_raw = cmd.decimate * cmd.fft_width
+    spans = burst_spans(val > np.float32(cmd.trigger), cmd.pre, cmd.post)
+    ext = _FORMAT_EXT[src.format.name]
+    for k, (a, b) in enumerate(spans):
+        s0 = a * win_raw
+        s1 = min((b + 1) * win_raw, src.length)
+        path = f"{cmd.out}.b{k}.s{s0}.sr{src.sample_rate}.{ext}"
+        with open(path, "wb") as fh:
+            fh.write(src.raw_bytes(s0, s1))
+        peak = float(val[a : b + 1].max())
+        print(
+            f"stream burst {k}: windows {a}..{b}, samples {s0}..{s1}, "
+            f"peak {peak:.6g}, wrote {path}"
+        )
+    print(
+        f"stream trigger: {len(spans)} bursts over {len(val)} windows, "
+        f"level {cmd.trigger:g}"
+    )
     print(_stats_line("stream", stats))
     return 0
 

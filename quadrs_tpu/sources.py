@@ -65,6 +65,15 @@ class SampleSource(Stream):
         the source is in-memory or the native loader is unavailable."""
         return self._native
 
+    def raw_bytes(self, lo: int, hi: int) -> bytes:
+        """The capture's original interleaved bytes for samples
+        [lo, hi) — byte-exact extraction (the burst recorder's write
+        path: a re-``from``-able slice of the file, no decode)."""
+        lo = max(0, min(lo, self.length))
+        hi = max(lo, min(hi, self.length))
+        pair = self.format.pair_bytes
+        return bytes(self._bytes[lo * pair : hi * pair])
+
     # -- staging ----------------------------------------------------------
     def stage(self, lo: int, hi: int) -> np.ndarray:
         """Materialize samples [lo, hi) as (2, hi-lo) native-dtype planes.

@@ -65,6 +65,32 @@ class ScanResult:
         return self.above / max(self.windows, 1)
 
 
+def burst_spans(
+    active, pre: int = 0, post: int = 0
+) -> list[tuple[int, int]]:
+    """Contiguous True runs of a per-window activity mask, each widened
+    by ``pre``/``post`` context windows and merged where the widened
+    spans touch — the burst segmentation behind ``stream -trigger``.
+    Returns ``[(first_window, last_window)]`` inclusive."""
+    spans: list[tuple[int, int]] = []
+    n = len(active)
+    i = 0
+    while i < n:
+        if not active[i]:
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and active[j + 1]:
+            j += 1
+        lo, hi = max(0, i - pre), min(n - 1, j + post)
+        if spans and lo <= spans[-1][1] + 1:
+            spans[-1] = (spans[-1][0], hi)
+        else:
+            spans.append((lo, hi))
+        i = j + 1
+    return spans
+
+
 def _background(gen, depth: int = 2):
     """Run a generator on a daemon thread, yielding its items through a
     bounded queue: staging (pread + numpy copies + device_put) overlaps

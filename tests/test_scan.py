@@ -326,3 +326,86 @@ def test_cli_stream_scan(tone_capture, tmp_path, capsys):
     assert "requires 'stream -scan yes'" in capsys.readouterr().err
     assert main(["stream", "-scan", "yes", "-search", "yes", str(tone_capture)]) == 1
     assert "not both" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# stream -trigger (burst recorder)
+
+
+def test_burst_spans():
+    from quadrs_tpu.stream_runner import burst_spans
+
+    assert burst_spans([]) == []
+    assert burst_spans([False, False]) == []
+    assert burst_spans([True, True, False]) == [(0, 1)]
+    assert burst_spans([False, True, False, False, True], pre=0, post=0) == [
+        (1, 1), (4, 4)
+    ]
+    # pre/post widen and merge touching spans
+    assert burst_spans([False, True, False, False, True, False], pre=1, post=1) == [
+        (0, 5)
+    ]
+    assert burst_spans([False, True] + [False] * 5 + [True, False], pre=1, post=1) == [
+        (0, 2), (6, 8)
+    ]
+    # clamped at the edges
+    assert burst_spans([True, False, False], pre=3, post=0) == [(0, 0)]
+
+
+def test_cli_stream_trigger(tmp_path, capsys):
+    """Two tone bursts in a noise-free capture come out as two
+    byte-exact, re-from-able slices of the original file."""
+    from quadrs_tpu.cli import main
+
+    sr, dec, w = 48_000, 4, 32
+    win_raw = dec * w  # 128 raw samples per window
+    n = 300 * win_raw
+    t = np.arange(n)
+    x = np.zeros(n, dtype=np.complex64)
+    # bursts on windows [50, 80) and [200, 210): a strong DC tone
+    for a, b in ((50, 80), (200, 210)):
+        x[a * win_raw : b * win_raw] = 1.0
+    raw = np.empty(2 * n, dtype=np.float32)
+    raw[0::2] = x.real
+    raw[1::2] = x.imag
+    cap = tmp_path / f"bursty.sr{sr}.cf32"
+    cap.write_bytes(raw.tobytes())
+
+    out = tmp_path / "rec"
+    rc = main(
+        ["stream", "-lowpass", "8k", "-power", "20", "-decimate", str(dec),
+         "-width", str(w), "-chunk", "32k", "-trigger", "5",
+         "-pre", "2", "-post", "2", "-out", str(out), str(cap)]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    lines = captured.strip().splitlines()
+    assert any(ln.startswith("stream trigger: 2 bursts") for ln in lines)
+
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "rec.b*")))
+    assert len(files) == 2
+    src_bytes = cap.read_bytes()
+    pair = 8  # cf32
+    for path, (a, b) in zip(files, ((50 - 2, 80 + 2), (200 - 2, 210 + 2))):
+        name = pathlib.Path(path).name
+        s0 = int(name.split(".s")[1].split(".")[0])
+        # burst window bounds within one window of the injected spans
+        # (FIR group delay smears the envelope edge)
+        assert abs(s0 - a * win_raw) <= 2 * win_raw
+        data = pathlib.Path(path).read_bytes()
+        assert data == src_bytes[s0 * pair : s0 * pair + len(data)]
+        assert name.endswith(f".sr{sr}.cf32")
+        # the burst file is a valid capture: from + sparkfft runs
+        assert main(["from", path, "sparkfft", "-width", "4"]) == 0
+    capsys.readouterr()
+    # gating
+    assert main(["stream", "-trigger", "5", str(cap)]) == 1
+    assert "requires -out" in capsys.readouterr().err
+    assert main(["stream", "-pre", "2", str(cap)]) == 1
+    assert "requires 'stream -trigger" in capsys.readouterr().err
+    assert main(
+        ["stream", "-trigger", "5", "-scan", "yes", "-out", "x", str(cap)]
+    ) == 1
+    assert "excludes" in capsys.readouterr().err
