@@ -408,7 +408,6 @@ def bench_waterfall_search(on_accel: bool) -> dict:
     # band survey (quadjax scan): in-kernel window-axis reduction vs the
     # runner's pre-round-4 spelling (norms to HBM + jitted XLA reduce)
     scj = model.jit_scan()
-    n_w = (per_stream - cfg.fft_width) // cfg.stride + 1
     stepj = model.jit_step()
 
     @jax.jit

@@ -162,7 +162,7 @@ class ScanCmd(Command):
     chunks: int | None = None
     threshold: float = 0.0
     top: int = 20  # report the N strongest bins per stream
-    db: bool = False  # print power columns in dBFS-style 10*log10
+    db: bool = False  # print power columns in dB (20*log10 of the magnitude)
     out: str | None = None
     overwrite: bool = False
     sample_rate: str | None = None

@@ -197,10 +197,6 @@ def run_stream(cmd: argmod.StreamCmd) -> int:
     return 0
 
 
-_FORMAT_EXT = {"COMPLEX_FLOAT32": "cf32", "COMPLEX_INT8": "cs8",
-               "COMPLEX_UINT8": "cu8", "COMPLEX_INT16": "cs16"}
-
-
 def _run_stream_trigger(cmd: argmod.StreamCmd, src, runner) -> int:
     """Burst recorder (the rtl_433-style squelch): gate on the decimated
     channel's per-window peak magnitude (the in-kernel search output),
@@ -210,11 +206,13 @@ def _run_stream_trigger(cmd: argmod.StreamCmd, src, runner) -> int:
     from quadrs_tpu.stream_runner import burst_spans
 
     vals: list[np.ndarray] = []
-    stats = runner.run_search(lambda w0, out: vals.append(np.asarray(out[1])))
+    stats = runner.run_search(
+        lambda w0, out: vals.append(np.asarray(out[1])), max_chunks=cmd.chunks
+    )
     val = np.concatenate(vals) if vals else np.zeros(0, np.float32)
     win_raw = cmd.decimate * cmd.fft_width
     spans = burst_spans(val > np.float32(cmd.trigger), cmd.pre, cmd.post)
-    ext = _FORMAT_EXT[src.format.name]
+    ext = src.format.value  # the enum values ARE the extensions
     for k, (a, b) in enumerate(spans):
         s0 = a * win_raw
         s1 = min((b + 1) * win_raw, src.length)
@@ -236,31 +234,7 @@ def _run_stream_trigger(cmd: argmod.StreamCmd, src, runner) -> int:
 
 def run_waterfall(cmd: argmod.WaterfallCmd) -> int:
     """Stream a bank of captures through the fused waterfall kernel."""
-    from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
-    from quadrs_tpu.stream_runner import WaterfallRunner
-
-    if cmd.stdin:
-        # live spectrogram from a radio: one pipe stream, read
-        # sequentially with the window overlap carried between chunks
-        sources = [_stdin_pipe_source(cmd)]
-    else:
-        sources = [
-            open_capture(f, cmd.sample_rate, cmd.format) for f in cmd.filenames
-        ]
-    fmts = {s.format for s in sources}
-    if len(fmts) != 1:
-        raise ValueError(f"bank files disagree on format: {sorted(f.name for f in fmts)}")
-    cfg = WaterfallConfig(
-        n_streams=len(sources),
-        fft_width=cmd.fft_width,
-        stride=cmd.stride if cmd.stride is not None else cmd.fft_width,
-        fmt=sources[0].format,
-        windowing=cmd.windowing,
-    )
-    model = WaterfallModel(cfg)
-    runner = WaterfallRunner(
-        sources, model, chunk_windows=cmd.chunk_windows, mesh=_make_mesh(cmd.mesh)
-    )
+    sources, model, runner = _open_bank(cmd)
     tracker = _PeakTracker(len(sources))
     wrote: list[str] = []
 
@@ -313,9 +287,10 @@ def run_waterfall(cmd: argmod.WaterfallCmd) -> int:
     return 0
 
 
-def _scan_bank(cmd):
-    """Sources + model + runner for a scan command (the waterfall bank
-    construction with the scan command's knobs)."""
+def _open_bank(cmd):
+    """Sources + model + runner for a waterfall-bank command (shared by
+    ``waterfall`` and ``scan`` — same knobs: width/stride/window/chunk/
+    mesh/stdin/filenames)."""
     from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
     from quadrs_tpu.stream_runner import WaterfallRunner
 
@@ -363,9 +338,12 @@ def _print_survey(result, freq, top: int, db: bool, name: str = "scan") -> None:
     avg, occ = result.avg, result.occupancy
 
     def fmt_pow(v: float) -> str:
+        # norms are MAGNITUDES (sqrt(re^2+im^2)); power dB of a
+        # magnitude is 20*log10 — the rtl_power convention the survey
+        # claims parity with (10*log10 would halve every ratio)
         if not db:
             return f"{v:12.6g}"
-        return f"{10.0 * np.log10(max(v, 1e-30)):9.2f} dB"
+        return f"{20.0 * np.log10(max(v, 1e-30)):9.2f} dB"
 
     for s in range(avg.shape[0]):
         tag = f" stream={s}" if avg.shape[0] > 1 else ""
@@ -387,7 +365,7 @@ def run_scan(cmd: argmod.ScanCmd) -> int:
     and occupancy over every window, reduced on device — prints the
     strongest bins with their frequency offsets; ``-out`` writes the
     full per-bin table as CSV per stream."""
-    sources, model, runner = _scan_bank(cmd)
+    sources, model, runner = _open_bank(cmd)
     result = runner.run_scan(threshold=cmd.threshold, max_chunks=cmd.chunks)
 
     width = model.cfg.fft_width

@@ -813,8 +813,11 @@ class StreamRunner:
         consumer of the chunk's norms — 3*width scalars to the host per
         chunk); the mesh path reduces the assembled global rows in
         numpy as they stream (they are materialized for callbacks
-        anyway).  Bin ``width//2`` is the channel center (i.e. the
-        shift frequency)."""
+        anyway).  Bin ``width//2`` is the channel center — the
+        frequency at MINUS the shift (``shift f`` multiplies by
+        ``e^{j 2 pi f n / sr}``, ``src/shift.rs:28``, so the tone that
+        lands at DC is the one at ``-f``; the CLI prints absolute Hz as
+        ``-shift + offset``)."""
         import time
 
         import jax
