@@ -163,6 +163,7 @@ class ScanCmd(Command):
     threshold: float = 0.0
     top: int = 20  # report the N strongest bins per stream
     db: bool = False  # print power columns in dB (20*log10 of the magnitude)
+    plot: bool = False  # render {out|scan}.sK.png survey plots
     out: str | None = None
     overwrite: bool = False
     sample_rate: str | None = None
@@ -732,6 +733,7 @@ def _parse_scan(args: _Args, raw_map) -> Command:
     threshold = parse_si_float(map_.pop("threshold", "0"))
     top = int(parse_si_uint(map_.pop("top", "20")))
     db = parse_bool(map_.pop("db", "no"))
+    plot = parse_bool(map_.pop("plot", "no"))
     out = map_.pop("out", None)
     overwrite = parse_bool(map_.pop("overwrite", "no"))
     sr = map_.pop("sr", None)
@@ -755,8 +757,8 @@ def _parse_scan(args: _Args, raw_map) -> Command:
     return ScanCmd(
         filenames=filenames, fft_width=fft_width, stride=stride,
         windowing=windowing, chunk_windows=chunk_windows, chunks=chunks,
-        threshold=threshold, top=top, db=db, out=out, overwrite=overwrite,
-        sample_rate=sr, format=fmt,
+        threshold=threshold, top=top, db=db, plot=plot, out=out,
+        overwrite=overwrite, sample_rate=sr, format=fmt,
         mesh=None if mesh is None else _parse_mesh(mesh), stdin=stdin,
     )
 

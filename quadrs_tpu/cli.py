@@ -42,7 +42,8 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] [-stdin no] FILENAME... \\
     scan [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] [-chunks N] \\
          [-threshold 0 (occupancy level)] [-top 20] [-db no] [-out PREFIX (full \\
-         per-bin CSV)] [-overwrite no] [-mesh TxS] [-stdin no] FILENAME... \\
+         per-bin CSV)] [-plot no (render .sK.png survey plots)] [-overwrite no] \\
+         [-mesh TxS] [-stdin no] FILENAME... \\
          [band survey: per-bin avg/max power + occupancy over every window] \\
    serve [-port 7373] [-host 127.0.0.1] [-once no] [-search no] [-shift 0] [-lowpass 200k] \\
          [-power 200] [-decimate 32] [-width 64] [-chunk 4M] -sr R -format F \\

@@ -380,6 +380,12 @@ def run_scan(cmd: argmod.ScanCmd) -> int:
             with open(path, "w" if cmd.overwrite else "x") as fh:
                 fh.writelines(_scan_csv_lines(result, s, freq))
             wrote.append(path)
+    if cmd.plot:
+        from quadrs_tpu.viz.survey import survey_render_file
+
+        for s in range(len(sources)):
+            path = f"{cmd.out or 'scan'}.s{s}.png"
+            wrote.append(str(survey_render_file(result, s, path)))
 
     _print_survey(result, freq, cmd.top, cmd.db, name="scan")
     for path in wrote:

@@ -409,3 +409,46 @@ def test_cli_stream_trigger(tmp_path, capsys):
         ["stream", "-trigger", "5", "-scan", "yes", "-out", "x", str(cap)]
     ) == 1
     assert "excludes" in capsys.readouterr().err
+
+
+def test_survey_render_and_cli_plot(tone_capture, tmp_path, capsys):
+    """The survey PNG marks the tone bins: brighter spectrum columns and
+    a lit occupancy strip only at the tones."""
+    from quadrs_tpu.viz.survey import SPECTRUM_H, STRIP_H, survey_render
+
+    width = 64
+    avg = np.full(width, 1e-3)
+    mx = np.full(width, 2e-3)
+    occ = np.zeros(width)
+    avg[40], mx[40], occ[40] = 10.0, 12.0, 1.0
+    img = survey_render(avg, mx, occ)
+    assert img.shape == (SPECTRUM_H + 1 + STRIP_H, width, 3)
+    # the tone column's filled area is much taller than the floor's
+    tone_fill = (img[:SPECTRUM_H, 40, 0] > 0).sum()
+    floor_fill = (img[:SPECTRUM_H, 10, 0] > 0).sum()
+    assert tone_fill > 3 * floor_fill
+    # occupancy strip lit only at the tone
+    strip = img[SPECTRUM_H + 1 :, :, 2]
+    assert strip[:, 40].min() == 255
+    assert strip[:, 10].max() == 0
+
+    from quadrs_tpu.cli import main
+
+    out = tmp_path / "sv"
+    rc = main(
+        ["scan", "-width", "128", "-threshold", "10", "-plot", "yes",
+         "-out", str(out), str(tone_capture)]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert f"wrote {out}.s0.png" in captured
+    from PIL import Image
+
+    im = np.asarray(Image.open(f"{out}.s0.png"))
+    assert im.shape == (SPECTRUM_H + 1 + STRIP_H, 128, 3)
+    # the CSV's top bin is also the brightest plot column
+    csv = (tmp_path / "sv.s0.scan.csv").read_text().splitlines()[1:]
+    avg_csv = np.array([float(l.split(",")[2]) for l in csv])
+    top = int(np.argmax(avg_csv))
+    fills = (im[:SPECTRUM_H, :, 0] > 60).sum(axis=0)
+    assert int(np.argmax(fills)) == top
