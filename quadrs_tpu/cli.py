@@ -59,7 +59,8 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
      fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] FILENAME \\
       fm [-shift 0] [-lowpass 100k] [-power 200] [-decimate 8] [-deviation 75k] \\
          [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\
-         [-out PREFIX (writes PREFIX.srR.f32 mono audio)] [-wav no (write PREFIX.wav instead)] \\
+         [-out PREFIX (writes PREFIX.srR.f32 mono audio; '-': stream to stdout, e.g. | aplay)] \\
+         [-wav no (write PREFIX.wav instead)] \\
          [-overwrite no] [-stdin no] FILENAME \\
       am [-shift 0] [-lowpass 10k] [-power 200] [-decimate 8] \\
          [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\

@@ -441,10 +441,26 @@ def run_fsk(cmd: argmod.FskCmd) -> int:
     return 0
 
 
-def _write_audio(cmd, rate: int, audio: "np.ndarray") -> str:
+def _write_audio(cmd, rate: int, audio: "np.ndarray") -> str | None:
     """Write demodulated audio per the command's output flags: raw mono
     LE f32 (`{prefix}.sr{rate}.f32`) or, with `-wav yes`, a playable
-    mono float32 WAV (`{prefix}.wav` — same samples, RIFF-wrapped)."""
+    mono float32 WAV (`{prefix}.wav` — same samples, RIFF-wrapped).
+    `-out -` streams the same bytes to STDOUT instead (pipe into a
+    player: `quadjax fm ... -out - | aplay -f FLOAT_LE -r RATE`) and
+    returns None — the meter line moves to stderr in that case.  The
+    reference refuses `write -` (its TODO panic, src/lib.rs:179-181);
+    audio-to-a-player is the one place streaming out is the point."""
+    import sys
+
+    if cmd.out == "-":
+        if cmd.wav:
+            from quadrs_tpu.utils.wav import wav_bytes
+
+            sys.stdout.buffer.write(wav_bytes(rate, audio))
+        else:
+            sys.stdout.buffer.write(audio.astype("<f4").tobytes())
+        sys.stdout.buffer.flush()
+        return None
     if cmd.wav:
         from quadrs_tpu.utils.wav import write_wav
 
@@ -477,15 +493,23 @@ def run_fm(cmd: argmod.FmCmd) -> int:
     t0 = time.perf_counter()
     rate, audio = demod.demodulate(src)
     secs = time.perf_counter() - t0
+    import sys
+
+    meter_out = sys.stdout
     if cmd.out is not None:
-        print(_write_audio(cmd, rate, audio))
+        written = _write_audio(cmd, rate, audio)
+        if written is None:  # audio went to stdout: meter -> stderr
+            meter_out = sys.stderr
+        else:
+            print(written)
     dev = np.float32(cmd.deviation)
     peak = float(np.max(np.abs(audio)) * dev) if len(audio) else 0.0
     rms = float(np.sqrt(np.mean(np.square(audio, dtype=np.float64))) * dev) if len(audio) else 0.0
     print(
         f"fm: {len(audio)} audio samples @ {rate} Hz "
         f"({len(audio) / rate:.3f} s), peak deviation {peak:.0f} Hz, "
-        f"rms {rms:.0f} Hz, {src.length / max(secs, 1e-9) / 1e6:.1f} Msps"
+        f"rms {rms:.0f} Hz, {src.length / max(secs, 1e-9) / 1e6:.1f} Msps",
+        file=meter_out,
     )
     return 0
 
@@ -511,14 +535,22 @@ def run_am(cmd: argmod.AmCmd) -> int:
     t0 = time.perf_counter()
     rate, audio = demod.demodulate(src)
     secs = time.perf_counter() - t0
+    import sys
+
+    meter_out = sys.stdout
     if cmd.out is not None:
-        print(_write_audio(cmd, rate, audio))
+        written = _write_audio(cmd, rate, audio)
+        if written is None:  # audio went to stdout: meter -> stderr
+            meter_out = sys.stderr
+        else:
+            print(written)
     peak = float(np.max(np.abs(audio))) if len(audio) else 0.0
     rms = float(np.sqrt(np.mean(np.square(audio, dtype=np.float64)))) if len(audio) else 0.0
     print(
         f"am: {len(audio)} audio samples @ {rate} Hz "
         f"({len(audio) / rate:.3f} s), peak modulation {peak:.3f}, "
-        f"rms {rms:.3f}, {src.length / max(secs, 1e-9) / 1e6:.1f} Msps"
+        f"rms {rms:.3f}, {src.length / max(secs, 1e-9) / 1e6:.1f} Msps",
+        file=meter_out,
     )
     return 0
 

@@ -192,3 +192,38 @@ def test_cli_wav_requires_out(capsys):
 
     assert main("fm -wav yes nothere.sr8k.cf32".split()) == 1
     assert "-wav requires -out" in capsys.readouterr().err
+
+
+def test_cli_fm_stdout_audio(tmp_path, monkeypatch, capfdbinary):
+    """``fm -out -`` streams the audio bytes to stdout (pipe into a
+    player) and moves the meter line to stderr."""
+    from quadrs_tpu.cli import main
+
+    sr = 384_000
+    n = 1 << 15
+    mod = 4000.0 * np.sin(TAU * 2_000 * np.arange(n) / sr)
+    iq = fm_iq(mod, sr)
+    raw = np.empty(2 * n, dtype=np.float32)
+    raw[0::2] = iq.real
+    raw[1::2] = iq.imag
+    cap = tmp_path / f"fmtone.sr{sr}.cf32"
+    cap.write_bytes(raw.tobytes())
+
+    args = f"fm -lowpass 20k -power 64 -decimate 8 -deviation 4k -out - {cap}"
+    rc = main(args.split())
+    assert rc == 0
+    out, err = capfdbinary.readouterr()
+    assert b"fm: " in err and b"fm: " not in out
+
+    demod = FmDemod(bandwidth=20_000, decimate=8, taps=128, deviation=4000.0)
+    rate, expect = demod.demodulate(cf32_source(iq, sr))
+    assert out == expect.astype("<f4").tobytes()
+
+    # wav container to stdout too
+    rc = main(
+        f"fm -lowpass 20k -power 64 -decimate 8 -deviation 4k "
+        f"-wav yes -out - {cap}".split()
+    )
+    assert rc == 0
+    out, _ = capfdbinary.readouterr()
+    assert out[:4] == b"RIFF"
