@@ -382,17 +382,58 @@ def fused_waterfall_scan(
     reduction pays on top — never leave VMEM.  Every width rides the
     strided machinery (the tiled case is ``s_r = b``, zero overlap, the
     same specialization :func:`_tiled_via_strided` uses); overlapped
-    128-multiple strides assemble windows in kernel, all other strides
-    pre-arrange contiguous windows first like the norms path."""
+    128-multiple strides assemble windows in kernel.  Non-128-multiple
+    strides in the subaligned band (2*P*stride <= width) split into the
+    P lane-offset classes like the search route — and where the norms
+    variant died on the f32 output interleave, scan stats MERGE across
+    classes for free (sum adds, max maximums, counts add), so the whole
+    band stays in kernel.  Remaining strides pre-arrange contiguous
+    windows first like the norms path."""
     width = spec.width
     if stride is None:
         stride = width
     if stride != width and not _strided_supported(width, stride):
+        if _subaligned_supported(width, stride):
+            return _scan_subaligned(
+                planes, spec, n_windows, stride, threshold, interpret
+            )
         planes = _contiguous_windows(planes, width, stride, n_windows)
         stride = width
     return _fused_waterfall_strided(
         planes, spec, n_windows, stride, interpret, scan_thr=threshold
     )
+
+
+def _scan_subaligned(
+    planes, spec: WaterfallSpec, n_windows: int, stride: int, threshold, interpret
+):
+    """Class-split band survey (see :func:`_subaligned_supported`):
+    windows w ≡ c (mod P) form an exactly-128-multiple strided problem
+    per class; the per-class (sum, max, above) merge elementwise."""
+    g = int(np.gcd(stride, 128))
+    p_cls = 128 // g
+    stride_c = p_cls * stride
+    tot = None
+    for c in range(p_cls):
+        nw_c = max(0, -(-(n_windows - c) // p_cls))
+        if nw_c == 0:
+            continue
+        part = fused_waterfall_scan(
+            planes[:, :, c * stride :],
+            spec,
+            nw_c,
+            threshold,
+            stride=stride_c,
+            interpret=interpret,
+        )
+        if tot is None:
+            tot = list(part)
+        else:
+            tot[0] = tot[0] + part[0]
+            tot[1] = jnp.maximum(tot[1], part[1])
+            tot[2] = tot[2] + part[2]
+    assert tot is not None  # n_windows >= 1 always reaches class 0
+    return tot[0], tot[1], tot[2]
 
 
 # ---------------------------------------------------------------------------

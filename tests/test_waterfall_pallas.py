@@ -718,6 +718,8 @@ def test_strided_small_window_tiles(width, stride, nws):
         (1024, 256, FileFormat.COMPLEX_UINT8, "rectangular"),     # overlapped in-kernel
         (512, 640, FileFormat.COMPLEX_FLOAT32, "rectangular"),    # skipping: pre-arranged
         (512, 320, FileFormat.COMPLEX_INT16, "rectangular"),      # non-128 overlap: pre-arranged
+        (1024, 96, FileFormat.COMPLEX_INT8, "rectangular"),       # subaligned: class-split scan
+        (1024, 48, FileFormat.COMPLEX_UINT8, "blackman-harris"),  # subaligned P=8
         (4096, 1024, FileFormat.COMPLEX_INT8, "rectangular"),     # wide b=32, 4x overlap
     ],
 )
