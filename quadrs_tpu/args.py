@@ -261,6 +261,31 @@ class AmCmd(Command):
 
 
 @dataclass
+class SsbCmd(Command):
+    """``ssb``: single-sideband receiver (filter method, usb/lsb) to
+    audio (:class:`~quadrs_tpu.models.demod.SsbDemod`).  ``-shift``
+    follows the house convention: bring the suppressed carrier to DC
+    (``-shift -CARRIER_OFFSET``)."""
+
+    filename: str | None
+    shift: int = 0
+    sideband: str = "usb"
+    bandwidth: int = 3_000
+    size: int = 400
+    decimate: int = 8
+    audio_lowpass: int | None = None
+    audio_decimate: int = 1
+    audio_size: int = 64
+    audio_rate: int | None = None
+    out: str | None = None
+    overwrite: bool = False
+    wav: bool = False
+    sample_rate: str | None = None
+    format: str | None = None
+    stdin: bool = False
+
+
+@dataclass
 class ChannelizeCmd(Command):
     """``channelize``: split a capture into K equally-spaced channels in
     one pass (:class:`~quadrs_tpu.models.channelizer.Channelize` — the
@@ -327,7 +352,9 @@ class ServeCmd(Command):
     audio_lowpass: int | None = None
     audio_decimate: int = 1
     audio_size: int = 64
-    audio_rate: int | None = None  # fm/am: rational resample to this Hz
+    audio_rate: int | None = None  # fm/am/ssb: rational resample to this Hz
+    sideband: str = "usb"  # ssb: usb|lsb
+    bandwidth: int = 3_000  # ssb: sideband width (filter at half)
 
 
 def _parse_mesh(spec: str) -> tuple[int, int]:
@@ -870,6 +897,42 @@ def _parse_am(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_ssb(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    shift = parse_si_int(map_.pop("shift", "0"))
+    sideband = map_.pop("sideband", "usb")
+    if sideband not in ("usb", "lsb"):
+        raise ValueError(f"unknown -sideband: {sideband!r} (usb|lsb)")
+    bandwidth = int(parse_si_uint(map_.pop("bandwidth", "3k")))
+    power = map_.pop("power", None)
+    size = 2 * parse_si_uint(power) if power is not None else 400
+    decimate = parse_si_uint(map_.pop("decimate", "8"))
+    audio_lowpass = map_.pop("audio-lowpass", None)
+    audio_lowpass = None if audio_lowpass is None else parse_si_uint(audio_lowpass)
+    audio_decimate = parse_si_uint(map_.pop("audio-decimate", "1"))
+    audio_power = map_.pop("audio-power", None)
+    audio_size = 2 * parse_si_uint(audio_power) if audio_power is not None else 64
+    audio_rate = map_.pop("audio-rate", None)
+    audio_rate = None if audio_rate is None else int(parse_si_uint(audio_rate))
+    out = map_.pop("out", None)
+    overwrite = parse_bool(map_.pop("overwrite", "no"))
+    wav = parse_bool(map_.pop("wav", "no"))
+    if wav and out is None:
+        raise ValueError("ssb -wav requires -out")
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    filename, stdin = _take_capture_arg(args, map_, "ssb", sr, fmt)
+    _ensure_empty(map_, "ssb")
+    return SsbCmd(
+        filename=filename, shift=shift, sideband=sideband,
+        bandwidth=bandwidth, size=size, decimate=decimate,
+        audio_lowpass=audio_lowpass, audio_decimate=audio_decimate,
+        audio_size=audio_size, audio_rate=audio_rate, out=out,
+        overwrite=overwrite, wav=wav, sample_rate=sr, format=fmt,
+        stdin=stdin,
+    )
+
+
 def _parse_channelize(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     channels = int(parse_si_uint(map_.pop("channels", "8")))
@@ -916,30 +979,35 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     search = parse_bool(map_.pop("search", "no"))
     shift = parse_si_int(map_.pop("shift", "0"))
     mode = map_.pop("mode", "stream")
-    if mode not in ("stream", "waterfall", "scan", "ook", "fsk", "fm", "am"):
+    if mode not in ("stream", "waterfall", "scan", "ook", "fsk", "fm", "am", "ssb"):
         raise ValueError(
-            f"unknown -mode: {mode!r} (stream|waterfall|scan|ook|fsk|fm|am)"
+            f"unknown -mode: {mode!r} (stream|waterfall|scan|ook|fsk|fm|am|ssb)"
         )
     # reject flags the chosen mode would silently ignore
     _fm_flags = {"deviation", "audio-lowpass", "audio-decimate", "audio-power",
                  "audio-rate"}
+    _ssb_flags = {"sideband", "bandwidth"}
     _inapplicable = {
-        "stream": {"stride", "threshold", "bit", "raw"} | _fm_flags,
+        "stream": {"stride", "threshold", "bit", "raw"} | _fm_flags | _ssb_flags,
         "waterfall": {"shift", "lowpass", "power", "decimate",
-                      "threshold", "bit", "raw"} | _fm_flags,
+                      "threshold", "bit", "raw"} | _fm_flags | _ssb_flags,
         # scan is the waterfall bank reduced to per-bin stats: the
         # channel-chain and demod knobs don't apply, nor does -search
         "scan": {"shift", "lowpass", "power", "decimate", "bit", "raw",
-                 "search"} | _fm_flags,
+                 "search"} | _fm_flags | _ssb_flags,
         # demod modes buffer the whole burst: chunking, peak search and
         # mesh sharding don't apply (and -search would shadow the bits)
         "ook": {"shift", "lowpass", "power", "decimate", "search",
-                "chunk", "mesh"} | _fm_flags,
-        "fsk": {"threshold", "raw", "search", "chunk", "mesh"} | _fm_flags,
+                "chunk", "mesh"} | _fm_flags | _ssb_flags,
+        "fsk": {"threshold", "raw", "search", "chunk", "mesh"}
+        | _fm_flags | _ssb_flags,
         "fm": {"width", "stride", "threshold", "bit", "raw", "search",
-               "chunk", "mesh"},
+               "chunk", "mesh"} | _ssb_flags,
         "am": {"width", "stride", "threshold", "bit", "raw", "search",
-               "chunk", "mesh", "deviation"},
+               "chunk", "mesh", "deviation"} | _ssb_flags,
+        # ssb: -bandwidth replaces -lowpass (the filter is bandwidth/2)
+        "ssb": {"width", "stride", "threshold", "bit", "raw", "search",
+                "chunk", "mesh", "deviation", "lowpass"},
     }
     bad = explicit & _inapplicable[mode]
     if bad:
@@ -947,7 +1015,8 @@ def _parse_serve(args: _Args, raw_map) -> Command:
             f"-{sorted(bad)[0]} does not apply to -mode {mode}"
         )
     _width_default = {"stream": "64", "waterfall": "1024", "scan": "1024",
-                      "ook": "4", "fsk": "64", "fm": "64", "am": "64"}
+                      "ook": "4", "fsk": "64", "fm": "64", "am": "64",
+                      "ssb": "64"}
     fft_width = int(parse_si_uint(map_.pop("width", _width_default[mode])))
     # channel-filter defaults match the standalone command of each mode
     _lp_default = {"fm": "100k", "am": "10k"}
@@ -955,7 +1024,7 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     power = map_.pop("power", None)
     size = 2 * parse_si_uint(power) if power is not None else 400
     decimate = parse_si_uint(
-        map_.pop("decimate", "8" if mode in ("fm", "am") else "32")
+        map_.pop("decimate", "8" if mode in ("fm", "am", "ssb") else "32")
     )
     deviation = parse_si_float(map_.pop("deviation", "75k"))
     if deviation <= 0:
@@ -967,6 +1036,10 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     audio_size = 2 * parse_si_uint(audio_power) if audio_power is not None else 64
     audio_rate = map_.pop("audio-rate", None)
     audio_rate = None if audio_rate is None else int(parse_si_uint(audio_rate))
+    sideband = map_.pop("sideband", "usb")
+    if sideband not in ("usb", "lsb"):
+        raise ValueError(f"unknown -sideband: {sideband!r} (usb|lsb)")
+    bandwidth = int(parse_si_uint(map_.pop("bandwidth", "3k")))
     stride = map_.pop("stride", "2" if mode == "ook" else None)
     stride = None if stride is None else int(parse_si_uint(stride))
     threshold = parse_si_float(
@@ -994,7 +1067,7 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         parallel=parallel, threshold=threshold, bit=bit, raw=raw_bits,
         deviation=deviation, audio_lowpass=audio_lowpass,
         audio_decimate=audio_decimate, audio_size=audio_size,
-        audio_rate=audio_rate,
+        audio_rate=audio_rate, sideband=sideband, bandwidth=bandwidth,
     )
 
 
@@ -1019,6 +1092,7 @@ _PARSERS = {
     "fsk": _parse_fsk,
     "fm": _parse_fm,
     "am": _parse_am,
+    "ssb": _parse_ssb,
     "channelize": _parse_channelize,
     "serve": _parse_serve,
 }

@@ -47,11 +47,11 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [band survey: per-bin avg/max power + occupancy over every window] \\
    serve [-port 7373] [-host 127.0.0.1] [-once no] [-search no] [-shift 0] [-lowpass 200k] \\
          [-power 200] [-decimate 32] [-width 64] [-chunk 4M] -sr R -format F \\
-         [-mode stream|waterfall|scan|ook|fsk|fm|am] [-stride =width] [waterfall: the raw \\
+         [-mode stream|waterfall|scan|ook|fsk|fm|am|ssb] [-stride =width] [waterfall: the raw \\
           fused spectrogram; scan: the per-bin band-survey CSV, -threshold as in scan] \\
          [ook/fsk/fm/am: demod-as-a-service — send the burst, read back the bits (or, \\
           fm/am: a "# MODE N RATE" header + N f32 audio samples); -threshold/-bit/-raw/ \\
-          -deviation/-audio-* as in the ook, fsk, fm and am commands] \\
+          -deviation/-audio-*/-sideband/-bandwidth as in the matching demod commands] \\
          [-mesh TxS] [-parallel 1] [mesh: shard each connection across chips; \\
           parallel: serve N connections concurrently on the shared compiled chain] \\
          [TCP service: compile once, then each connection streams IQ in, results out] \\
@@ -65,6 +65,10 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
       am [-shift 0] [-lowpass 10k] [-power 200] [-decimate 8] \\
          [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\
          [-out PREFIX] [-wav no] [-overwrite no] [-stdin no] FILENAME [audio = envelope/carrier - 1] \\
+     ssb [-shift 0] [-sideband usb|lsb] [-bandwidth 3k] [-power 200] [-decimate 8] \\
+         [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\
+         [-out PREFIX|-] [-wav no] [-overwrite no] [-stdin no] FILENAME \\
+         [single-sideband to audio; -shift -CARRIER_OFFSET brings the carrier to DC] \\
 channelize [-channels 8] [-power 20] [-freq =sr/2K] [-chunk 256k] [-select 0,3,..] \\
          [-out PREFIX (writes PREFIX.chK.srR.cf32 per channel)] [-overwrite no] \\
          [-stdin no] FILENAME [polyphase filter bank: every channel in one pass; \\
@@ -106,6 +110,7 @@ def _serve_types() -> tuple:
         argmod.FskCmd,
         argmod.FmCmd,
         argmod.AmCmd,
+        argmod.SsbCmd,
         argmod.ChannelizeCmd,
         argmod.ServeCmd,
     )

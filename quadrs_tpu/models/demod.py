@@ -344,3 +344,105 @@ class AmDemod:
 
             rate, audio = resample_real(audio, rate, self.audio_rate)
         return rate, audio
+
+
+@dataclass
+class SsbDemod:
+    """Single-sideband receiver (filter method): shift the chosen
+    sideband's midpoint to DC, symmetric lowpass + decimate, undo the
+    midpoint shift at the channel rate, take the real part.  No
+    reference counterpart — the fourth analog product alongside
+    :class:`FmDemod`/:class:`AmDemod`, built from the same validated
+    stages (two exact-NCO shifts and one decimating FIR).
+
+    ``center`` follows the house shift convention (the value handed to
+    :class:`~quadrs_tpu.stream.Shift`): bring the SUPPRESSED CARRIER to
+    DC with ``center = -carrier_offset``.  USB then occupies
+    ``[0, bandwidth]`` and LSB ``[-bandwidth, 0]`` around DC; the demod
+    pre-shifts by ``-/+ bandwidth/2`` so the sideband is symmetric
+    about DC, filters at ``bandwidth/2``, decimates, and re-shifts by
+    ``+/- bandwidth/2`` at the channel rate so ``real(x)`` is the
+    audio.  Gain is 1: a unit USB tone ``e^{j 2 pi (fc + fa) t}``
+    recovers ``cos(2 pi fa t + phi)`` at unit amplitude (``phi`` from
+    the FIR group delay).  ``bandwidth`` must be even (the midpoint
+    shift is exact integer Hz) and under the channel rate.
+    """
+
+    center: int = 0
+    bandwidth: int = 3_000
+    decimate: int = 8
+    taps: int = 400
+    sideband: str = "usb"  # or "lsb"
+    audio_bandwidth: int | None = None
+    audio_decimate: int = 1
+    audio_taps: int = 64
+    audio_rate: int | None = None  # rational resample to this exact Hz
+    chunk: int = 1 << 16  # baseband samples per device window
+
+    def _sign(self) -> int:
+        if self.sideband not in ("usb", "lsb"):
+            raise ValueError(f"unknown sideband {self.sideband!r}: usb|lsb")
+        return 1 if self.sideband == "usb" else -1
+
+    def channel(self, stream: Stream) -> Stream:
+        if self.bandwidth % 2 or self.bandwidth <= 0:
+            raise ValueError("bandwidth must be positive and even")
+        sign = self._sign()
+        half = self.bandwidth // 2
+        pre = self.center - sign * half  # carrier -> DC, then midpoint -> DC
+        chain: Stream = stream
+        if pre:
+            chain = Shift(chain, pre, chain.sample_rate)
+        chain = LowPass(chain, half, self.decimate, self.taps)
+        if not half < chain.sample_rate // 2:
+            raise ValueError(
+                f"bandwidth {self.bandwidth} does not fit the channel rate "
+                f"{chain.sample_rate} (raise decimation or bandwidth limit)"
+            )
+        if half:  # undo the midpoint shift at the decimated rate
+            chain = Shift(chain, sign * half, chain.sample_rate)
+        return chain
+
+    def baseband(self, stream: Stream) -> tuple[int, np.ndarray]:
+        """``(channel_rate_hz, real(x) f32[channel_len])`` of the
+        re-centered sideband (chunked on device, no overlap needed)."""
+        import jax.numpy as jnp
+
+        from quadrs_tpu.runtime import Executor, root_step_of, window_batches
+
+        chan = self.channel(stream)
+        if chan.length < 1:
+            raise ValueError("input too short for the SSB demodulator")
+        rate = chan.sample_rate
+        c = min(self.chunk, chan.length)
+        offsets = np.arange(0, chan.length, c, dtype=np.int64)
+
+        def post(x):  # (B, c) complex -> (B, c) f32
+            return jnp.real(x)
+
+        batch, batches = window_batches(offsets, c, root_step=root_step_of(chan))
+        ex = Executor(chan, c, batch=batch, post=post)
+        out = np.empty(chan.length, dtype=np.float32)
+        for offs in batches:
+            vals, valid = ex.run(offs)
+            for i in range(len(offs)):
+                o, v = int(offs[i]), int(valid[i])
+                out[o : o + v] = vals[i][:v]
+                if v < c:
+                    # short read: EOF only (see FmDemod.discriminate)
+                    return rate, out[: o + v]
+        return rate, out
+
+    def demodulate(self, stream: Stream) -> tuple[int, np.ndarray]:
+        """Full receive chain to audio (``real`` of the re-centered
+        sideband, optional audio FIR / rational resample)."""
+        rate, audio = self.baseband(stream)
+        if self.audio_bandwidth is not None or self.audio_decimate != 1:
+            rate, audio = _audio_fir(
+                rate, audio, self.audio_bandwidth, self.audio_decimate, self.audio_taps
+            )
+        if self.audio_rate is not None and self.audio_rate != rate:
+            from quadrs_tpu.ops.resample import resample_real
+
+            rate, audio = resample_real(audio, rate, self.audio_rate)
+        return rate, audio

@@ -616,6 +616,47 @@ def run_channelize(cmd: argmod.ChannelizeCmd) -> int:
     return 0
 
 
+def run_ssb(cmd: argmod.SsbCmd) -> int:
+    """Demodulate a single-sideband capture to audio (usb/lsb)."""
+    import time
+
+    from quadrs_tpu.models.demod import SsbDemod
+
+    src = _cmd_source(cmd)
+    demod = SsbDemod(
+        center=cmd.shift,
+        sideband=cmd.sideband,
+        bandwidth=cmd.bandwidth,
+        decimate=cmd.decimate,
+        taps=cmd.size,
+        audio_bandwidth=cmd.audio_lowpass,
+        audio_decimate=cmd.audio_decimate,
+        audio_taps=cmd.audio_size,
+        audio_rate=cmd.audio_rate,
+    )
+    t0 = time.perf_counter()
+    rate, audio = demod.demodulate(src)
+    secs = time.perf_counter() - t0
+    import sys
+
+    meter_out = sys.stdout
+    if cmd.out is not None:
+        written = _write_audio(cmd, rate, audio)
+        if written is None:  # audio went to stdout: meter -> stderr
+            meter_out = sys.stderr
+        else:
+            print(written)
+    peak = float(np.max(np.abs(audio))) if len(audio) else 0.0
+    rms = float(np.sqrt(np.mean(np.square(audio, dtype=np.float64)))) if len(audio) else 0.0
+    print(
+        f"ssb: {len(audio)} audio samples @ {rate} Hz "
+        f"({len(audio) / rate:.3f} s, {cmd.sideband}), peak {peak:.3f}, "
+        f"rms {rms:.3f}, {src.length / max(secs, 1e-9) / 1e6:.1f} Msps",
+        file=meter_out,
+    )
+    return 0
+
+
 def _make_serve_demod(cmd: argmod.ServeCmd):
     """The demod model behind ``serve -mode ook|fsk`` (built once at
     startup; the jitted chain it drives is shared by shapes across
@@ -651,6 +692,20 @@ def _make_serve_demod(cmd: argmod.ServeCmd):
             decimate=cmd.decimate,
             taps=cmd.size,
             deviation=cmd.deviation,
+            audio_bandwidth=cmd.audio_lowpass,
+            audio_decimate=cmd.audio_decimate,
+            audio_taps=cmd.audio_size,
+            audio_rate=cmd.audio_rate,
+        )
+    if cmd.mode == "ssb":
+        from quadrs_tpu.models.demod import SsbDemod
+
+        return SsbDemod(
+            center=cmd.shift,
+            sideband=cmd.sideband,
+            bandwidth=cmd.bandwidth,
+            decimate=cmd.decimate,
+            taps=cmd.size,
             audio_bandwidth=cmd.audio_lowpass,
             audio_decimate=cmd.audio_decimate,
             audio_taps=cmd.audio_size,
@@ -730,7 +785,7 @@ def _demod_reply(wf, demod, cmd: argmod.ServeCmd, src, t0) -> RunStats:
     answered over the socket."""
     import time
 
-    if cmd.mode in ("fm", "am"):
+    if cmd.mode in ("fm", "am", "ssb"):
         # audio is binary: a self-describing header line gives the
         # client the exact byte count before the f32 payload, then the
         # stats trailer closes the session like the other demod modes
@@ -883,7 +938,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     from quadrs_tpu.utils.sniff import guess_details
 
     details = guess_details("-", cmd.sample_rate, cmd.format)
-    demod = cmd.mode in ("ook", "fsk", "fm", "am")
+    demod = cmd.mode in ("ook", "fsk", "fm", "am", "ssb")
     if demod:
         model = _make_serve_demod(cmd)
     elif cmd.mode in ("waterfall", "scan"):
@@ -919,7 +974,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
         f"serve: listening on {cmd.host}:{port} "
         f"({details.format.name.lower()}, sr {details.sample_rate}, "
         f"{cmd.mode} "
-        + ("audio" if cmd.mode in ("fm", "am")
+        + ("audio" if cmd.mode in ("fm", "am", "ssb")
            else "bits" if demod
            else "survey" if cmd.mode == "scan"
            else "search" if cmd.search else "norms")
@@ -992,6 +1047,7 @@ RUNNERS = {
     argmod.FskCmd: run_fsk,
     argmod.FmCmd: run_fm,
     argmod.AmCmd: run_am,
+    argmod.SsbCmd: run_ssb,
     argmod.ChannelizeCmd: run_channelize,
     argmod.ServeCmd: run_serve,
 }
