@@ -213,18 +213,7 @@ class FmDemod:
         """
         rate, freq = self.discriminate(stream)
         audio = freq / np.float32(self.deviation)
-        return self._audio_stage(rate, audio)
-
-    def _audio_stage(self, rate: int, audio: np.ndarray) -> tuple[int, np.ndarray]:
-        if self.audio_bandwidth is not None or self.audio_decimate != 1:
-            rate, audio = _audio_fir(
-                rate, audio, self.audio_bandwidth, self.audio_decimate, self.audio_taps
-            )
-        if self.audio_rate is not None and self.audio_rate != rate:
-            from quadrs_tpu.ops.resample import resample_real
-
-            rate, audio = resample_real(audio, rate, self.audio_rate)
-        return rate, audio
+        return _audio_stage(self, rate, audio)
 
 
 def _audio_fir(
@@ -264,6 +253,22 @@ def _audio_fir(
         return jnp.real(y[0])
 
     return rate // d, np.asarray(run(x))
+
+
+def _audio_stage(demod, rate: int, audio: np.ndarray) -> tuple[int, np.ndarray]:
+    """The shared audio tail of every analog demod (FM/AM/SSB):
+    optional real decimating FIR, then optional rational resample to an
+    exact device rate — driven by the model's ``audio_*`` fields."""
+    if demod.audio_bandwidth is not None or demod.audio_decimate != 1:
+        rate, audio = _audio_fir(
+            rate, audio, demod.audio_bandwidth, demod.audio_decimate,
+            demod.audio_taps,
+        )
+    if demod.audio_rate is not None and demod.audio_rate != rate:
+        from quadrs_tpu.ops.resample import resample_real
+
+        rate, audio = resample_real(audio, rate, demod.audio_rate)
+    return rate, audio
 
 
 @dataclass
@@ -335,15 +340,7 @@ class AmDemod:
         if carrier <= 0.0:
             raise ValueError("no carrier: the channel envelope is all zero")
         audio = (env / np.float32(carrier)) - np.float32(1.0)
-        if self.audio_bandwidth is not None or self.audio_decimate != 1:
-            rate, audio = _audio_fir(
-                rate, audio, self.audio_bandwidth, self.audio_decimate, self.audio_taps
-            )
-        if self.audio_rate is not None and self.audio_rate != rate:
-            from quadrs_tpu.ops.resample import resample_real
-
-            rate, audio = resample_real(audio, rate, self.audio_rate)
-        return rate, audio
+        return _audio_stage(self, rate, audio)
 
 
 @dataclass
@@ -394,10 +391,13 @@ class SsbDemod:
         if pre:
             chain = Shift(chain, pre, chain.sample_rate)
         chain = LowPass(chain, half, self.decimate, self.taps)
-        if not half < chain.sample_rate // 2:
+        # after the re-shift the audio occupies [0, bandwidth] of a REAL
+        # stream at the channel rate: anything past rate/2 folds, so the
+        # guard is bandwidth <= rate/2 (not merely < rate)
+        if self.bandwidth * 2 > chain.sample_rate:
             raise ValueError(
-                f"bandwidth {self.bandwidth} does not fit the channel rate "
-                f"{chain.sample_rate} (raise decimation or bandwidth limit)"
+                f"bandwidth {self.bandwidth} exceeds half the channel rate "
+                f"{chain.sample_rate} (lower the decimation or the bandwidth)"
             )
         if half:  # undo the midpoint shift at the decimated rate
             chain = Shift(chain, sign * half, chain.sample_rate)
@@ -437,12 +437,4 @@ class SsbDemod:
         """Full receive chain to audio (``real`` of the re-centered
         sideband, optional audio FIR / rational resample)."""
         rate, audio = self.baseband(stream)
-        if self.audio_bandwidth is not None or self.audio_decimate != 1:
-            rate, audio = _audio_fir(
-                rate, audio, self.audio_bandwidth, self.audio_decimate, self.audio_taps
-            )
-        if self.audio_rate is not None and self.audio_rate != rate:
-            from quadrs_tpu.ops.resample import resample_real
-
-            rate, audio = resample_real(audio, rate, self.audio_rate)
-        return rate, audio
+        return _audio_stage(self, rate, audio)

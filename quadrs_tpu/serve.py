@@ -385,7 +385,9 @@ def run_scan(cmd: argmod.ScanCmd) -> int:
 
         for s in range(len(sources)):
             path = f"{cmd.out or 'scan'}.s{s}.png"
-            wrote.append(str(survey_render_file(result, s, path)))
+            wrote.append(
+                str(survey_render_file(result, s, path, overwrite=cmd.overwrite))
+            )
 
     _print_survey(result, freq, cmd.top, cmd.db, name="scan")
     for path in wrote:
@@ -471,6 +473,21 @@ def _write_audio(cmd, rate: int, audio: "np.ndarray") -> str | None:
     return filename
 
 
+def _emit_audio(cmd, rate: int, audio: "np.ndarray"):
+    """Handle an audio command's output flags; returns the stream the
+    meter line should print to (stderr when the audio itself went to
+    stdout, keeping the byte stream clean)."""
+    import sys
+
+    if cmd.out is None:
+        return sys.stdout
+    written = _write_audio(cmd, rate, audio)
+    if written is None:
+        return sys.stderr
+    print(written)
+    return sys.stdout
+
+
 def run_fm(cmd: argmod.FmCmd) -> int:
     """Demodulate an analog-FM capture to audio: write it as mono LE
     f32 (``-out``) or print a deviation-meter summary."""
@@ -493,15 +510,7 @@ def run_fm(cmd: argmod.FmCmd) -> int:
     t0 = time.perf_counter()
     rate, audio = demod.demodulate(src)
     secs = time.perf_counter() - t0
-    import sys
-
-    meter_out = sys.stdout
-    if cmd.out is not None:
-        written = _write_audio(cmd, rate, audio)
-        if written is None:  # audio went to stdout: meter -> stderr
-            meter_out = sys.stderr
-        else:
-            print(written)
+    meter_out = _emit_audio(cmd, rate, audio)
     dev = np.float32(cmd.deviation)
     peak = float(np.max(np.abs(audio)) * dev) if len(audio) else 0.0
     rms = float(np.sqrt(np.mean(np.square(audio, dtype=np.float64))) * dev) if len(audio) else 0.0
@@ -535,15 +544,7 @@ def run_am(cmd: argmod.AmCmd) -> int:
     t0 = time.perf_counter()
     rate, audio = demod.demodulate(src)
     secs = time.perf_counter() - t0
-    import sys
-
-    meter_out = sys.stdout
-    if cmd.out is not None:
-        written = _write_audio(cmd, rate, audio)
-        if written is None:  # audio went to stdout: meter -> stderr
-            meter_out = sys.stderr
-        else:
-            print(written)
+    meter_out = _emit_audio(cmd, rate, audio)
     peak = float(np.max(np.abs(audio))) if len(audio) else 0.0
     rms = float(np.sqrt(np.mean(np.square(audio, dtype=np.float64)))) if len(audio) else 0.0
     print(
@@ -637,15 +638,7 @@ def run_ssb(cmd: argmod.SsbCmd) -> int:
     t0 = time.perf_counter()
     rate, audio = demod.demodulate(src)
     secs = time.perf_counter() - t0
-    import sys
-
-    meter_out = sys.stdout
-    if cmd.out is not None:
-        written = _write_audio(cmd, rate, audio)
-        if written is None:  # audio went to stdout: meter -> stderr
-            meter_out = sys.stderr
-        else:
-            print(written)
+    meter_out = _emit_audio(cmd, rate, audio)
     peak = float(np.max(np.abs(audio))) if len(audio) else 0.0
     rms = float(np.sqrt(np.mean(np.square(audio, dtype=np.float64)))) if len(audio) else 0.0
     print(

@@ -52,7 +52,9 @@ def survey_render(
 
     img = np.zeros((SPECTRUM_H + 1 + STRIP_H, width, 3), dtype=np.uint8)
     cols = np.arange(width)
-    img[:, width // 2, :] = _DC_RGB  # DC / band-center marker
+    # DC / band-center marker — spectrum panel only, so the occupancy
+    # strip stays a pure blue map
+    img[:SPECTRUM_H, width // 2, :] = _DC_RGB
     r = np.arange(SPECTRUM_H)[:, None]
     # max outline fills dimly from its curve down; avg fills brightly
     m_rows = rows_of(m_db)[None, :]
@@ -70,13 +72,17 @@ def survey_render(
     return img
 
 
-def survey_render_file(result, stream: int, path: str | Path) -> Path:
-    """Write stream ``stream`` of a ScanResult as a PNG at ``path``."""
+def survey_render_file(
+    result, stream: int, path: str | Path, overwrite: bool = False
+) -> Path:
+    """Write stream ``stream`` of a ScanResult as a PNG at ``path`` —
+    refusing to clobber unless ``overwrite``, like every other writer."""
     from PIL import Image
 
     img = survey_render(
         result.avg[stream], result.max_norms[stream], result.occupancy[stream]
     )
     path = Path(path)
-    Image.fromarray(img).save(path)
+    with open(path, "wb" if overwrite else "xb") as fh:
+        Image.fromarray(img).save(fh, format="PNG")
     return path

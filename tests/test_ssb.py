@@ -114,6 +114,11 @@ def test_audio_stage_and_errors():
         SsbDemod(sideband="dsb").channel(_cap(_tone(6_000)))
     with pytest.raises(ValueError, match="channel rate"):
         SsbDemod(bandwidth=20_000, decimate=8).channel(_cap(_tone(6_000)))
+    # the guard is bandwidth <= rate/2 (audio past rate/2 would FOLD,
+    # not error): at decimate 8 / 48 kHz the channel rate is 6 kHz
+    SsbDemod(bandwidth=3_000, decimate=8).channel(_cap(_tone(6_000)))
+    with pytest.raises(ValueError, match="half the channel rate"):
+        SsbDemod(bandwidth=3_002, decimate=8).channel(_cap(_tone(6_000)))
 
 
 def test_cli_ssb(tmp_path, capsys):
