@@ -536,11 +536,14 @@ def _parse_bucket(args: _Args, raw_map) -> Command:
 def _parse_write(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     overwrite = parse_bool(map_.pop("overwrite", "false"))
+    fmt = map_.pop("format", None)
+    if fmt is not None and fmt not in ("cf32", "cs8", "cu8", "cs16"):
+        raise ValueError(f"unknown -format: {fmt!r} (cf32|cs8|cu8|cs16)")
     _ensure_empty(map_, "write")
     prefix = args.next()
     if prefix is None:
         raise ValueError("'write' requires a filename prefix argument")
-    return Octagon(ops.WriteOp(overwrite=overwrite, prefix=prefix))
+    return Octagon(ops.WriteOp(overwrite=overwrite, prefix=prefix, format=fmt))
 
 
 def _parse_gen(args: _Args, raw_map) -> Command:

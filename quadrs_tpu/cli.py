@@ -22,7 +22,7 @@ usage: {us} \\
 resample [-power 8] [-size N] UP/DOWN [rational rate conversion, e.g. 3/2 or 147/160] \\
 sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
   bucket [-width 128] [-stride =width] [-by freq] COUNT \\
-   write [-overwrite no] FILENAME_PREFIX \\
+   write [-overwrite no] [-format cf32|cs8|cu8|cs16 (quantize; default cf32)] FILENAME_PREFIX \\
      gen [-cos FREQUENCY]* [-len 1 (second)] SAMPLE_RATE \\
       ui [-fft 8] [-stretch 4] [-stride 4] [-frames 1] [renders waterfall to ui.png] \\
          [-live no] [-rows N] [-cols N] [live: stream ANSI waterfall to the terminal; \\

@@ -204,6 +204,41 @@ def encode_cf32(samples: np.ndarray) -> bytes:
     return samples.view(np.float32).astype("<f4", copy=False).tobytes()
 
 
+def encode_samples(samples: np.ndarray, fmt: FileFormat) -> bytes:
+    """Encode complex64 samples as a format's interleaved wire bytes —
+    the exact INVERSE of the house decode formulas (round to the
+    nearest representable code, clamped to the dtype's range), so
+    decode(encode(decode(bytes))) round-trips cs8/cu8 captures
+    byte-exactly; cs16's own decode is NOT injective (the f32 ulp at
+    magnitude ~32767 is coarser than the 1/65535 code step, so ~4 codes
+    collapse per decoded value — a property of the reference formula),
+    so cs16 round-trips to re-decode equality instead, with the inverse
+    computed in f64 to add no loss of its own.  TPU-native addition:
+    the reference writer emits cf32 only (``src/lib.rs:197-209``);
+    ``write -format`` uses this to quantize converted captures (cs8's
+    representable range is the sane [-128/127, 1]; cu8/cs16 inherit the
+    reference's odd decode offsets, so their ranges sit where those
+    formulas put them)."""
+    if fmt is FileFormat.COMPLEX_FLOAT32:
+        return encode_cf32(samples)
+    samples = np.ascontiguousarray(samples, dtype=np.complex64)
+    comps = samples.view(np.float32)
+    if fmt is FileFormat.COMPLEX_INT8:
+        q = np.clip(np.rint(comps * np.float32(127.0)), -128, 127)
+        return q.astype("<i1").tobytes()
+    if fmt is FileFormat.COMPLEX_UINT8:
+        q = np.clip(np.rint((comps + np.float32(127.5)) * np.float32(255.0)), 0, 255)
+        return q.astype("u1").tobytes()
+    if fmt is FileFormat.COMPLEX_INT16:
+        q = np.clip(
+            np.rint((comps.astype(np.float64) + 32767.5) * 65535.0),
+            -32768,
+            32767,
+        )
+        return q.astype("<i2").tobytes()
+    raise ValueError(f"unknown format: {fmt}")
+
+
 def synth_planes(fmt: FileFormat, n_samples: int, seed: int = 0, n_streams: int | None = None) -> np.ndarray:
     """Deterministic synthetic capture planes in a format's native dtype:
     shape (2, n) or (n_streams, 2, n)."""

@@ -69,6 +69,9 @@ class BucketOp(Operation):
 class WriteOp(Operation):
     overwrite: bool
     prefix: str
+    # TPU-native addition: quantize to an integer wire format (the
+    # reference writes cf32 only); None keeps the reference behavior
+    format: str | None = None
 
 
 @dataclass
@@ -126,7 +129,9 @@ def exec_operation(
     if isinstance(op, WriteOp):
         if stream is None:
             raise ValueError("write requires an input")
-        sinks.do_write(stream, op.overwrite, op.prefix, directory=write_dir)
+        sinks.do_write(
+            stream, op.overwrite, op.prefix, directory=write_dir, fmt=op.format
+        )
         return stream
 
     raise ValueError(f"unknown operation: {op!r}")

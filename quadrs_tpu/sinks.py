@@ -137,8 +137,20 @@ def freq_levels(
     return Levels(vals=vals)
 
 
-def do_write(stream: Stream, overwrite: bool, prefix: str, directory: str | None = None) -> str:
+def do_write(
+    stream: Stream,
+    overwrite: bool,
+    prefix: str,
+    directory: str | None = None,
+    fmt: str | None = None,
+) -> str:
     """Write the stream as ``{prefix}.sr{rate}.cf32`` (``src/lib.rs:178-213``).
+
+    ``fmt`` (TPU-native addition; the reference emits cf32 only) writes
+    an integer wire format instead — ``{prefix}.sr{rate}.{fmt}`` with
+    :func:`~quadrs_tpu.formats.encode_samples`'s exact inverse-decode
+    quantization — so ``from big.cs8 ... write -format cs8 small``
+    shrinks a processed capture back to 2 bytes/sample.
 
     The 0x1000-sample pull size is semantics (each pull sees the
     per-read truncated convolution at its own boundaries), but the pulls
@@ -157,7 +169,11 @@ def do_write(stream: Stream, overwrite: bool, prefix: str, directory: str | None
     if prefix == "-":
         raise NotImplementedError("stdout writing is unimplemented in the reference")
 
-    filename = f"{prefix}.sr{stream.sample_rate}.cf32"
+    from quadrs_tpu.formats import FileFormat, encode_samples
+
+    wire = FileFormat.COMPLEX_FLOAT32 if fmt is None else FileFormat(fmt)
+    encode = lambda x: encode_samples(x, wire)  # noqa: E731
+    filename = f"{prefix}.sr{stream.sample_rate}.{wire.value}"
     if directory is not None:
         filename = os.path.join(directory, filename)
 
@@ -183,7 +199,7 @@ def do_write(stream: Stream, overwrite: bool, prefix: str, directory: str | None
                     raise RuntimeError(
                         f"short read at offset {int(offs[i])} of {stream.length}"
                     )
-                fh.write(encode_cf32(samples[i][:read]))
+                fh.write(encode(samples[i][:read]))
                 if read < WRITE_CHUNK:
                     # short read: resume the exact sequential advance
                     # (off += read) from here — including the reference's
@@ -192,12 +208,12 @@ def do_write(stream: Stream, overwrite: bool, prefix: str, directory: str | None
                     # is: its raw span extends past the source)
                     next_off = int(offs[i]) + read
                     if next_off < stream.length:
-                        _write_sequential(fh, stream, next_off)
+                        _write_sequential(fh, stream, next_off, encode)
                     return filename
     return filename
 
 
-def _write_sequential(fh, stream: Stream, off: int) -> None:
+def _write_sequential(fh, stream: Stream, off: int, encode=encode_cf32) -> None:
     """The reference's literal pull loop (``src/lib.rs:199-210``), used
     when a mid-stream short read desyncs the batched offsets."""
     ex = Executor(stream, WRITE_CHUNK, batch=1)
@@ -206,7 +222,7 @@ def _write_sequential(fh, stream: Stream, off: int) -> None:
         read = int(valid[0])
         if read == 0:
             raise RuntimeError(f"short read at offset {off} of {stream.length}")
-        fh.write(encode_cf32(samples[0][:read]))
+        fh.write(encode(samples[0][:read]))
         off += read
 
 

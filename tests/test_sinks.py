@@ -257,3 +257,70 @@ def test_four_step_fft_planes_exact():
             np.asarray(zr) + 1j * np.asarray(zi), x, atol=3e-5 * np.abs(x).max()
         )
     assert _four_step_factor(1021) is None  # prime width -> xla fallback
+
+
+# ---------------------------------------------------------------------------
+# write -format (integer quantization; TPU-native addition)
+
+
+def test_encode_samples_roundtrips():
+    import numpy as np
+
+    from quadrs_tpu.formats import FileFormat, decode_bytes, encode_samples
+
+    rng = np.random.default_rng(7)
+    for fmt in (FileFormat.COMPLEX_INT8, FileFormat.COMPLEX_UINT8):
+        raw = rng.integers(0, 256, 800 * fmt.pair_bytes, dtype=np.int64).astype(
+            np.uint8
+        ).tobytes()
+        assert encode_samples(decode_bytes(raw, fmt), fmt) == raw
+    # cs16: the reference DECODE collapses ~4 codes per f32 value (its
+    # formula, not ours), so the pin is re-decode equality
+    fmt = FileFormat.COMPLEX_INT16
+    raw = rng.integers(0, 256, 800 * fmt.pair_bytes, dtype=np.int64).astype(
+        np.uint8
+    ).tobytes()
+    dec = decode_bytes(raw, fmt)
+    again = decode_bytes(encode_samples(dec, fmt), fmt)
+    np.testing.assert_array_equal(
+        dec.view(np.float32), again.view(np.float32)
+    )
+    # cf32 passes through encode_cf32 exactly
+    vals = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+        np.complex64
+    )
+    assert encode_samples(vals, FileFormat.COMPLEX_FLOAT32) == vals.view(
+        np.float32
+    ).tobytes()
+
+
+def test_cli_write_format_converts_and_reopens(tmp_path, capsys, monkeypatch):
+    """gen -> write -format cs8 produces a cs8 capture that from reads
+    back as the quantized signal; -format bogus is rejected."""
+    import numpy as np
+
+    from quadrs_tpu.cli import main
+    from quadrs_tpu.formats import FileFormat, decode_bytes, encode_samples
+    from quadrs_tpu.sources import ToneGen, open_capture
+
+    monkeypatch.chdir(tmp_path)
+    assert main("gen -cos 1k -len 0.05 48k write -format cs8 small".split()) == 0
+    path = tmp_path / "small.sr48000.cs8"
+    # gen fills whole pulls past its length (reference semantics), so
+    # the writer emits one full 0x1000-sample chunk — as the cf32
+    # writer does for the same pipeline
+    assert path.exists() and path.stat().st_size == 2 * 4096
+
+    tone = ToneGen([1000], 48_000, 0.05)
+    from quadrs_tpu.runtime import Executor
+
+    ex = Executor(tone, 4096, batch=1)
+    samples, valid = ex.run(np.asarray([0], dtype=np.int64))
+    ref = samples[0]
+    assert path.read_bytes() == encode_samples(ref, FileFormat.COMPLEX_INT8)
+    # and it re-opens through the normal sniffing path
+    src = open_capture(str(path))
+    assert src.format is FileFormat.COMPLEX_INT8 and src.length == 4096
+
+    assert main("gen -cos 1k 48k write -format f64 x".split()) == 1
+    assert "unknown -format" in capsys.readouterr().err
