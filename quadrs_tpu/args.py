@@ -560,12 +560,30 @@ def _parse_gen(args: _Args, raw_map) -> Command:
         seconds = parse_si_float(len_vals[0])
     else:
         raise ValueError("len requires exactly one value")
+
+    def _one(name: str, default: str) -> str:
+        vals = map_.pop(name, None)
+        if vals is None:
+            return default
+        if len(vals) != 1:
+            raise ValueError(f"{name} requires exactly one value")
+        return vals[0]
+
+    noise = parse_si_float(_one("noise", "0"))
+    if noise < 0:
+        raise ValueError("-noise must be >= 0")
+    seed = int(parse_si_uint(_one("seed", "0")))
     _ensure_empty(map_, "gen")
     rate = args.next()
     if rate is None:
         raise ValueError("sample rate argument required")
     sample_rate = parse_si_uint(rate)
-    return Octagon(ops.GenOp(seconds=seconds, sample_rate=sample_rate, cos=cos))
+    return Octagon(
+        ops.GenOp(
+            seconds=seconds, sample_rate=sample_rate, cos=cos,
+            noise=noise, seed=seed,
+        )
+    )
 
 
 def _parse_ui(args: _Args, raw_map) -> Command:

@@ -23,7 +23,7 @@ resample [-power 8] [-size N] UP/DOWN [rational rate conversion, e.g. 3/2 or 147
 sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
   bucket [-width 128] [-stride =width] [-by freq] COUNT \\
    write [-overwrite no] [-format cf32|cs8|cu8|cs16 (quantize; default cf32)] FILENAME_PREFIX \\
-     gen [-cos FREQUENCY]* [-len 1 (second)] SAMPLE_RATE \\
+     gen [-cos FREQUENCY]* [-len 1 (second)] [-noise 0 (sigma/component, seeded)] [-seed 0] SAMPLE_RATE \\
       ui [-fft 8] [-stretch 4] [-stride 4] [-frames 1] [renders waterfall to ui.png] \\
          [-live no] [-rows N] [-cols N] [live: stream ANSI waterfall to the terminal; \\
           keys: +/- fft width, [/] stride, q quit] \\

@@ -79,6 +79,10 @@ class GenOp(Operation):
     seconds: float
     sample_rate: int
     cos: Sequence[int] = field(default_factory=list)
+    # TPU-native addition: seeded complex Gaussian noise (per-component
+    # sigma); the reference generator is noiseless
+    noise: float = 0.0
+    seed: int = 0
 
 
 def exec_operation(
@@ -94,7 +98,9 @@ def exec_operation(
         return SampleSource.from_file(op.filename, op.details)
 
     if isinstance(op, GenOp):
-        return ToneGen(op.cos, op.sample_rate, op.seconds)
+        return ToneGen(
+            op.cos, op.sample_rate, op.seconds, noise=op.noise, seed=op.seed
+        )
 
     if isinstance(op, ShiftOp):
         if stream is None:

@@ -224,12 +224,41 @@ class LivePipeStream(SampleSource):
         return self._buf[:, : max(0, hi_eff - lo)]
 
 
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: a stateless uint64 hash, so a
+    noise value depends only on (seed, absolute index) — random access
+    stays phase... noise-coherent at any offset."""
+    z = (x + _SM_GAMMA).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * _SM_C1
+    z = (z ^ (z >> np.uint64(27))) * _SM_C2
+    return z ^ (z >> np.uint64(31))
+
+
 class ToneGen(Stream):
-    """Multi-tone complex exponential generator (``src/gen.rs``)."""
+    """Multi-tone complex exponential generator (``src/gen.rs``), plus a
+    TPU-native addition the reference lacks: seeded complex Gaussian
+    noise (``noise`` = per-component standard deviation) for realistic
+    test captures.  The noise is COUNTER-BASED (a splitmix64 hash of
+    the absolute sample index through an exact two-uniform Box-Muller),
+    so it is deterministic per (seed, index) and random-access
+    coherent like the tones — the same sample always gets the same
+    noise regardless of pull size or order."""
 
     has_staging = False
 
-    def __init__(self, cos: Sequence[int], sample_rate: int, seconds: float):
+    def __init__(
+        self,
+        cos: Sequence[int],
+        sample_rate: int,
+        seconds: float,
+        noise: float = 0.0,
+        seed: int = 0,
+    ):
         # reference src/gen.rs:17-27
         if not cos:
             raise ValueError("cos cannot be empty")
@@ -237,9 +266,13 @@ class ToneGen(Stream):
             raise ValueError("sample rate may not be zero")
         if not seconds > 0.0:
             raise ValueError("seconds may not be <= 0")
+        if noise < 0.0:
+            raise ValueError("noise must be >= 0")
         self.cos = [int(f) for f in cos]
         self.sample_rate = int(sample_rate)
         self.seconds = float(seconds)
+        self.noise = float(noise)
+        self.seed = int(seed)
         # reference src/gen.rs:31-33 (f64 multiply, truncate)
         self.length = int(self.seconds * float(self.sample_rate))
         from quadrs_tpu.ops.nco import ExactNCO
@@ -256,17 +289,43 @@ class ToneGen(Stream):
         i = np.arange(n, dtype=np.int64)
         return np.stack([nc.angles(i) for nc in self._ncos], axis=0)  # (F, n)
 
+    def _noise_planes(self, offs: np.ndarray, n: int):
+        """(B, n) f32 (re, im) noise planes for absolute sample indices
+        ``offs[b] + j``: two hashed uniforms -> Box-Muller (exactly two
+        draws per sample, so the mapping index -> noise is total)."""
+        idx = (offs[:, None].astype(np.uint64) + np.arange(n, dtype=np.uint64)) * np.uint64(2)
+        key = _splitmix64(np.uint64(self.seed) ^ np.uint64(0xA5A5A5A55A5A5A5A))
+        h1 = _splitmix64(idx ^ key)
+        h2 = _splitmix64((idx + np.uint64(1)) ^ key)
+        # (0, 1] / [0, 1) uniforms from the top 53 bits
+        u1 = ((h1 >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0**-53
+        u2 = (h2 >> np.uint64(11)).astype(np.float64) * 2.0**-53
+        r = self.noise * np.sqrt(-2.0 * np.log(u1))
+        ang = 2.0 * np.pi * u2
+        return (
+            (r * np.cos(ang)).astype(np.float32),
+            (r * np.sin(ang)).astype(np.float32),
+        )
+
     def plan(self, offs: np.ndarray, n: int, base: int) -> Plan:
         offs = np.asarray(offs, dtype=np.int64)
         # Gen always fills the whole buffer (src/gen.rs:35-47).
         valid = np.full(len(offs), n, dtype=np.int64)
-        return Plan(prep={"theta0": self._theta0(offs)}, valid=valid)
+        prep = {"theta0": self._theta0(offs)}
+        if self.noise:
+            prep["noise_re"], prep["noise_im"] = self._noise_planes(offs, n)
+        return Plan(prep=prep, valid=valid)
 
     def read_batch(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
         delta = jnp.asarray(self._delta(n))  # (F, n) trace-time constant
         theta = prep["theta0"][:, :, None] + delta[None, :, :]  # (B, F, n)
         tones = jnp.cos(theta) + 1j * jnp.sin(theta)
-        return jnp.sum(tones.astype(jnp.complex64), axis=1)
+        out = jnp.sum(tones.astype(jnp.complex64), axis=1)
+        if self.noise:
+            import jax
+
+            out = out + jax.lax.complex(prep["noise_re"], prep["noise_im"])
+        return out
 
 
 def open_capture(
