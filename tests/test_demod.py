@@ -44,3 +44,47 @@ def test_fsk_demod_on_reference_capture():
     syms = demod.symbols(src)
     assert len(syms) == 94  # (6140-64)//64 windows
     assert set(syms) <= {0, 1}
+
+
+def test_fsk_demod_under_noise():
+    """End-to-end SNR robustness: alternating FSK symbols synthesized
+    with `gen -noise`-style seeded noise still demodulate exactly."""
+    import numpy as np
+
+    from quadrs_tpu.models.demod import FskDemod
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.sources import SampleSource, ToneGen
+
+    sr, sym = 48_000, 600  # samples per symbol
+    n_sym = 40
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, n_sym)
+    # two tones +/-4 kHz around a 6 kHz channel center
+    t = np.arange(n_sym * sym) / sr
+    f = np.where(np.repeat(bits, sym), 6_000 + 4_000, 6_000 - 4_000)
+    phase = 2 * np.pi * np.cumsum(f) / sr
+    iq = np.exp(1j * phase).astype(np.complex64)
+    # seeded noise at sigma 0.3 per component (SNR ~ 4.4 dB per sample)
+    noise_src = ToneGen([1], sr, n_sym * sym / sr, noise=0.3, seed=9)
+    nz, _ = noise_src.read_at(0, len(iq))
+    clean_src = ToneGen([1], sr, n_sym * sym / sr)
+    cl, _ = clean_src.read_at(0, len(iq))
+    iq = iq + (np.asarray(nz) - np.asarray(cl))
+    raw = np.empty(2 * len(iq), dtype="<f4")
+    raw[0::2] = iq.real
+    raw[1::2] = iq.imag
+    src = SampleSource(np.frombuffer(raw.tobytes(), dtype=np.uint8),
+                       FileFormat.COMPLEX_FLOAT32, sr)
+    demod = FskDemod(center=-6_000, bandwidth=8_000, decimate=4, taps=64,
+                     fft_width=64, stride=sym // 4)
+    syms = np.asarray(demod.symbols(src))
+    # one window per symbol: stride = one symbol's worth of channel
+    # samples, and the 64-sample window sits inside the symbol (group
+    # delay ~8 channel samples << the 150-sample period); the trailing
+    # symbols may fall off the window count
+    assert len(syms) >= n_sym - 2
+    got = [int(v) for v in syms[: min(n_sym, len(syms))]]
+    # bit 1 = the +4 kHz tone, which after the -6 kHz shift lands in the
+    # UNSHIFTED spectrum's first half -> bucket symbol 1
+    want = [int(b) for b in bits][: len(got)]
+    assert got == want
