@@ -231,8 +231,8 @@ _SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer: a stateless uint64 hash, so a
-    noise value depends only on (seed, absolute index) — random access
-    stays phase... noise-coherent at any offset."""
+    noise value depends only on (seed, absolute index) and random
+    access stays coherent at any offset."""
     z = (x + _SM_GAMMA).astype(np.uint64)
     z = (z ^ (z >> np.uint64(30))) * _SM_C1
     z = (z ^ (z >> np.uint64(27))) * _SM_C2
