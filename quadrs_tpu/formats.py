@@ -210,10 +210,14 @@ def encode_samples(samples: np.ndarray, fmt: FileFormat) -> bytes:
     nearest representable code, clamped to the dtype's range), so
     decode(encode(decode(bytes))) round-trips cs8/cu8 captures
     byte-exactly; cs16's own decode is NOT injective (the f32 ulp at
-    magnitude ~32767 is coarser than the 1/65535 code step, so ~4 codes
+    magnitude ~32767 is 2^-9 vs the 1/65535 code step, so ~128 codes
     collapse per decoded value — a property of the reference formula),
     so cs16 round-trips to re-decode equality instead, with the inverse
-    computed in f64 to add no loss of its own.  TPU-native addition:
+    computed in f64 to add no loss of its own.  cu8/cs16 inherit the
+    reference decode's DC offsets, so values outside those narrow
+    representable bands SATURATE; encode warns when a significant
+    fraction of samples clip (a pipeline that removed the offset —
+    any shift/filter chain — cannot be stored in cu8/cs16 losslessly).  TPU-native addition:
     the reference writer emits cf32 only (``src/lib.rs:197-209``);
     ``write -format`` uses this to quantize converted captures (cs8's
     representable range is the sane [-128/127, 1]; cu8/cs16 inherit the
@@ -224,19 +228,29 @@ def encode_samples(samples: np.ndarray, fmt: FileFormat) -> bytes:
     samples = np.ascontiguousarray(samples, dtype=np.complex64)
     comps = samples.view(np.float32)
     if fmt is FileFormat.COMPLEX_INT8:
-        q = np.clip(np.rint(comps * np.float32(127.0)), -128, 127)
-        return q.astype("<i1").tobytes()
-    if fmt is FileFormat.COMPLEX_UINT8:
-        q = np.clip(np.rint((comps + np.float32(127.5)) * np.float32(255.0)), 0, 255)
-        return q.astype("u1").tobytes()
-    if fmt is FileFormat.COMPLEX_INT16:
-        q = np.clip(
-            np.rint((comps.astype(np.float64) + 32767.5) * 65535.0),
-            -32768,
-            32767,
+        raw = np.rint(comps * np.float32(127.0))
+        lo, hi, dtype = -128, 127, "<i1"
+    elif fmt is FileFormat.COMPLEX_UINT8:
+        raw = np.rint((comps + np.float32(127.5)) * np.float32(255.0))
+        lo, hi, dtype = 0, 255, "u1"
+    elif fmt is FileFormat.COMPLEX_INT16:
+        raw = np.rint((comps.astype(np.float64) + 32767.5) * 65535.0)
+        lo, hi, dtype = -32768, 32767, "<i2"
+    else:
+        raise ValueError(f"unknown format: {fmt}")
+    q = np.clip(raw, lo, hi)
+    clipped = float(np.mean(raw != q)) if raw.size else 0.0
+    if clipped > 0.001:
+        import warnings
+
+        warnings.warn(
+            f"{clipped:.1%} of samples saturate {fmt.value}'s representable "
+            f"range — cu8/cs16 carry the reference decode's DC offset, so "
+            f"offset-free (shifted/filtered) signals cannot be stored in "
+            f"them losslessly",
+            stacklevel=2,
         )
-        return q.astype("<i2").tobytes()
-    raise ValueError(f"unknown format: {fmt}")
+    return q.astype(dtype).tobytes()
 
 
 def synth_planes(fmt: FileFormat, n_samples: int, seed: int = 0, n_streams: int | None = None) -> np.ndarray:

@@ -19,7 +19,7 @@ from typing import Callable
 
 import numpy as np
 
-from quadrs_tpu.formats import encode_cf32
+from quadrs_tpu.formats import FileFormat, encode_cf32, encode_samples
 from quadrs_tpu.ops.stft import blackman_harris_window, stft_norms
 from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 from quadrs_tpu.stream import Stream
@@ -168,8 +168,6 @@ def do_write(
     """
     if prefix == "-":
         raise NotImplementedError("stdout writing is unimplemented in the reference")
-
-    from quadrs_tpu.formats import FileFormat, encode_samples
 
     wire = FileFormat.COMPLEX_FLOAT32 if fmt is None else FileFormat(fmt)
     encode = lambda x: encode_samples(x, wire)  # noqa: E731

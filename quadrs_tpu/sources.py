@@ -232,11 +232,14 @@ _SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer: a stateless uint64 hash, so a
     noise value depends only on (seed, absolute index) and random
-    access stays coherent at any offset."""
-    z = (x + _SM_GAMMA).astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * _SM_C1
-    z = (z ^ (z >> np.uint64(27))) * _SM_C2
-    return z ^ (z >> np.uint64(31))
+    access stays coherent at any offset.  uint64 wraparound is the
+    algorithm; silence numpy's overflow warnings so -W error / pytest
+    filterwarnings=error environments don't trip on it."""
+    with np.errstate(over="ignore"):
+        z = (np.asarray(x, dtype=np.uint64) + _SM_GAMMA).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * _SM_C1
+        z = (z ^ (z >> np.uint64(27))) * _SM_C2
+        return z ^ (z >> np.uint64(31))
 
 
 class ToneGen(Stream):
@@ -293,10 +296,15 @@ class ToneGen(Stream):
         """(B, n) f32 (re, im) noise planes for absolute sample indices
         ``offs[b] + j``: two hashed uniforms -> Box-Muller (exactly two
         draws per sample, so the mapping index -> noise is total)."""
-        idx = (offs[:, None].astype(np.uint64) + np.arange(n, dtype=np.uint64)) * np.uint64(2)
-        key = _splitmix64(np.uint64(self.seed) ^ np.uint64(0xA5A5A5A55A5A5A5A))
-        h1 = _splitmix64(idx ^ key)
-        h2 = _splitmix64((idx + np.uint64(1)) ^ key)
+        with np.errstate(over="ignore"):
+            idx = (
+                offs[:, None].astype(np.uint64) + np.arange(n, dtype=np.uint64)
+            ) * np.uint64(2)
+            key = _splitmix64(
+                np.uint64(self.seed) ^ np.uint64(0xA5A5A5A55A5A5A5A)
+            )
+            h1 = _splitmix64(idx ^ key)
+            h2 = _splitmix64((idx + np.uint64(1)) ^ key)
         # (0, 1] / [0, 1) uniforms from the top 53 bits
         u1 = ((h1 >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0**-53
         u2 = (h2 >> np.uint64(11)).astype(np.float64) * 2.0**-53

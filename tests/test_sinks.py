@@ -324,3 +324,25 @@ def test_cli_write_format_converts_and_reopens(tmp_path, capsys, monkeypatch):
 
     assert main("gen -cos 1k 48k write -format f64 x".split()) == 1
     assert "unknown -format" in capsys.readouterr().err
+
+
+def test_encode_samples_saturation_warns():
+    """cu8/cs16 carry the reference decode's DC offset: encoding an
+    offset-free signal saturates and must warn (not silently destroy)."""
+    import warnings
+
+    import numpy as np
+    import pytest as _pytest
+
+    from quadrs_tpu.formats import FileFormat, encode_samples
+
+    tone = np.exp(2j * np.pi * np.arange(256) / 16).astype(np.complex64)
+    with _pytest.warns(UserWarning, match="saturate"):
+        enc = encode_samples(tone, FileFormat.COMPLEX_UINT8)
+    assert set(enc) <= {0, 255}  # everything clipped, as warned
+    with _pytest.warns(UserWarning, match="saturate"):
+        encode_samples(tone, FileFormat.COMPLEX_INT16)
+    # cs8's range is sane: no warning for a unit tone
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        encode_samples(tone, FileFormat.COMPLEX_INT8)
