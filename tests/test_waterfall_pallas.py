@@ -822,3 +822,56 @@ def test_model_jit_scan_pallas_matches_xla():
     np.testing.assert_allclose(b[1], a[1], rtol=2e-5, atol=2e-5 * a[1].max())
     # counts may differ where a norm sits within f32 noise of thr
     assert np.abs(b[2].astype(np.int64) - a[2].astype(np.int64)).max() <= 2
+
+
+def test_fused_waterfall_scan_fuzz():
+    """Random (width, stride, format, windowing) configs through the
+    in-kernel survey — every routing class (tiled s_r=b, overlapped
+    in-kernel, subaligned class-split, pre-arranged) vs the XLA chain
+    reduced in f64."""
+    from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_scan
+
+    rng = np.random.default_rng(0x5CAB)
+    for case in range(6):
+        b = int(rng.choice([2, 4, 8, 16]))
+        width = 128 * b
+        stride = int(
+            rng.choice(
+                [width, width // 2, width + 64, 3 * width // 4, width // 8,
+                 max(32, width // 16) + (16 if case % 2 else 0)]
+            )
+        )
+        fmt = rng.choice(list(FileFormat))
+        windowing = str(rng.choice(["rectangular", "blackman-harris"]))
+        n_streams = int(rng.integers(1, 4))
+        cfg = WaterfallConfig(
+            n_streams=n_streams, fft_width=width, stride=stride,
+            fmt=fmt, windowing=windowing, frontend="xla",
+        )
+        model = WaterfallModel(cfg)
+        n = int(rng.integers(width + stride, 3 * width + 4 * stride))
+        nw = (n - width) // stride + 1
+        raw = model.synth_raw(n, seed=90 + case)
+        norms = np.asarray(model.jit_step()(jnp.asarray(raw)))
+        thr = float(np.median(norms))
+        ssum, smax, sabove = jax.jit(
+            lambda p, spec=WaterfallSpec(fmt=fmt, width=width, windowing=windowing),
+            nw=nw, stride=stride: fused_waterfall_scan(
+                p, spec, nw, jnp.float32(thr), stride=stride,
+                interpret=jax.default_backend() != "tpu",
+            )
+        )(jnp.asarray(raw))
+        tag = f"case {case}: w={width} s={stride} fmt={fmt} win={windowing} nw={nw}"
+        np.testing.assert_allclose(
+            np.asarray(ssum), norms.astype(np.float64).sum(axis=1),
+            rtol=3e-5, atol=nw * 3e-5 * max(norms.max(), 1e-6), err_msg=tag,
+        )
+        np.testing.assert_allclose(
+            np.asarray(smax), norms.max(axis=1),
+            rtol=3e-5, atol=3e-5 * max(norms.max(), 1e-6), err_msg=tag,
+        )
+        noise = 3e-5 * max(norms.max(), 1e-6)
+        lo = (norms > thr + noise).sum(axis=1)
+        hi = (norms > thr - noise).sum(axis=1)
+        got = np.asarray(sabove).astype(np.int64)
+        assert np.all(got >= lo) and np.all(got <= hi), tag
