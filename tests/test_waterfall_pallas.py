@@ -875,3 +875,32 @@ def test_fused_waterfall_scan_fuzz():
         hi = (norms > thr - noise).sum(axis=1)
         got = np.asarray(sabove).astype(np.int64)
         assert np.all(got >= lo) and np.all(got <= hi), tag
+
+
+def test_scan_kernel_tpu_aot_lowering():
+    """The scan kernel AOT-lowers for the TPU platform on the CPU rig
+    (jax.export runs the full Mosaic serialization pipeline without
+    hardware) — catches structural kernel regressions between on-chip
+    runs.  Final XLA/Mosaic compilation still needs the chip."""
+    from jax import export
+
+    from quadrs_tpu.ops.waterfall_pallas import fused_waterfall_scan
+
+    for width, stride, fmt in (
+        (1024, 1024, FileFormat.COMPLEX_INT8),  # tiled
+        (1024, 256, FileFormat.COMPLEX_INT16),  # overlapped in-kernel
+    ):
+        spec = WaterfallSpec(fmt=fmt, width=width)
+        nw = 150
+        n = (nw - 1) * stride + width
+
+        def f(p, t, spec=spec, nw=nw, stride=stride):
+            return fused_waterfall_scan(
+                p, spec, nw, t, stride=stride, interpret=False
+            )
+
+        exp = export.export(jax.jit(f), platforms=["tpu"])(
+            jax.ShapeDtypeStruct((2, 2, n), np.dtype(fmt.raw_dtype)),
+            jax.ShapeDtypeStruct((), jnp.float32),
+        )
+        assert len(exp.mlir_module()) > 0
