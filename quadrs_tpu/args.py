@@ -212,6 +212,29 @@ class FskCmd(Command):
 
 
 @dataclass
+class PskCmd(Command):
+    """``psk``: demodulate a BPSK/QPSK capture to bits
+    (:class:`~quadrs_tpu.models.demod.PskDemod`).  Block-coherent:
+    carrier and symbol timing are recovered per burst (order-th-power
+    FFT estimate + Oerder-Meyr), no PLL.  ``-differential yes`` (the
+    default) decodes phase transitions — the transmitter must encode
+    differentially; coherent slicing otherwise (bits then carry an
+    unresolved ``2*pi/order`` rotation)."""
+
+    filename: str | None
+    shift: int = 0
+    lowpass: int = 200_000
+    size: int = 400
+    decimate: int = 32
+    symbol_rate: float = 0.0  # required: symbols per second
+    order: int = 2  # 2 = BPSK, 4 = QPSK (Gray 00 01 11 10)
+    differential: bool = True
+    sample_rate: str | None = None
+    format: str | None = None
+    stdin: bool = False  # buffer the capture from a pipe
+
+
+@dataclass
 class FmCmd(Command):
     """``fm``: demodulate an analog-FM capture to audio
     (:class:`~quadrs_tpu.models.demod.FmDemod`).  With ``-out`` the
@@ -355,6 +378,10 @@ class ServeCmd(Command):
     audio_rate: int | None = None  # fm/am/ssb: rational resample to this Hz
     sideband: str = "usb"  # ssb: usb|lsb
     bandwidth: int = 3_000  # ssb: sideband width (filter at half)
+    # psk-mode knobs (PskCmd counterparts)
+    symbol_rate: float = 0.0  # psk: symbols per second (required)
+    order: int = 2  # psk: 2 = BPSK, 4 = QPSK
+    differential: bool = True  # psk: decode phase transitions
 
 
 def _parse_mesh(spec: str) -> tuple[int, int]:
@@ -851,6 +878,34 @@ def _parse_fsk(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_psk(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    shift = parse_si_int(map_.pop("shift", "0"))
+    lowpass = parse_si_uint(map_.pop("lowpass", "200k"))
+    power = map_.pop("power", None)
+    size = 2 * parse_si_uint(power) if power is not None else 400
+    decimate = parse_si_uint(map_.pop("decimate", "32"))
+    symbol_rate = map_.pop("symbol-rate", None)
+    order = int(parse_si_uint(map_.pop("order", "2")))
+    differential = parse_bool(map_.pop("differential", "yes"))
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    filename, stdin = _take_capture_arg(args, map_, "psk", sr, fmt)
+    _ensure_empty(map_, "psk")
+    if symbol_rate is None:
+        raise ValueError("psk requires -symbol-rate (symbols per second)")
+    symbol_rate = parse_si_float(symbol_rate)
+    if symbol_rate <= 0:
+        raise ValueError("-symbol-rate must be positive")
+    if order not in (2, 4):
+        raise ValueError("-order must be 2 (BPSK) or 4 (QPSK)")
+    return PskCmd(
+        filename=filename, shift=shift, lowpass=lowpass, size=size,
+        decimate=decimate, symbol_rate=symbol_rate, order=order,
+        differential=differential, sample_rate=sr, format=fmt, stdin=stdin,
+    )
+
+
 def _parse_fm(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     shift = parse_si_int(map_.pop("shift", "0"))
@@ -1000,35 +1055,43 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     search = parse_bool(map_.pop("search", "no"))
     shift = parse_si_int(map_.pop("shift", "0"))
     mode = map_.pop("mode", "stream")
-    if mode not in ("stream", "waterfall", "scan", "ook", "fsk", "fm", "am", "ssb"):
+    if mode not in (
+        "stream", "waterfall", "scan", "ook", "fsk", "psk", "fm", "am", "ssb"
+    ):
         raise ValueError(
-            f"unknown -mode: {mode!r} (stream|waterfall|scan|ook|fsk|fm|am|ssb)"
+            f"unknown -mode: {mode!r} "
+            "(stream|waterfall|scan|ook|fsk|psk|fm|am|ssb)"
         )
     # reject flags the chosen mode would silently ignore
     _fm_flags = {"deviation", "audio-lowpass", "audio-decimate", "audio-power",
                  "audio-rate"}
     _ssb_flags = {"sideband", "bandwidth"}
+    _psk_flags = {"symbol-rate", "order", "differential"}
     _inapplicable = {
-        "stream": {"stride", "threshold", "bit", "raw"} | _fm_flags | _ssb_flags,
+        "stream": {"stride", "threshold", "bit", "raw"}
+        | _fm_flags | _ssb_flags | _psk_flags,
         "waterfall": {"shift", "lowpass", "power", "decimate",
-                      "threshold", "bit", "raw"} | _fm_flags | _ssb_flags,
+                      "threshold", "bit", "raw"}
+        | _fm_flags | _ssb_flags | _psk_flags,
         # scan is the waterfall bank reduced to per-bin stats: the
         # channel-chain and demod knobs don't apply, nor does -search
         "scan": {"shift", "lowpass", "power", "decimate", "bit", "raw",
-                 "search"} | _fm_flags | _ssb_flags,
+                 "search"} | _fm_flags | _ssb_flags | _psk_flags,
         # demod modes buffer the whole burst: chunking, peak search and
         # mesh sharding don't apply (and -search would shadow the bits)
         "ook": {"shift", "lowpass", "power", "decimate", "search",
-                "chunk", "mesh"} | _fm_flags | _ssb_flags,
+                "chunk", "mesh"} | _fm_flags | _ssb_flags | _psk_flags,
         "fsk": {"threshold", "raw", "search", "chunk", "mesh"}
-        | _fm_flags | _ssb_flags,
+        | _fm_flags | _ssb_flags | _psk_flags,
+        "psk": {"width", "stride", "threshold", "bit", "raw", "search",
+                "chunk", "mesh"} | _fm_flags | _ssb_flags,
         "fm": {"width", "stride", "threshold", "bit", "raw", "search",
-               "chunk", "mesh"} | _ssb_flags,
+               "chunk", "mesh"} | _ssb_flags | _psk_flags,
         "am": {"width", "stride", "threshold", "bit", "raw", "search",
-               "chunk", "mesh", "deviation"} | _ssb_flags,
+               "chunk", "mesh", "deviation"} | _ssb_flags | _psk_flags,
         # ssb: -bandwidth replaces -lowpass (the filter is bandwidth/2)
         "ssb": {"width", "stride", "threshold", "bit", "raw", "search",
-                "chunk", "mesh", "deviation", "lowpass"},
+                "chunk", "mesh", "deviation", "lowpass"} | _psk_flags,
     }
     bad = explicit & _inapplicable[mode]
     if bad:
@@ -1036,8 +1099,8 @@ def _parse_serve(args: _Args, raw_map) -> Command:
             f"-{sorted(bad)[0]} does not apply to -mode {mode}"
         )
     _width_default = {"stream": "64", "waterfall": "1024", "scan": "1024",
-                      "ook": "4", "fsk": "64", "fm": "64", "am": "64",
-                      "ssb": "64"}
+                      "ook": "4", "fsk": "64", "psk": "64", "fm": "64",
+                      "am": "64", "ssb": "64"}
     fft_width = int(parse_si_uint(map_.pop("width", _width_default[mode])))
     # channel-filter defaults match the standalone command of each mode
     _lp_default = {"fm": "100k", "am": "10k"}
@@ -1061,6 +1124,16 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     if sideband not in ("usb", "lsb"):
         raise ValueError(f"unknown -sideband: {sideband!r} (usb|lsb)")
     bandwidth = int(parse_si_uint(map_.pop("bandwidth", "3k")))
+    symbol_rate = map_.pop("symbol-rate", None)
+    if mode == "psk" and symbol_rate is None:
+        raise ValueError("-mode psk requires -symbol-rate (symbols per second)")
+    symbol_rate = 0.0 if symbol_rate is None else parse_si_float(symbol_rate)
+    if mode == "psk" and symbol_rate <= 0:
+        raise ValueError("-symbol-rate must be positive")
+    order = int(parse_si_uint(map_.pop("order", "2")))
+    if order not in (2, 4):
+        raise ValueError("-order must be 2 (BPSK) or 4 (QPSK)")
+    differential = parse_bool(map_.pop("differential", "yes"))
     stride = map_.pop("stride", "2" if mode == "ook" else None)
     stride = None if stride is None else int(parse_si_uint(stride))
     threshold = parse_si_float(
@@ -1089,6 +1162,7 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         deviation=deviation, audio_lowpass=audio_lowpass,
         audio_decimate=audio_decimate, audio_size=audio_size,
         audio_rate=audio_rate, sideband=sideband, bandwidth=bandwidth,
+        symbol_rate=symbol_rate, order=order, differential=differential,
     )
 
 
@@ -1111,6 +1185,7 @@ _PARSERS = {
     "scan": _parse_scan,
     "ook": _parse_ook,
     "fsk": _parse_fsk,
+    "psk": _parse_psk,
     "fm": _parse_fm,
     "am": _parse_am,
     "ssb": _parse_ssb,

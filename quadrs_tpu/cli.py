@@ -47,16 +47,20 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [band survey: per-bin avg/max power + occupancy over every window] \\
    serve [-port 7373] [-host 127.0.0.1] [-once no] [-search no] [-shift 0] [-lowpass 200k] \\
          [-power 200] [-decimate 32] [-width 64] [-chunk 4M] -sr R -format F \\
-         [-mode stream|waterfall|scan|ook|fsk|fm|am|ssb] [-stride =width] [waterfall: the raw \\
-          fused spectrogram; scan: the per-bin band-survey CSV, -threshold as in scan] \\
-         [ook/fsk/fm/am: demod-as-a-service — send the burst, read back the bits (or, \\
+         [-mode stream|waterfall|scan|ook|fsk|psk|fm|am|ssb] [-stride =width] [waterfall: the \\
+          raw fused spectrogram; scan: the per-bin band-survey CSV, -threshold as in scan] \\
+         [ook/fsk/psk/fm/am: demod-as-a-service — send the burst, read back the bits (or, \\
           fm/am: a "# MODE N RATE" header + N f32 audio samples); -threshold/-bit/-raw/ \\
-          -deviation/-audio-*/-sideband/-bandwidth as in the matching demod commands] \\
+          -deviation/-audio-*/-sideband/-bandwidth/-symbol-rate/-order as in the matching \\
+          demod commands] \\
          [-mesh TxS] [-parallel 1] [mesh: shard each connection across chips; \\
           parallel: serve N connections concurrently on the shared compiled chain] \\
          [TCP service: compile once, then each connection streams IQ in, results out] \\
      ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] [-stdin no] FILENAME \\
      fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] FILENAME \\
+     psk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] -symbol-rate HZ \\
+         [-order 2 (BPSK; 4 = QPSK, Gray 00 01 11 10)] [-differential yes] \\
+         [-stdin no] FILENAME [block-coherent: per-burst carrier + timing, no PLL] \\
       fm [-shift 0] [-lowpass 100k] [-power 200] [-decimate 8] [-deviation 75k] \\
          [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\
          [-out PREFIX (writes PREFIX.srR.f32 mono audio; '-': stream to stdout, e.g. | aplay)] \\
@@ -108,6 +112,7 @@ def _serve_types() -> tuple:
         argmod.ScanCmd,
         argmod.OokCmd,
         argmod.FskCmd,
+        argmod.PskCmd,
         argmod.FmCmd,
         argmod.AmCmd,
         argmod.SsbCmd,

@@ -14,6 +14,8 @@ clock recovery.
 
 from __future__ import annotations
 
+import functools
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -21,6 +23,8 @@ import numpy as np
 from quadrs_tpu import bits as bits_mod
 from quadrs_tpu import sinks
 from quadrs_tpu.stream import LowPass, Shift, Stream
+
+_TAU = 2.0 * math.pi
 
 
 def manchester_decode(bitstream: list[bool]) -> list[int]:
@@ -438,3 +442,271 @@ class SsbDemod:
         sideband, optional audio FIR / rational resample)."""
         rate, audio = self.baseband(stream)
         return _audio_stage(self, rate, audio)
+
+
+# --------------------------------------------------------------- PSK
+
+
+@dataclass(frozen=True)
+class PskEstimate:
+    """Synchronization estimates recovered from one PSK burst."""
+
+    freq_hz: float  # residual carrier offset at the channel rate
+    phase: float  # common phase (radians; one of the ``order`` branches)
+    tau: float  # symbol timing offset, channel samples in [0, sps)
+    sps: float  # channel samples per symbol
+    rate: int  # channel sample rate (Hz)
+    n: int  # baseband samples analyzed
+
+
+def _pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=None)
+def _psk_peak_fn(npad: int, order: int):
+    """Device program: power spectrum peak of the order-th power of the
+    masked burst.  Returns ``(k0, P[k0-1], P[k0], P[k0+1])`` for
+    host-side parabolic refinement (one scalar fetch; the f64 math that
+    follows stays on the host, like every NCO phase in this package)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(planes, n):
+        idx = jnp.arange(npad, dtype=jnp.int32)
+        mask = (idx < n).astype(jnp.float32)
+        x = jax.lax.complex(planes[0] * mask, planes[1] * mask)
+        xm = x
+        for _ in range(order.bit_length() - 1):  # order in (2, 4)
+            xm = xm * xm
+        p = jnp.abs(jnp.fft.fft(xm)) ** 2
+        k0 = jnp.argmax(p)
+        return k0, p[(k0 - 1) % npad], p[k0], p[(k0 + 1) % npad]
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _psk_process_fn(npad: int, order: int, mf_len: int):
+    """Device program: derotate by the host-exact phase table, matched
+    filter (length-``mf_len`` moving average via cumsum), and reduce —
+    the order-th-power sum (common phase) and the Oerder-Meyr timing
+    correlator ``sum |z|^2 e^{-j 2 pi n / sps}`` over full filter
+    windows.  Returns the filtered planes plus both reductions as f32
+    plane pairs (complex64 cannot cross the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(planes, rot, tim, n):
+        idx = jnp.arange(npad, dtype=jnp.int32)
+        mask = (idx < n).astype(jnp.float32)
+        x = jax.lax.complex(planes[0] * mask, planes[1] * mask)
+        y = x * jax.lax.complex(rot[0], rot[1])
+        ym = y
+        for _ in range(order.bit_length() - 1):
+            ym = ym * ym
+        s = jnp.sum(ym)
+        c = jnp.cumsum(y)
+        z = (c - jnp.concatenate([jnp.zeros(mf_len, y.dtype), c[:-mf_len]])) / mf_len
+        full = ((idx >= mf_len - 1) & (idx < n)).astype(jnp.float32)
+        w = (jnp.real(z) ** 2 + jnp.imag(z) ** 2) * full
+        e = jnp.sum(w * jax.lax.complex(tim[0], tim[1]))
+        return (
+            (jnp.real(z), jnp.imag(z)),
+            (jnp.real(s), jnp.imag(s)),
+            (jnp.real(e), jnp.imag(e)),
+        )
+
+    return jax.jit(run)
+
+
+_QPSK_GRAY = {0: (0, 0), 1: (0, 1), 2: (1, 1), 3: (1, 0)}
+
+
+@dataclass
+class PskDemod:
+    """Phase-shift-keying receiver (BPSK/QPSK), block-coherent.
+
+    shift -> lowpass channel (the validated stages), then one device
+    program per burst: residual-carrier estimate from the order-th
+    power's FFT peak (parabolically refined on the host), derotation by
+    a HOST-EXACT f64 phase table (the ExactNCO convention — f32 phase
+    accumulation would drift over a long burst), a one-symbol
+    moving-average matched filter, and the Oerder-Meyr timing
+    correlator.  The host then samples symbols at the recovered
+    instants (linear interpolation) and slices — carrier and timing are
+    closed-form BLOCK estimates, not a sequential PLL, so all
+    per-sample work is batched device math; the only O(n) host step is
+    building the two phase tables and the O(symbols) decode (the same
+    device/host split as :mod:`quadrs_tpu.bits`' clock recovery).  No
+    reference counterpart (quadrs demodulates OOK/FSK only).
+
+    ``center`` follows the house shift convention (the value handed to
+    :class:`~quadrs_tpu.stream.Shift`): bring the carrier to DC with
+    ``center = -carrier_offset``.  ``symbol_rate`` is in symbols/sec;
+    the channel must keep ``sps = channel_rate / symbol_rate >= 2``
+    (4+ recommended).  ``order`` is 2 (BPSK) or 4 (QPSK, Gray-coded
+    00 01 11 10 counter-clockwise).  With ``differential`` (default)
+    the decoder emits phase TRANSITIONS, which cancels the order-fold
+    ambiguity of power-law carrier recovery — the transmitter must
+    encode differentially; one symbol is consumed as the reference.
+    Coherent slicing (``differential=False``) emits absolute positions
+    that carry an unresolved common rotation of ``2*pi/order``.
+
+    Validity: the residual carrier must satisfy
+    ``|freq| < rate / (2 * order)`` (the order-th-power line must not
+    alias) and sit well inside the channel filter.
+    """
+
+    center: int = 0
+    bandwidth: int = 200_000
+    decimate: int = 32
+    taps: int = 400
+    symbol_rate: float = 0.0  # REQUIRED: symbols per second
+    order: int = 2
+    differential: bool = True
+    chunk: int = 1 << 16  # baseband samples per executor pull
+
+    def _check(self) -> None:
+        if self.order not in (2, 4):
+            raise ValueError(f"order must be 2 (BPSK) or 4 (QPSK), not {self.order}")
+        if self.symbol_rate <= 0:
+            raise ValueError("symbol_rate must be positive (symbols per second)")
+
+    def channel(self, stream: Stream) -> Stream:
+        self._check()
+        chain: Stream = stream
+        if self.center:
+            chain = Shift(chain, self.center, chain.sample_rate)
+        return LowPass(chain, self.bandwidth, self.decimate, self.taps)
+
+    def baseband(self, stream: Stream) -> tuple[int, np.ndarray]:
+        """``(channel_rate_hz, complex64[channel_len])`` of the filtered
+        channel (chunked on device; the executor returns f32 planes and
+        repacks — bursts are buffered whole, like the other demods)."""
+        from quadrs_tpu.runtime import Executor, root_step_of, window_batches
+
+        chan = self.channel(stream)
+        if chan.length < 1:
+            raise ValueError("input too short for the PSK demodulator")
+        rate = chan.sample_rate
+        c = min(self.chunk, chan.length)
+        offsets = np.arange(0, chan.length, c, dtype=np.int64)
+        batch, batches = window_batches(offsets, c, root_step=root_step_of(chan))
+        ex = Executor(chan, c, batch=batch)
+        out = np.empty(chan.length, dtype=np.complex64)
+        for offs in batches:
+            vals, valid = ex.run(offs)
+            for i in range(len(offs)):
+                o, v = int(offs[i]), int(valid[i])
+                out[o : o + v] = vals[i][:v]
+                if v < c:
+                    # short read: EOF only (see FmDemod.discriminate)
+                    return rate, out[: o + v]
+        return rate, out
+
+    def analyze(self, rate: int, x: np.ndarray) -> tuple[PskEstimate, np.ndarray]:
+        """Synchronize and sample one baseband burst.
+
+        Returns ``(estimate, symbols)`` where ``symbols`` are the
+        matched-filtered complex decisions, derotated so the ideal
+        constellation is the ``order``-th roots of unity (up to the
+        power-law ambiguity).
+        """
+        self._check()
+        m_ord = self.order
+        sps = rate / self.symbol_rate
+        if sps < 2.0:
+            raise ValueError(
+                f"{sps:.2f} channel samples/symbol < 2: lower the symbol "
+                "rate or the decimation"
+            )
+        mf_len = max(1, int(round(sps)))
+        n = len(x)
+        if n < mf_len + int(math.ceil(3 * sps)):
+            raise ValueError("burst too short: needs at least ~4 symbols")
+        npad = max(256, _pow2(n))
+        planes = np.zeros((2, npad), dtype=np.float32)
+        planes[0, :n] = np.real(x)
+        planes[1, :n] = np.imag(x)
+
+        k0, pm, p0, pp = _psk_peak_fn(npad, m_ord)(planes, np.int32(n))
+        k0 = int(k0)
+        pm, p0, pp = float(pm), float(p0), float(pp)
+        denom = pm - 2.0 * p0 + pp
+        delta = 0.0 if denom == 0.0 else 0.5 * (pm - pp) / denom
+        delta = min(0.5, max(-0.5, delta))
+        khat = k0 + delta
+        if khat > npad / 2:
+            khat -= npad
+
+        # host-exact derotation / timing tables (f64 reductions mod one
+        # cycle, then one f32 cos/sin — the ExactNCO discipline)
+        nn = np.arange(npad, dtype=np.float64)
+        ph = -_TAU * np.mod(khat * nn, m_ord * npad) / (m_ord * npad)
+        rot = np.stack([np.cos(ph), np.sin(ph)]).astype(np.float32)
+        pht = -_TAU * np.mod(nn / sps, 1.0)
+        tim = np.stack([np.cos(pht), np.sin(pht)]).astype(np.float32)
+
+        z_pl, s_pl, e_pl = _psk_process_fn(npad, m_ord, mf_len)(
+            planes, rot, tim, np.int32(n)
+        )
+        z = np.asarray(z_pl[0]).astype(np.complex64)
+        z += 1j * np.asarray(z_pl[1]).astype(np.complex64)
+        s = complex(float(s_pl[0]), float(s_pl[1]))
+        e = complex(float(e_pl[0]), float(e_pl[1]))
+        phase = math.atan2(s.imag, s.real) / m_ord
+        tau = (-math.atan2(e.imag, e.real) / _TAU) % 1.0 * sps
+
+        est = PskEstimate(
+            freq_hz=khat / (m_ord * npad) * rate,
+            phase=phase,
+            tau=tau,
+            sps=sps,
+            rate=int(rate),
+            n=n,
+        )
+
+        # symbol instants: tau + k*sps, inside full matched-filter
+        # windows ([mf_len-1, n-1]); linear interpolation, then the
+        # common-phase derotation (host, O(symbols))
+        k_start = max(0, int(math.ceil((mf_len - 1 - tau) / sps)))
+        k_end = int(math.floor((n - 1 - tau) / sps))
+        if k_end < k_start:
+            raise ValueError("burst too short: no full symbol instants")
+        t = tau + np.arange(k_start, k_end + 1, dtype=np.float64) * sps
+        i = np.minimum(np.floor(t).astype(np.int64), n - 2)
+        f = (t - i).astype(np.float32)
+        sym = z[i] * (1.0 - f) + z[i + 1] * f
+        sym = sym * np.complex64(complex(math.cos(-phase), math.sin(-phase)))
+        return est, sym.astype(np.complex64)
+
+    def symbols(self, stream: Stream) -> tuple[PskEstimate, np.ndarray]:
+        rate, x = self.baseband(stream)
+        return self.analyze(rate, x)
+
+    def slice(self, sym: np.ndarray) -> list[int]:
+        """Decisions -> bits.  Differential mode decodes the phase
+        increment between consecutive symbols (index ``m`` of
+        ``e^{j 2 pi m / order}``); coherent mode the absolute position.
+        QPSK maps each index through the Gray code 00 01 11 10."""
+        m_ord = self.order
+        if self.differential:
+            if len(sym) < 2:
+                raise ValueError("differential decode needs >= 2 symbols")
+            d = sym[1:] * np.conj(sym[:-1])
+            ang = np.arctan2(d.imag, d.real)
+        else:
+            ang = np.arctan2(sym.imag, sym.real)
+        m = np.round(ang * (m_ord / _TAU)).astype(np.int64) % m_ord
+        if m_ord == 2:
+            return [int(v) for v in m]
+        out: list[int] = []
+        for v in m:
+            out.extend(_QPSK_GRAY[int(v)])
+        return out
+
+    def demodulate(self, stream: Stream) -> tuple[PskEstimate, list[int]]:
+        """Full receive chain: capture -> synchronized bits."""
+        est, sym = self.symbols(stream)
+        return est, self.slice(sym)

@@ -443,6 +443,29 @@ def run_fsk(cmd: argmod.FskCmd) -> int:
     return 0
 
 
+def run_psk(cmd: argmod.PskCmd) -> int:
+    """Demodulate a BPSK/QPSK capture and print the recovered bits."""
+    from quadrs_tpu.models.demod import PskDemod
+
+    src = _cmd_source(cmd)
+    demod = PskDemod(
+        center=cmd.shift,
+        bandwidth=cmd.lowpass,
+        decimate=cmd.decimate,
+        taps=cmd.size,
+        symbol_rate=cmd.symbol_rate,
+        order=cmd.order,
+        differential=cmd.differential,
+    )
+    est, bits = demod.demodulate(src)
+    print("".join(map(str, bits)))
+    print(
+        f"psk: {len(bits)} bits, freq {est.freq_hz:+.1f} Hz, "
+        f"phase {est.phase:+.3f} rad, tau {est.tau:.2f}, sps {est.sps:g}"
+    )
+    return 0
+
+
 def _write_audio(cmd, rate: int, audio: "np.ndarray") -> str | None:
     """Write demodulated audio per the command's output flags: raw mono
     LE f32 (`{prefix}.sr{rate}.f32`) or, with `-wav yes`, a playable
@@ -704,6 +727,18 @@ def _make_serve_demod(cmd: argmod.ServeCmd):
             audio_taps=cmd.audio_size,
             audio_rate=cmd.audio_rate,
         )
+    if cmd.mode == "psk":
+        from quadrs_tpu.models.demod import PskDemod
+
+        return PskDemod(
+            center=cmd.shift,
+            bandwidth=cmd.lowpass,
+            decimate=cmd.decimate,
+            taps=cmd.size,
+            symbol_rate=cmd.symbol_rate,
+            order=cmd.order,
+            differential=cmd.differential,
+        )
     from quadrs_tpu.models.demod import FskDemod
 
     return FskDemod(
@@ -794,7 +829,15 @@ def _demod_reply(wf, demod, cmd: argmod.ServeCmd, src, t0) -> RunStats:
             windows_out=len(audio),
             seconds=time.perf_counter() - t0,
         )
-    if cmd.mode == "ook":
+    if cmd.mode == "psk":
+        est, bits = demod.demodulate(src)
+        line = "".join(map(str, bits))
+        n_out = len(bits)
+        trailer = (
+            f"psk: {len(bits)} bits, freq {est.freq_hz:+.1f} Hz, "
+            f"phase {est.phase:+.3f} rad, tau {est.tau:.2f}, sps {est.sps:g}"
+        )
+    elif cmd.mode == "ook":
         from quadrs_tpu.models.demod import manchester_decode
 
         err, raw_bits = demod.demodulate(src)
@@ -931,7 +974,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     from quadrs_tpu.utils.sniff import guess_details
 
     details = guess_details("-", cmd.sample_rate, cmd.format)
-    demod = cmd.mode in ("ook", "fsk", "fm", "am", "ssb")
+    demod = cmd.mode in ("ook", "fsk", "psk", "fm", "am", "ssb")
     if demod:
         model = _make_serve_demod(cmd)
     elif cmd.mode in ("waterfall", "scan"):
@@ -1038,6 +1081,7 @@ RUNNERS = {
     argmod.ScanCmd: run_scan,
     argmod.OokCmd: run_ook,
     argmod.FskCmd: run_fsk,
+    argmod.PskCmd: run_psk,
     argmod.FmCmd: run_fm,
     argmod.AmCmd: run_am,
     argmod.SsbCmd: run_ssb,

@@ -329,6 +329,73 @@ def test_serve_fsk_demod_mode(capsys):
     assert got[1] == f"# {want_stats}"
 
 
+def test_serve_psk_demod_mode(capsys, tmp_path):
+    """``serve -mode psk`` answers with exactly the lines ``quadjax
+    psk`` prints for the same bytes (differential BPSK burst with a
+    carrier offset and a common phase — the block estimator must
+    absorb both)."""
+    from quadrs_tpu.cli import main
+
+    tau = 2 * np.pi
+    rng = np.random.default_rng(9)
+    incr = rng.integers(0, 2, 96)
+    sr, sps_raw = 128_000, 64.0
+    a = np.cumsum(incr) % 2
+    n = int(len(a) * sps_raw)
+    k = np.minimum((np.arange(n) / sps_raw).astype(np.int64), len(a) - 1)
+    ph = tau * a[k] / 2 + 0.5 + tau * 60.0 * np.arange(n) / sr
+    raw = np.empty(2 * n, np.float32)
+    raw[0::2] = np.cos(ph)
+    raw[1::2] = np.sin(ph)
+    payload = raw.tobytes()
+
+    cmd = _serve_cmd(
+        mode="psk", shift=0, lowpass=5_000, size=64, decimate=4,
+        symbol_rate=2_000.0, order=2, sample_rate="128k", format="cf32",
+    )
+    th, port = _start_server(cmd)
+    reply = _session(port, payload).decode()
+    th.join(timeout=60)
+    assert not th.is_alive()
+    assert "psk bits" in capsys.readouterr().out
+
+    path = tmp_path / "psk-sim.sr128k.cf32"
+    path.write_bytes(payload)
+    assert main(["psk", "-lowpass", "5k", "-power", "32", "-decimate", "4",
+                 "-symbol-rate", "2k", str(path)]) == 0
+    want_bits, want_stats = capsys.readouterr().out.strip().splitlines()
+    got = reply.strip().splitlines()
+    assert got[0] == want_bits
+    assert got[1] == f"# {want_stats}"
+    assert want_bits in "".join(map(str, incr))
+
+
+def test_serve_psk_mode_gating(capsys):
+    """-mode psk requires -symbol-rate; psk knobs are rejected
+    elsewhere; demod-inapplicable flags are rejected for psk."""
+    from quadrs_tpu.cli import main
+
+    (cmd,) = argmod.parse(
+        ["serve", "-mode", "psk", "-symbol-rate", "2k", "-order", "4",
+         "-sr", "128k", "-format", "cf32"]
+    )
+    assert cmd.mode == "psk" and cmd.symbol_rate == 2_000.0 and cmd.order == 4
+
+    rc = main(["serve", "-mode", "psk", "-sr", "128k", "-format", "cf32"])
+    assert rc == 1
+    assert "-mode psk requires -symbol-rate" in capsys.readouterr().err
+    rc = main(["serve", "-mode", "stream", "-symbol-rate", "2k",
+               "-sr", "128k", "-format", "cf32"])
+    assert rc == 1
+    assert "-symbol-rate does not apply to -mode stream" in (
+        capsys.readouterr().err
+    )
+    rc = main(["serve", "-mode", "psk", "-symbol-rate", "2k", "-search",
+               "yes", "-sr", "128k", "-format", "cf32"])
+    assert rc == 1
+    assert "-search does not apply to -mode psk" in capsys.readouterr().err
+
+
 def test_serve_demod_mode_parse_and_gating(capsys):
     """The demod modes parse their knobs and reject inapplicable flags."""
     from quadrs_tpu.cli import main
