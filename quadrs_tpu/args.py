@@ -504,6 +504,29 @@ def _parse_lowpass(args: _Args, raw_map) -> Command:
     return Octagon(ops.LowPassOp(size=size, decimate=decimate, frequency=frequency))
 
 
+def _parse_find(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    pattern = map_.pop("pattern", None)
+    if pattern is None:
+        raise ValueError("'find' requires -pattern FILE (the template capture)")
+    threshold = parse_si_float(map_.pop("threshold", "0.5"))
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("-threshold must be in (0, 1]")
+    top = int(parse_si_uint(map_.pop("top", "0")))
+    distance = map_.pop("distance", None)
+    distance = None if distance is None else int(parse_si_uint(distance))
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    _ensure_empty(map_, "find")
+    details = guess_details(pattern, sr, fmt)
+    return Octagon(
+        ops.FindOp(
+            details=details, filename=pattern, threshold=threshold, top=top,
+            distance=distance,
+        )
+    )
+
+
 def _parse_resample(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     ratio = args.next()
@@ -1173,6 +1196,7 @@ _PARSERS = {
     "resample": _parse_resample,
     "sparkfft": _parse_sparkfft,
     "bucket": _parse_bucket,
+    "find": _parse_find,
     "write": _parse_write,
     "gen": _parse_gen,
     "ui": _parse_ui,

@@ -1,0 +1,166 @@
+"""Matched-filter cross-correlation: find a known pattern in a stream.
+
+TPU-native addition (no reference counterpart — quadrs has only the
+energy-threshold sparkfft/bucket detectors): locates every occurrence of
+a known complex pattern (a preamble, a sync word, a chirp) in a capture
+by NORMALIZED cross-correlation, computed on device in the frequency
+domain.
+
+The score at offset ``n`` is the Cauchy-Schwarz ratio
+
+    score[n] = |sum_m conj(p[m]) x[n+m]|^2 / (E_p * E_x[n])
+
+with ``E_p = sum |p|^2`` and ``E_x[n] = sum_m |x[n+m]|^2`` — in [0, 1],
+and 1 exactly when the window is a complex-scalar multiple of the
+pattern, so the threshold is GAIN- and PHASE-INVARIANT.  ``scale[n] =
+|corr[n]| / E_p`` recovers the match's amplitude relative to the
+pattern.
+
+Mapping to the hardware: the correlation runs as overlap-save FFT
+convolution — the executor's window length ``c`` (a power of two) IS
+the FFT block, each window yielding ``c - l + 1`` valid scores, so one
+batched ``FFT -> pointwise multiply -> IFFT`` per chunk does all the
+work (XLA's TPU FFT), plus a cumulative-sum moving window for the
+energy term.  The pattern's spectrum is precomputed on the host in f64
+(like every NCO table in this package) and enters the program as f32
+planes — complex constants never cross the tunnel.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+
+def make_xcorr_post(pattern: np.ndarray, c: int) -> Callable:
+    """Executor ``post`` for pattern search.
+
+    ``pattern``: complex l-sample template (l >= 2, l <= c).  Returns a
+    traced transform of a ``(B, c)`` complex window batch into
+    ``(score, scale)`` — both ``(B, c - l + 1)`` f32 (see module doc).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    p = np.asarray(pattern, dtype=np.complex128)
+    l = len(p)
+    if l < 2:
+        raise ValueError("pattern must have at least 2 samples")
+    if l > c:
+        raise ValueError(f"pattern ({l}) longer than the window ({c})")
+    n_out = c - l + 1
+
+    # host-exact spectrum of the conjugate pattern, shipped as f32
+    # planes (complex64 constants cannot cross the tunnel)
+    pf = np.conj(np.fft.fft(p, c))
+    pf_planes = np.stack([pf.real, pf.imag]).astype(np.float32)
+    e_p = float(np.sum(np.abs(p) ** 2))
+    if e_p <= 0.0:
+        raise ValueError("pattern is all zero")
+    inv_ep = np.float32(1.0 / e_p)
+    inv_ep2 = np.float32(1.0 / (e_p * e_p))
+    tiny = np.float32(1e-30)
+
+    def post(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        planes = jnp.asarray(pf_planes)
+        pfc = jax.lax.complex(planes[0], planes[1])
+        corr = jnp.fft.ifft(jnp.fft.fft(x, axis=-1) * pfc[None, :], axis=-1)
+        corr = corr[:, :n_out]
+        num = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
+        mag2 = jnp.real(x) ** 2 + jnp.imag(x) ** 2
+        cs = jnp.cumsum(mag2, axis=-1)
+        # moving sum of l: cs[n + l - 1] - cs[n - 1]
+        e_x = cs[:, l - 1 :] - jnp.concatenate(
+            [jnp.zeros((cs.shape[0], 1), cs.dtype), cs[:, : n_out - 1]], axis=-1
+        )
+        # score = num / (e_p * e_x); normalizing by e_p^2 instead maps
+        # zero-energy windows to score 0 without a divide-by-zero
+        score = num * inv_ep2 / jnp.maximum(e_x * inv_ep, tiny)
+        scale = jnp.sqrt(num) * inv_ep
+        return score.astype(jnp.float32), scale.astype(jnp.float32)
+
+    return post
+
+
+class PeakScan:
+    """Streaming local-maximum scanner over a score sequence.
+
+    ``feed`` consumes contiguous score/aux chunks (offsets must abut);
+    a point is a hit when ``score >= threshold`` and it is >= both
+    neighbors.  Exact across chunk boundaries: the last element of every
+    feed is held back until its right neighbor arrives (``finish``
+    flushes it against -inf).  Vectorized — no per-sample Python.
+    """
+
+    def __init__(self, threshold: float):
+        self.threshold = float(threshold)
+        self._left = -np.inf  # score left of the pending element
+        self._pend: tuple[int, float, float] | None = None  # (off, score, aux)
+        self.offsets: list[int] = []
+        self.scores: list[float] = []
+        self.aux: list[float] = []
+
+    def feed(self, off0: int, scores: np.ndarray, aux: np.ndarray) -> None:
+        scores = np.asarray(scores, dtype=np.float64)
+        aux = np.asarray(aux, dtype=np.float64)
+        if len(scores) == 0:
+            return
+        if self._pend is not None:
+            po, pv, pa = self._pend
+            if off0 != po + 1:
+                raise ValueError(f"non-contiguous feed: {off0} after {po}")
+            ext = np.concatenate([[pv], scores])
+            ext_aux = np.concatenate([[pa], aux])
+            ext_off0 = po
+        else:
+            ext, ext_aux, ext_off0 = scores, aux, off0
+        if len(ext) >= 2:
+            v = ext[:-1]
+            lefts = np.concatenate([[self._left], ext[:-2]])
+            rights = ext[1:]
+            mask = (v >= self.threshold) & (v >= lefts) & (v >= rights)
+            idx = np.nonzero(mask)[0]
+            self.offsets.extend((ext_off0 + idx).tolist())
+            self.scores.extend(v[idx].tolist())
+            self.aux.extend(ext_aux[idx].tolist())
+            self._left = float(ext[-2])
+        self._pend = (ext_off0 + len(ext) - 1, float(ext[-1]), float(ext_aux[-1]))
+
+    def finish(self) -> None:
+        if self._pend is not None:
+            po, pv, pa = self._pend
+            if pv >= self.threshold and pv >= self._left:
+                self.offsets.append(po)
+                self.scores.append(pv)
+                self.aux.append(pa)
+            self._pend = None
+
+
+def suppress(
+    offsets: np.ndarray,
+    scores: np.ndarray,
+    min_distance: int,
+    max_matches: int | None = None,
+) -> np.ndarray:
+    """Greedy non-maximum suppression: keep candidates best-first,
+    dropping any within ``min_distance`` of an accepted one.  Returns
+    the accepted indices sorted by offset."""
+    import bisect
+
+    order = np.argsort(-scores, kind="stable")
+    taken: list[int] = []  # accepted offsets, sorted
+    chosen: list[int] = []
+    for i in order:
+        o = int(offsets[i])
+        j = bisect.bisect_left(taken, o)
+        if j > 0 and o - taken[j - 1] < min_distance:
+            continue
+        if j < len(taken) and taken[j] - o < min_distance:
+            continue
+        taken.insert(j, o)
+        chosen.append(int(i))
+        if max_matches is not None and len(chosen) >= max_matches:
+            break
+    chosen.sort(key=lambda i: int(offsets[i]))
+    return np.asarray(chosen, dtype=np.int64)

@@ -75,6 +75,21 @@ class WriteOp(Operation):
 
 
 @dataclass
+class FindOp(Operation):
+    """Matched-filter pattern search (TPU-native addition; see
+    :func:`quadrs_tpu.sinks.find_pattern`): locate every occurrence of
+    the pattern capture in the accumulated stream by gain/phase-
+    invariant normalized cross-correlation, emitting one
+    ``offset,score,scale`` line per match."""
+
+    details: FileDetails
+    filename: str
+    threshold: float = 0.5
+    top: int = 0  # max matches to report (0 = all)
+    distance: int | None = None  # NMS radius (default: pattern length)
+
+
+@dataclass
 class GenOp(Operation):
     seconds: float
     sample_rate: int
@@ -130,6 +145,33 @@ def exec_operation(
             raise ValueError("bucket -by freq requires an input")
         levels = sinks.freq_levels(stream, op.fft_width, op.stride, op.levels)
         emit("".join(str(v) for v in levels.vals))
+        return stream
+
+    if isinstance(op, FindOp):
+        if stream is None:
+            raise ValueError("find requires an input")
+        psrc = SampleSource.from_file(op.filename, op.details)
+        if psrc.sample_rate != stream.sample_rate:
+            raise ValueError(
+                f"pattern rate {psrc.sample_rate} != stream rate "
+                f"{stream.sample_rate}: resample one side first"
+            )
+        pat, valid = psrc.read_at(0, psrc.length)
+        if valid != psrc.length:
+            raise RuntimeError("short read loading the pattern capture")
+        res = sinks.find_pattern(
+            stream,
+            pat,
+            threshold=op.threshold,
+            max_matches=op.top if op.top else None,
+            min_distance=op.distance,
+        )
+        for o, s, a in zip(res.offsets, res.scores, res.scales):
+            emit(f"{int(o)},{float(s):.4f},{float(a):.6g}")
+        emit(
+            f"find: {len(res.offsets)} matches, pattern {res.pattern_len} "
+            f"samples, {res.scanned} scanned"
+        )
         return stream
 
     if isinstance(op, WriteOp):

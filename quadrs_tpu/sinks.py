@@ -296,3 +296,80 @@ def take_fft(
             raise RuntimeError("read-exact messed up in take_fft")
         rows.append(norms)
     return FftResult(norms=np.concatenate(rows, axis=0), fft_width=width)
+
+
+@dataclass
+class FindResult:
+    """Matches from :func:`find_pattern`, sorted by offset."""
+
+    offsets: np.ndarray  # int64 sample offsets into the searched stream
+    scores: np.ndarray  # f32 normalized correlation in [0, 1]
+    scales: np.ndarray  # f32 |match amplitude| relative to the pattern
+    pattern_len: int
+    scanned: int  # stream samples scanned
+
+
+def find_pattern(
+    stream: Stream,
+    pattern: np.ndarray,
+    threshold: float = 0.5,
+    chunk: int = 1 << 16,
+    max_matches: int | None = None,
+    min_distance: int | None = None,
+) -> FindResult:
+    """Find every occurrence of a complex ``pattern`` in ``stream`` by
+    gain/phase-invariant normalized cross-correlation (TPU-native
+    addition, see :mod:`quadrs_tpu.ops.correlate`).
+
+    Windows of ``c = pow2(max(2*len(pattern), min(chunk, length)))``
+    samples step by ``c - l + 1`` (overlap-save: every lag is scored
+    exactly once), each batch runs one fused FFT-correlation program on
+    device, and a streaming local-maximum scanner keeps candidates
+    ``>= threshold``; greedy non-maximum suppression within
+    ``min_distance`` (default: the pattern length) picks the matches.
+    """
+    from quadrs_tpu.ops.correlate import PeakScan, make_xcorr_post, suppress
+    from quadrs_tpu.runtime import _round_up_pow2
+
+    pattern = np.asarray(pattern)
+    l = len(pattern)
+    if l < 2:
+        raise ValueError("pattern must have at least 2 samples")
+    if stream.length < l:
+        raise ValueError(
+            f"stream ({stream.length} samples) shorter than the pattern ({l})"
+        )
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    c = _round_up_pow2(max(2 * l, min(chunk, stream.length)))
+    n_out = c - l + 1
+    n_lags = stream.length - l + 1
+    offsets = np.arange(0, n_lags, n_out, dtype=np.int64)
+
+    batch, batches = window_batches(offsets, c, root_step=root_step_of(stream))
+    ex = Executor(stream, c, batch=batch, post=make_xcorr_post(pattern, c))
+    scan = PeakScan(threshold)
+    for offs in batches:
+        (score, scale), valid = ex.run(offs)
+        score = np.asarray(score)
+        scale = np.asarray(scale)
+        for i in range(len(offs)):
+            o, v = int(offs[i]), int(valid[i])
+            m = min(max(0, v - l + 1), n_lags - o)
+            scan.feed(o, score[i][:m], scale[i][:m])
+    scan.finish()
+
+    cand_off = np.asarray(scan.offsets, dtype=np.int64)
+    cand_score = np.asarray(scan.scores, dtype=np.float32)
+    cand_scale = np.asarray(scan.aux, dtype=np.float32)
+    keep = suppress(
+        cand_off, cand_score, min_distance if min_distance is not None else l,
+        max_matches,
+    )
+    return FindResult(
+        offsets=cand_off[keep],
+        scores=cand_score[keep],
+        scales=cand_scale[keep],
+        pattern_len=l,
+        scanned=stream.length,
+    )

@@ -1,0 +1,285 @@
+"""Matched-filter pattern search: ``sinks.find_pattern`` + ``quadjax
+find`` (TPU-native addition, no reference counterpart).
+
+Conformance target is the definition itself: the normalized-correlation
+score ``|sum conj(p) x|^2 / (E_p E_x)`` — pinned against a sequential
+f64 numpy oracle over every lag — plus exact recovery of patterns
+planted at known offsets under gain, phase, and noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from quadrs_tpu import sinks
+from quadrs_tpu.formats import FileFormat
+from quadrs_tpu.ops.correlate import PeakScan, suppress
+from quadrs_tpu.sources import SampleSource
+
+
+def cf32_source(x: np.ndarray, sr: int = 48_000) -> SampleSource:
+    raw = np.empty(2 * len(x), dtype=np.float32)
+    raw[0::2] = x.real
+    raw[1::2] = x.imag
+    return SampleSource(
+        np.frombuffer(raw.tobytes(), dtype=np.uint8), FileFormat.COMPLEX_FLOAT32, sr
+    )
+
+
+def oracle_scores(x: np.ndarray, p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential f64 normalized correlation at every lag."""
+    x = np.asarray(x, dtype=np.complex128)
+    p = np.asarray(p, dtype=np.complex128)
+    l, n = len(p), len(x)
+    e_p = float(np.sum(np.abs(p) ** 2))
+    score = np.empty(n - l + 1)
+    scale = np.empty(n - l + 1)
+    for o in range(n - l + 1):
+        w = x[o : o + l]
+        c = np.sum(np.conj(p) * w)
+        e_x = float(np.sum(np.abs(w) ** 2))
+        score[o] = 0.0 if e_x == 0.0 else abs(c) ** 2 / (e_p * e_x)
+        scale[o] = abs(c) / e_p
+    return score, scale
+
+
+def device_scores(x: np.ndarray, p: np.ndarray, chunk: int) -> tuple[np.ndarray, np.ndarray]:
+    """Full per-lag device scores via the same executor plumbing
+    find_pattern uses (threshold 0 local-max scan would drop non-peaks,
+    so this drives the post directly)."""
+    from quadrs_tpu.ops.correlate import make_xcorr_post
+    from quadrs_tpu.runtime import Executor, _round_up_pow2, window_batches
+
+    src = cf32_source(x)
+    l = len(p)
+    c = _round_up_pow2(max(2 * l, min(chunk, src.length)))
+    n_out = c - l + 1
+    n_lags = src.length - l + 1
+    offsets = np.arange(0, n_lags, n_out, dtype=np.int64)
+    batch, batches = window_batches(offsets, c)
+    ex = Executor(src, c, batch=batch, post=make_xcorr_post(p, c))
+    score = np.empty(n_lags, dtype=np.float32)
+    scale = np.empty(n_lags, dtype=np.float32)
+    for offs in batches:
+        (s, a), valid = ex.run(offs)
+        for i in range(len(offs)):
+            o, v = int(offs[i]), int(valid[i])
+            m = min(max(0, v - l + 1), n_lags - o)
+            score[o : o + m] = np.asarray(s)[i][:m]
+            scale[o : o + m] = np.asarray(a)[i][:m]
+    return score, scale
+
+
+def test_scores_match_oracle_every_lag():
+    rng = np.random.default_rng(3)
+    n, l = 3_000, 37
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    x[500 : 500 + l] += 2.0 * p  # one strong plant so the peak row is covered
+
+    want_score, want_scale = oracle_scores(x, p)
+    got_score, got_scale = device_scores(x, p, chunk=1024)
+    np.testing.assert_allclose(got_score, want_score, atol=2e-4)
+    np.testing.assert_allclose(got_scale, want_scale, atol=2e-4)
+
+
+def test_planted_patterns_recovered_exactly():
+    """Plants at arbitrary offsets (one flush with EOF) come back at
+    exactly those offsets, gain- and phase-invariantly."""
+    rng = np.random.default_rng(7)
+    n, l = 200_000, 511
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    plants = {1_234: 0.3, 77_777: 2.0, 150_000: 0.05, n - l: 1.0}
+    for i, (o, g) in enumerate(plants.items()):
+        x[o : o + l] += np.complex64(g * np.exp(1j * (0.9 * i))) * p
+
+    res = sinks.find_pattern(cf32_source(x), p, threshold=0.5)
+    assert list(res.offsets) == sorted(plants)
+    # the 0.05-gain plant sits ~14 dB over the noise floor: score ~0.96
+    assert np.all(res.scores > 0.9)
+    for o, g in plants.items():
+        got = float(res.scales[list(res.offsets).index(o)])
+        assert abs(got - g) < 0.05 * max(g, 0.1)
+    assert res.pattern_len == l and res.scanned == n
+
+
+def test_chunk_size_invariance():
+    """The FFT block size is an implementation knob: offsets identical,
+    scores equal to f32 tolerance across chunk sizes."""
+    rng = np.random.default_rng(9)
+    n, l = 50_000, 200
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    x = 0.02 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    for o in (0, 20_011, 49_800):
+        x[o : o + l] += 0.7 * p
+    src = cf32_source(x)
+    a = sinks.find_pattern(src, p, threshold=0.5, chunk=1 << 16)
+    b = sinks.find_pattern(src, p, threshold=0.5, chunk=3_000)
+    assert np.array_equal(a.offsets, b.offsets)
+    np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)
+    assert list(a.offsets) == [0, 20_011, 49_800]
+
+
+def test_nms_collapses_sidelobes():
+    """A repeated pattern (period < distance) yields one match per
+    plant; near-duplicate candidates within min_distance collapse to
+    the best."""
+    rng = np.random.default_rng(5)
+    l = 64
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    # a pattern with strong self-similarity: p followed by p again ->
+    # candidates at both starts; distance=2*l keeps only the better
+    x = 0.01 * (rng.standard_normal(4_000) + 1j * rng.standard_normal(4_000)).astype(
+        np.complex64
+    )
+    x[1_000 : 1_000 + l] += p
+    x[1_000 + l : 1_000 + 2 * l] += p
+    res = sinks.find_pattern(cf32_source(x), p, threshold=0.5, min_distance=2 * l)
+    assert len(res.offsets) == 1 and res.offsets[0] in (1_000, 1_000 + l)
+    both = sinks.find_pattern(cf32_source(x), p, threshold=0.5)  # default l
+    assert list(both.offsets) == [1_000, 1_000 + l]
+
+
+def test_max_matches_keeps_strongest():
+    rng = np.random.default_rng(13)
+    l = 100
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    x = 0.3 * (rng.standard_normal(30_000) + 1j * rng.standard_normal(30_000)).astype(
+        np.complex64
+    )
+    x[2_000 : 2_000 + l] += 0.8 * p  # weaker (more noise-diluted)
+    x[9_000 : 9_000 + l] += 5.0 * p  # strongest
+    res = sinks.find_pattern(cf32_source(x), p, threshold=0.2, max_matches=1)
+    assert list(res.offsets) == [9_000]
+
+
+def test_peakscan_boundary_exact():
+    """Feeding the same score sequence in ragged chunks finds exactly
+    the hits of a one-shot feed — boundaries hold back one element."""
+    rng = np.random.default_rng(21)
+    s = rng.random(997).astype(np.float32)
+    aux = rng.random(997).astype(np.float32)
+
+    one = PeakScan(0.6)
+    one.feed(0, s, aux)
+    one.finish()
+
+    ragged = PeakScan(0.6)
+    o = 0
+    for sz in (1, 2, 317, 100, 1, 576):
+        ragged.feed(o, s[o : o + sz], aux[o : o + sz])
+        o += sz
+    ragged.finish()
+    assert ragged.offsets == one.offsets
+    assert ragged.scores == one.scores
+    assert ragged.aux == one.aux
+    assert len(one.offsets) > 10  # the fixture actually exercises hits
+
+
+def test_suppress_orders_and_bounds():
+    off = np.array([10, 12, 100, 103, 500])
+    sc = np.array([0.9, 0.95, 0.8, 0.85, 0.7])
+    keep = suppress(off, sc, min_distance=5)
+    assert [int(off[i]) for i in keep] == [12, 103, 500]
+    keep2 = suppress(off, sc, min_distance=5, max_matches=2)
+    assert [int(off[i]) for i in keep2] == [12, 103]
+
+
+def test_find_on_chained_stream():
+    """find composes after shift/lowpass: a slice of the decimated
+    chain read back as the pattern matches itself at its own offset."""
+    from quadrs_tpu.stream import LowPass, Shift
+
+    rng = np.random.default_rng(17)
+    n = 80_000
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    chain = LowPass(Shift(cf32_source(x), 3_000), 5_000, 4, 80)
+    pat, valid = chain.read_at(5_000, 300)
+    assert valid == 300
+    res = sinks.find_pattern(chain, pat, threshold=0.9)
+    assert 5_000 in list(res.offsets)
+    i = list(res.offsets).index(5_000)
+    assert res.scores[i] > 0.999 and abs(res.scales[i] - 1.0) < 1e-3
+
+
+def test_error_surface():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(100) + 1j * rng.standard_normal(100)).astype(np.complex64)
+    src = cf32_source(x)
+    with pytest.raises(ValueError, match="at least 2"):
+        sinks.find_pattern(src, x[:1])
+    with pytest.raises(ValueError, match="shorter than the pattern"):
+        sinks.find_pattern(cf32_source(x[:10]), x[:50])
+    with pytest.raises(ValueError, match="threshold"):
+        sinks.find_pattern(src, x[:10], threshold=0.0)
+    with pytest.raises(ValueError, match="all zero"):
+        sinks.find_pattern(src, np.zeros(8, np.complex64))
+
+
+class TestCli:
+    def _files(self, tmp_path):
+        rng = np.random.default_rng(31)
+        n, l = 40_000, 400
+        p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+        x = 0.01 * (
+            rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ).astype(np.complex64)
+        x[12_345 : 12_345 + l] += 0.5 * p
+        for name, arr in (("cap", x), ("pat", p)):
+            raw = np.empty(2 * len(arr), dtype=np.float32)
+            raw[0::2] = arr.real
+            raw[1::2] = arr.imag
+            (tmp_path / f"{name}.sr48k.cf32").write_bytes(raw.tobytes())
+        return tmp_path / "cap.sr48k.cf32", tmp_path / "pat.sr48k.cf32"
+
+    def test_find_reports_plant(self, tmp_path, capsys):
+        from quadrs_tpu.cli import main
+
+        cap, pat = self._files(tmp_path)
+        rc = main(["from", str(cap), "find", "-pattern", str(pat),
+                   "-threshold", "0.8"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines[-1] == "find: 1 matches, pattern 400 samples, 40000 scanned"
+        off, score, scale = lines[0].split(",")
+        assert int(off) == 12_345
+        assert float(score) > 0.95
+        assert abs(float(scale) - 0.5) < 0.05
+
+    def test_find_rate_mismatch_errors(self, tmp_path, capsys):
+        from quadrs_tpu.cli import main
+
+        cap, pat = self._files(tmp_path)
+        rc = main(["from", str(cap), "find", "-pattern", str(pat),
+                   "-sr", "96k"])
+        assert rc == 1
+        assert "pattern rate" in capsys.readouterr().err
+
+    def test_find_parse_errors(self, capsys):
+        from quadrs_tpu.cli import main
+
+        assert main(["find"]) == 1
+        assert "requires -pattern" in capsys.readouterr().err
+        assert main(["find", "-pattern", "x.sr1k.cf32", "-threshold", "1.5"]) == 1
+        assert "(0, 1]" in capsys.readouterr().err
+        assert main(["gen", "-cos", "1k", "-len", "0.1", "48k", "find",
+                     "-pattern", "nope.sr48k.cf32"]) == 1
+        capsys.readouterr()
+
+    def test_find_requires_input(self, tmp_path, capsys):
+        from quadrs_tpu.cli import main
+
+        _, pat = self._files(tmp_path)
+        assert main(["find", "-pattern", str(pat)]) == 1
+        assert "find requires an input" in capsys.readouterr().err
+
+    def test_usage_lists_find(self):
+        from quadrs_tpu.cli import USAGE
+
+        assert "find -pattern" in USAGE
