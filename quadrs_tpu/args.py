@@ -515,6 +515,13 @@ def _parse_find(args: _Args, raw_map) -> Command:
     top = int(parse_si_uint(map_.pop("top", "0")))
     distance = map_.pop("distance", None)
     distance = None if distance is None else int(parse_si_uint(distance))
+    freq_tol = parse_si_float(map_.pop("freq-tol", "0"))
+    if freq_tol < 0:
+        raise ValueError("-freq-tol must be >= 0")
+    freq_step = map_.pop("freq-step", None)
+    freq_step = None if freq_step is None else parse_si_float(freq_step)
+    if freq_step is not None and freq_step <= 0:
+        raise ValueError("-freq-step must be positive")
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     _ensure_empty(map_, "find")
@@ -522,7 +529,7 @@ def _parse_find(args: _Args, raw_map) -> Command:
     return Octagon(
         ops.FindOp(
             details=details, filename=pattern, threshold=threshold, top=top,
-            distance=distance,
+            distance=distance, freq_tol=freq_tol, freq_step=freq_step,
         )
     )
 

@@ -33,12 +33,24 @@ from typing import Callable
 import numpy as np
 
 
-def make_xcorr_post(pattern: np.ndarray, c: int) -> Callable:
+def make_xcorr_post(
+    pattern: np.ndarray, c: int, freqs: np.ndarray | None = None
+) -> Callable:
     """Executor ``post`` for pattern search.
 
     ``pattern``: complex l-sample template (l >= 2, l <= c).  Returns a
     traced transform of a ``(B, c)`` complex window batch into
-    ``(score, scale)`` — both ``(B, c - l + 1)`` f32 (see module doc).
+    ``(score, scale, fidx)`` — ``(B, c - l + 1)`` f32/f32/int32 (see
+    module doc).
+
+    ``freqs``: optional carrier-offset search grid in CYCLES PER SAMPLE
+    (F values; 0.0 is the plain search).  The pattern is premixed by
+    each grid frequency on the host, giving F matched filters per
+    window — one extra batched device axis — and the score/scale/fidx
+    at each lag come from the best grid row.  A received pattern
+    rotated by ``e^{j 2 pi f m}`` correlates fully against the ``f``
+    row (the plain row would lose ``|sinc(f*l)|`` of it), so this is
+    how a preamble is found under carrier offset.
     """
     import jax
     import jax.numpy as jnp
@@ -51,10 +63,18 @@ def make_xcorr_post(pattern: np.ndarray, c: int) -> Callable:
         raise ValueError(f"pattern ({l}) longer than the window ({c})")
     n_out = c - l + 1
 
-    # host-exact spectrum of the conjugate pattern, shipped as f32
-    # planes (complex64 constants cannot cross the tunnel)
-    pf = np.conj(np.fft.fft(p, c))
-    pf_planes = np.stack([pf.real, pf.imag]).astype(np.float32)
+    # host-exact spectra of the (premixed) conjugate pattern, shipped
+    # as f32 planes (complex64 constants cannot cross the tunnel)
+    grid = np.zeros(1) if freqs is None else np.asarray(freqs, dtype=np.float64)
+    m = np.arange(l, dtype=np.float64)
+    pf = np.stack(
+        [
+            np.conj(np.fft.fft(p * np.exp(2j * np.pi * ((f * m) % 1.0)), c))
+            for f in grid
+        ]
+    )  # (F, c)
+    pf_planes = np.stack([pf.real, pf.imag]).astype(np.float32)  # (2, F, c)
+    single = freqs is None or len(grid) == 1
     e_p = float(np.sum(np.abs(p) ** 2))
     if e_p <= 0.0:
         raise ValueError("pattern is all zero")
@@ -62,12 +82,10 @@ def make_xcorr_post(pattern: np.ndarray, c: int) -> Callable:
     inv_ep2 = np.float32(1.0 / (e_p * e_p))
     tiny = np.float32(1e-30)
 
-    def post(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def post(x: jnp.ndarray):
         planes = jnp.asarray(pf_planes)
-        pfc = jax.lax.complex(planes[0], planes[1])
-        corr = jnp.fft.ifft(jnp.fft.fft(x, axis=-1) * pfc[None, :], axis=-1)
-        corr = corr[:, :n_out]
-        num = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
+        pfc = jax.lax.complex(planes[0], planes[1])  # (F, c)
+        xf = jnp.fft.fft(x, axis=-1)  # (B, c)
         mag2 = jnp.real(x) ** 2 + jnp.imag(x) ** 2
         cs = jnp.cumsum(mag2, axis=-1)
         # moving sum of l: cs[n + l - 1] - cs[n - 1]
@@ -76,9 +94,27 @@ def make_xcorr_post(pattern: np.ndarray, c: int) -> Callable:
         )
         # score = num / (e_p * e_x); normalizing by e_p^2 instead maps
         # zero-energy windows to score 0 without a divide-by-zero
-        score = num * inv_ep2 / jnp.maximum(e_x * inv_ep, tiny)
-        scale = jnp.sqrt(num) * inv_ep
-        return score.astype(jnp.float32), scale.astype(jnp.float32)
+        den = jnp.maximum(e_x * inv_ep, tiny)  # (B, n_out)
+
+        if single:
+            corr = jnp.fft.ifft(xf * pfc[0][None, :], axis=-1)[:, :n_out]
+            num = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
+            score = num * inv_ep2 / den
+            scale = jnp.sqrt(num) * inv_ep
+            fidx = jnp.zeros(score.shape, jnp.int32)
+            return score.astype(jnp.float32), scale.astype(jnp.float32), fidx
+
+        corr = jnp.fft.ifft(xf[:, None, :] * pfc[None, :, :], axis=-1)
+        num = (jnp.real(corr) ** 2 + jnp.imag(corr) ** 2)[:, :, :n_out]
+        best = jnp.argmax(num, axis=1)  # (B, n_out) — den is f-independent
+        num_b = jnp.take_along_axis(num, best[:, None, :], axis=1)[:, 0, :]
+        score = num_b * inv_ep2 / den
+        scale = jnp.sqrt(num_b) * inv_ep
+        return (
+            score.astype(jnp.float32),
+            scale.astype(jnp.float32),
+            best.astype(jnp.int32),
+        )
 
     return post
 
@@ -96,14 +132,17 @@ class PeakScan:
     def __init__(self, threshold: float):
         self.threshold = float(threshold)
         self._left = -np.inf  # score left of the pending element
-        self._pend: tuple[int, float, float] | None = None  # (off, score, aux)
+        # pending (offset, score, aux-row) awaiting its right neighbor
+        self._pend: tuple[int, float, np.ndarray] | None = None
         self.offsets: list[int] = []
         self.scores: list[float] = []
-        self.aux: list[float] = []
+        self.aux: list[np.ndarray] = []  # one row per hit (A columns)
 
     def feed(self, off0: int, scores: np.ndarray, aux: np.ndarray) -> None:
         scores = np.asarray(scores, dtype=np.float64)
         aux = np.asarray(aux, dtype=np.float64)
+        if aux.ndim == 1:
+            aux = aux[:, None]
         if len(scores) == 0:
             return
         if self._pend is not None:
@@ -111,7 +150,7 @@ class PeakScan:
             if off0 != po + 1:
                 raise ValueError(f"non-contiguous feed: {off0} after {po}")
             ext = np.concatenate([[pv], scores])
-            ext_aux = np.concatenate([[pa], aux])
+            ext_aux = np.concatenate([pa[None, :], aux])
             ext_off0 = po
         else:
             ext, ext_aux, ext_off0 = scores, aux, off0
@@ -123,9 +162,9 @@ class PeakScan:
             idx = np.nonzero(mask)[0]
             self.offsets.extend((ext_off0 + idx).tolist())
             self.scores.extend(v[idx].tolist())
-            self.aux.extend(ext_aux[idx].tolist())
+            self.aux.extend(ext_aux[idx])
             self._left = float(ext[-2])
-        self._pend = (ext_off0 + len(ext) - 1, float(ext[-1]), float(ext_aux[-1]))
+        self._pend = (ext_off0 + len(ext) - 1, float(ext[-1]), ext_aux[-1])
 
     def finish(self) -> None:
         if self._pend is not None:

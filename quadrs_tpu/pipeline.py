@@ -87,6 +87,8 @@ class FindOp(Operation):
     threshold: float = 0.5
     top: int = 0  # max matches to report (0 = all)
     distance: int | None = None  # NMS radius (default: pattern length)
+    freq_tol: float = 0.0  # carrier-offset search half-width (Hz)
+    freq_step: float | None = None  # grid spacing (default 0.4*rate/l)
 
 
 @dataclass
@@ -165,9 +167,11 @@ def exec_operation(
             threshold=op.threshold,
             max_matches=op.top if op.top else None,
             min_distance=op.distance,
+            freq_tol=op.freq_tol,
+            freq_step=op.freq_step,
         )
-        for o, s, a in zip(res.offsets, res.scores, res.scales):
-            emit(f"{int(o)},{float(s):.4f},{float(a):.6g}")
+        for o, s, a, f in zip(res.offsets, res.scores, res.scales, res.freqs):
+            emit(f"{int(o)},{float(s):.4f},{float(a):.6g},{float(f):+g}")
         emit(
             f"find: {len(res.offsets)} matches, pattern {res.pattern_len} "
             f"samples, {res.scanned} scanned"

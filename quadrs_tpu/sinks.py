@@ -305,6 +305,7 @@ class FindResult:
     offsets: np.ndarray  # int64 sample offsets into the searched stream
     scores: np.ndarray  # f32 normalized correlation in [0, 1]
     scales: np.ndarray  # f32 |match amplitude| relative to the pattern
+    freqs: np.ndarray  # f64 carrier offset of each match (Hz; 0 w/o grid)
     pattern_len: int
     scanned: int  # stream samples scanned
 
@@ -316,6 +317,8 @@ def find_pattern(
     chunk: int = 1 << 16,
     max_matches: int | None = None,
     min_distance: int | None = None,
+    freq_tol: float = 0.0,
+    freq_step: float | None = None,
 ) -> FindResult:
     """Find every occurrence of a complex ``pattern`` in ``stream`` by
     gain/phase-invariant normalized cross-correlation (TPU-native
@@ -327,6 +330,15 @@ def find_pattern(
     device, and a streaming local-maximum scanner keeps candidates
     ``>= threshold``; greedy non-maximum suppression within
     ``min_distance`` (default: the pattern length) picks the matches.
+
+    ``freq_tol`` (Hz) searches a symmetric carrier-offset grid: an
+    uncorrected offset ``f`` costs ``|sinc(f*l/rate)|`` of the score
+    (a 1 kHz offset over a 1 ms pattern wipes the match entirely), so
+    real preamble detection must scan frequency too.  The grid rides a
+    batched device axis (one matched filter per grid row, best row
+    wins); spacing defaults to ``0.4 * rate / l`` (worst-case residual
+    loss ~7%) and each match reports its grid frequency in ``freqs``
+    (resolution = the step; no interpolation).
     """
     from quadrs_tpu.ops.correlate import PeakScan, make_xcorr_post, suppress
     from quadrs_tpu.runtime import _round_up_pow2
@@ -341,27 +353,49 @@ def find_pattern(
         )
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    if freq_tol < 0.0:
+        raise ValueError("freq_tol must be >= 0")
+    rate = stream.sample_rate
+    if freq_tol > 0.0:
+        step = 0.4 * rate / l if freq_step is None else float(freq_step)
+        if step <= 0.0:
+            raise ValueError("freq_step must be positive")
+        n_side = int(np.ceil(freq_tol / step))
+        grid_hz = np.arange(-n_side, n_side + 1, dtype=np.float64) * step
+        grid = grid_hz / rate  # cycles/sample for the ops layer
+    else:
+        grid_hz = np.zeros(1)
+        grid = None
     c = _round_up_pow2(max(2 * l, min(chunk, stream.length)))
     n_out = c - l + 1
     n_lags = stream.length - l + 1
     offsets = np.arange(0, n_lags, n_out, dtype=np.int64)
 
-    batch, batches = window_batches(offsets, c, root_step=root_step_of(stream))
-    ex = Executor(stream, c, batch=batch, post=make_xcorr_post(pattern, c))
+    # the F-row grid multiplies per-batch device memory; shrink the
+    # batch budget to compensate
+    budget = max(c, (1 << 20) // max(1, len(grid_hz)))
+    batch, batches = window_batches(
+        offsets, c, budget=budget, root_step=root_step_of(stream)
+    )
+    ex = Executor(stream, c, batch=batch, post=make_xcorr_post(pattern, c, grid))
     scan = PeakScan(threshold)
     for offs in batches:
-        (score, scale), valid = ex.run(offs)
+        (score, scale, fidx), valid = ex.run(offs)
         score = np.asarray(score)
-        scale = np.asarray(scale)
+        aux = np.stack([np.asarray(scale), np.asarray(fidx)], axis=-1)
         for i in range(len(offs)):
             o, v = int(offs[i]), int(valid[i])
             m = min(max(0, v - l + 1), n_lags - o)
-            scan.feed(o, score[i][:m], scale[i][:m])
+            scan.feed(o, score[i][:m], aux[i][:m])
     scan.finish()
 
     cand_off = np.asarray(scan.offsets, dtype=np.int64)
     cand_score = np.asarray(scan.scores, dtype=np.float32)
-    cand_scale = np.asarray(scan.aux, dtype=np.float32)
+    cand_aux = (
+        np.asarray(scan.aux, dtype=np.float64)
+        if scan.aux
+        else np.zeros((0, 2))
+    )
     keep = suppress(
         cand_off, cand_score, min_distance if min_distance is not None else l,
         max_matches,
@@ -369,7 +403,8 @@ def find_pattern(
     return FindResult(
         offsets=cand_off[keep],
         scores=cand_score[keep],
-        scales=cand_scale[keep],
+        scales=cand_aux[keep, 0].astype(np.float32),
+        freqs=grid_hz[cand_aux[keep, 1].astype(np.int64)],
         pattern_len=l,
         scanned=stream.length,
     )

@@ -62,7 +62,7 @@ def device_scores(x: np.ndarray, p: np.ndarray, chunk: int) -> tuple[np.ndarray,
     score = np.empty(n_lags, dtype=np.float32)
     scale = np.empty(n_lags, dtype=np.float32)
     for offs in batches:
-        (s, a), valid = ex.run(offs)
+        (s, a, _fidx), valid = ex.run(offs)
         for i in range(len(offs)):
             o, v = int(offs[i]), int(valid[i])
             m = min(max(0, v - l + 1), n_lags - o)
@@ -178,7 +178,7 @@ def test_peakscan_boundary_exact():
     ragged.finish()
     assert ragged.offsets == one.offsets
     assert ragged.scores == one.scores
-    assert ragged.aux == one.aux
+    assert np.array_equal(np.asarray(ragged.aux), np.asarray(one.aux))
     assert len(one.offsets) > 10  # the fixture actually exercises hits
 
 
@@ -206,6 +206,67 @@ def test_find_on_chained_stream():
     assert 5_000 in list(res.offsets)
     i = list(res.offsets).index(5_000)
     assert res.scores[i] > 0.999 and abs(res.scales[i] - 1.0) < 1e-3
+
+
+def test_freq_tolerant_search_recovers_offset_and_cfo():
+    """A pattern received under carrier offset is invisible to the
+    plain search (|sinc(f*l/rate)| wipes the score) but found by the
+    frequency grid, which also reports the offset to grid resolution."""
+    rng = np.random.default_rng(29)
+    sr, n, l = 48_000, 60_000, 960  # 20 ms pattern
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    f_off = 137.0  # Hz; f*l/rate = 2.74 cycles over the pattern
+    rot = np.exp(2j * np.pi * f_off * np.arange(l) / sr)
+    for o in (7_000, 31_000):
+        x[o : o + l] += (0.6 * rot * p).astype(np.complex64)
+    src = cf32_source(x, sr)
+
+    plain = sinks.find_pattern(src, p, threshold=0.5)
+    assert len(plain.offsets) == 0  # CFO kills the uncompensated match
+
+    res = sinks.find_pattern(src, p, threshold=0.5, freq_tol=300.0)
+    assert list(res.offsets) == [7_000, 31_000]
+    step = 0.4 * sr / l
+    assert np.all(np.abs(res.freqs - f_off) <= 0.5 * step + 1e-9)
+    assert np.all(res.scores > 0.8)
+    assert np.all(np.abs(res.scales - 0.6) < 0.05)
+
+
+def test_freq_grid_matches_oracle_max():
+    """Device best-of-grid scores equal the f64 oracle's per-row max."""
+    rng = np.random.default_rng(33)
+    sr, n, l = 10_000, 2_000, 50
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+    from quadrs_tpu.ops.correlate import make_xcorr_post
+    from quadrs_tpu.runtime import Executor, _round_up_pow2
+
+    step = 0.4 * sr / l
+    grid_hz = np.arange(-2, 3) * step
+    c = _round_up_pow2(2 * l + n)
+    ex = Executor(
+        cf32_source(x, sr), c, post=make_xcorr_post(p, c, grid_hz / sr)
+    )
+    (score, _scale, fidx), valid = ex.run(np.asarray([0], dtype=np.int64))
+    m = int(valid[0]) - l + 1
+    got = np.asarray(score)[0][:m]
+    got_f = np.asarray(fidx)[0][:m]
+
+    rows = []
+    mm = np.arange(l, dtype=np.float64)
+    for f in grid_hz:
+        pf = p * np.exp(2j * np.pi * f * mm / sr)
+        rows.append(oracle_scores(x, pf)[0])
+    want = np.max(np.stack(rows), axis=0)
+    want_f = np.argmax(np.stack(rows), axis=0)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+    # ties between grid rows can flip under f32; compare scores instead
+    picked = np.stack(rows)[got_f, np.arange(m)]
+    np.testing.assert_allclose(picked, want, atol=5e-4)
 
 
 def test_error_surface():
@@ -247,10 +308,11 @@ class TestCli:
         assert rc == 0
         lines = capsys.readouterr().out.strip().splitlines()
         assert lines[-1] == "find: 1 matches, pattern 400 samples, 40000 scanned"
-        off, score, scale = lines[0].split(",")
+        off, score, scale, freq = lines[0].split(",")
         assert int(off) == 12_345
         assert float(score) > 0.95
         assert abs(float(scale) - 0.5) < 0.05
+        assert float(freq) == 0.0
 
     def test_find_rate_mismatch_errors(self, tmp_path, capsys):
         from quadrs_tpu.cli import main
@@ -268,6 +330,10 @@ class TestCli:
         assert "requires -pattern" in capsys.readouterr().err
         assert main(["find", "-pattern", "x.sr1k.cf32", "-threshold", "1.5"]) == 1
         assert "(0, 1]" in capsys.readouterr().err
+        assert main(["find", "-pattern", "x.sr1k.cf32", "-freq-tol", "-5"]) == 1
+        assert "-freq-tol" in capsys.readouterr().err
+        assert main(["find", "-pattern", "x.sr1k.cf32", "-freq-step", "0"]) == 1
+        assert "-freq-step" in capsys.readouterr().err
         assert main(["gen", "-cos", "1k", "-len", "0.1", "48k", "find",
                      "-pattern", "nope.sr48k.cf32"]) == 1
         capsys.readouterr()
