@@ -570,6 +570,63 @@ def bench_resample(on_accel: bool) -> dict:
     return entry
 
 
+def bench_find(on_accel: bool) -> dict:
+    """Matched-filter pattern search (sinks.find_pattern's device
+    program): input rate at which capture samples are scanned for a
+    1024-sample template — overlap-save FFT correlation + cumsum energy
+    window, B windows per dispatch, each window advancing c-l+1 lags.
+    ``freq_grid9_msps`` re-runs with a 9-row carrier-offset grid (the
+    -freq-tol path; 9 matched filters per window on a batched axis)."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.ops.correlate import make_xcorr_post
+
+    l = 1024
+    c = (1 << 16) if on_accel else (1 << 13)
+    n_out = c - l + 1
+    b = 4
+    rng = np.random.default_rng(11)
+    pat = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    xr = jnp.asarray(rng.standard_normal((b, c)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((b, c)).astype(np.float32))
+    gains = np.linspace(0.5, 1.5, 16, dtype=np.float32)  # defeat CSE
+
+    def step_of(post):
+        @jax.jit
+        def _run(g, acc):
+            x = jax.lax.complex(xr, xi) * g
+            score, scale, fidx = post(x)
+            return acc + jnp.sum(score) + jnp.sum(scale) + jnp.sum(fidx)
+
+        return lambda i, acc: _run(jnp.float32(gains[i % 16]), acc)
+
+    secs = 2.0 if on_accel else 0.3
+    tstats: dict = {}
+    msps = measure_msps_acc(
+        step_of(make_xcorr_post(pat, c)), b * n_out, secs, min_iters=2,
+        stats_out=tstats,
+    )
+    grid = np.arange(-4, 5, dtype=np.float64) * 0.4 / l  # cycles/sample
+    grid_msps = measure_msps_acc(
+        step_of(make_xcorr_post(pat, c, grid)), b * n_out, secs, min_iters=2
+    )
+    entry = {
+        "metric": f"pattern search (l={l}, FFT block {c}; input rate)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+        "freq_grid9_msps": round(grid_msps, 1),
+        **tstats,
+    }
+    # per NEW input sample: one forward + one inverse FFT of c amortized
+    # over n_out lags (~5*c*log2(c) flops each), 6-flop pointwise
+    # multiply, and the |.|^2 + cumsum + divide epilogue (~12)
+    entry.update(
+        roofline(msps, (10.0 * c * np.log2(c) + 6.0 * c) / n_out + 12.0, 8.0)
+    )
+    return entry
+
+
 def _sustained_capture(n_samples: int) -> str:
     """A synthetic cs8 capture file, cached across runs (2 bytes/sample)."""
     path = f"/tmp/quadrs-sustained-{n_samples}.sr21M.cs8"
@@ -845,6 +902,7 @@ def suite(on_accel: bool) -> list[dict]:
         bench_waterfall_search(on_accel),
         bench_channelizer(on_accel),
         bench_resample(on_accel),
+        bench_find(on_accel),
         bench_disk_staging(on_accel),
         bench_disk_sustained(on_accel),
         bench_long_fir_sustained(on_accel),
@@ -862,6 +920,7 @@ def main() -> None:
         bench_waterfall_search,
         bench_channelizer,
         bench_resample,
+        bench_find,
         bench_disk_staging,
         bench_disk_sustained,
         bench_long_fir_sustained,
