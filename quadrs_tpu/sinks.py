@@ -361,6 +361,12 @@ def find_pattern(
         if step <= 0.0:
             raise ValueError("freq_step must be positive")
         n_side = int(np.ceil(freq_tol / step))
+        if 2 * n_side + 1 > 256:
+            raise ValueError(
+                f"frequency grid of {2 * n_side + 1} rows (tol {freq_tol:g} "
+                f"Hz / step {step:g} Hz) exceeds 256: raise freq_step or "
+                "shift the stream closer first"
+            )
         grid_hz = np.arange(-n_side, n_side + 1, dtype=np.float64) * step
         grid = grid_hz / rate  # cycles/sample for the ops layer
     else:

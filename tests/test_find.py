@@ -281,6 +281,8 @@ def test_error_surface():
         sinks.find_pattern(src, x[:10], threshold=0.0)
     with pytest.raises(ValueError, match="all zero"):
         sinks.find_pattern(src, np.zeros(8, np.complex64))
+    with pytest.raises(ValueError, match="exceeds 256"):
+        sinks.find_pattern(src, x[:50], freq_tol=20_000.0, freq_step=1.0)
 
 
 class TestCli:
