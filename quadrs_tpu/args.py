@@ -229,6 +229,8 @@ class PskCmd(Command):
     symbol_rate: float = 0.0  # required: symbols per second
     order: int = 2  # 2 = BPSK, 4 = QPSK (Gray 00 01 11 10)
     differential: bool = True
+    plot: str | None = None  # render the constellation PNG here
+    overwrite: bool = False
     sample_rate: str | None = None
     format: str | None = None
     stdin: bool = False  # buffer the capture from a pipe
@@ -918,6 +920,8 @@ def _parse_psk(args: _Args, raw_map) -> Command:
     symbol_rate = map_.pop("symbol-rate", None)
     order = int(parse_si_uint(map_.pop("order", "2")))
     differential = parse_bool(map_.pop("differential", "yes"))
+    plot = map_.pop("plot", None)
+    overwrite = parse_bool(map_.pop("overwrite", "no"))
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     filename, stdin = _take_capture_arg(args, map_, "psk", sr, fmt)
@@ -932,7 +936,8 @@ def _parse_psk(args: _Args, raw_map) -> Command:
     return PskCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, symbol_rate=symbol_rate, order=order,
-        differential=differential, sample_rate=sr, format=fmt, stdin=stdin,
+        differential=differential, plot=plot, overwrite=overwrite,
+        sample_rate=sr, format=fmt, stdin=stdin,
     )
 
 

@@ -64,6 +64,7 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
      fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] FILENAME \\
      psk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] -symbol-rate HZ \\
          [-order 2 (BPSK; 4 = QPSK, Gray 00 01 11 10)] [-differential yes] \\
+         [-plot FILE.png (render the synchronized constellation)] [-overwrite no] \\
          [-stdin no] FILENAME [block-coherent: per-burst carrier + timing, no PLL] \\
       fm [-shift 0] [-lowpass 100k] [-power 200] [-decimate 8] [-deviation 75k] \\
          [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\

@@ -457,12 +457,20 @@ def run_psk(cmd: argmod.PskCmd) -> int:
         order=cmd.order,
         differential=cmd.differential,
     )
-    est, bits = demod.demodulate(src)
+    est, sym = demod.symbols(src)
+    bits = demod.slice(sym)
     print("".join(map(str, bits)))
     print(
         f"psk: {len(bits)} bits, freq {est.freq_hz:+.1f} Hz, "
         f"phase {est.phase:+.3f} rad, tau {est.tau:.2f}, sps {est.sps:g}"
     )
+    if cmd.plot is not None:
+        from quadrs_tpu.viz.constellation import constellation_render_file
+
+        path = constellation_render_file(
+            sym, cmd.order, cmd.plot, overwrite=cmd.overwrite
+        )
+        print(f"psk: constellation -> {path}")
     return 0
 
 

@@ -295,6 +295,65 @@ class TestCli:
         _, bits = demod.demodulate(open_capture(str(path)))
         assert line == "".join(map(str, bits))
 
+    def test_psk_plot_writes_constellation(self, tmp_path, capsys):
+        from PIL import Image
+
+        from quadrs_tpu.cli import main
+        from quadrs_tpu.viz.constellation import SIZE, constellation_render
+
+        path, _ = self._capture(tmp_path, 4)
+        png = tmp_path / "const.png"
+        args = ["psk", "-lowpass", "20k", "-power", "64", "-decimate", "8",
+                "-symbol-rate", "8k", "-order", "4", "-plot", str(png),
+                str(path)]
+        assert main(args) == 0
+        out = capsys.readouterr().out
+        assert f"constellation -> {png}" in out
+        img = np.asarray(Image.open(png))
+        assert img.shape == (SIZE, SIZE, 3)
+        assert (img[..., 2] > 0).sum() > 4  # symbol hits landed
+        # overwrite guard, then -overwrite yes
+        assert main(args) == 1
+        assert "Error:" in capsys.readouterr().err
+        assert main(args[:1] + ["-overwrite", "yes"] + args[1:]) == 0
+
+    def test_constellation_ideal_burst_clusters_on_markers(self):
+        """Symbols that ARE the four roots of unity land exactly on the
+        ideal-marker centers (median magnitude 1, so the markers sit on
+        the symbol pixels)."""
+        from quadrs_tpu.viz.constellation import (
+            SIZE,
+            _MARK_HALF,
+            constellation_render,
+        )
+
+        # magnitudes alternate 0.9/1.1 so the median is 1.0: markers sit
+        # on the unit ring while symbol pixels cluster ~10 px off it
+        # (exactly-ideal symbols would be overdrawn by the markers)
+        mag = np.where((np.arange(400) // 4) % 2 == 0, 0.9, 1.1)
+        sym = (mag * np.exp(1j * TAU * (np.arange(400) % 4) / 4)).astype(
+            np.complex64
+        )
+        img = constellation_render(sym, 4)
+        half, scale = SIZE // 2, 0.38 * SIZE
+        centers = [
+            (
+                int(np.clip(round(half - np.sin(a) * scale), 0, SIZE - 1)),
+                int(np.clip(round(half + np.cos(a) * scale), 0, SIZE - 1)),
+            )
+            for a in TAU * np.arange(4) / 4
+        ]
+        blue = np.argwhere(img[..., 2] > 80)
+        assert len(blue) >= 8  # two magnitudes x four phases
+        for r, c in blue:
+            assert any(
+                abs(r - mr) <= 14 and abs(c - mc) <= 14 for mr, mc in centers
+            ), (r, c)
+        # and the markers themselves are drawn (crosshair centers)
+        for mr, mc in centers:
+            assert img[mr, mc, 0] == 255
+        assert _MARK_HALF >= 2  # the crosshairs are visible, not 1 px
+
     def test_psk_parse_errors(self, capsys):
         from quadrs_tpu.cli import main
 
