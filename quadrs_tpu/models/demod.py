@@ -459,10 +459,6 @@ class PskEstimate:
     n: int  # baseband samples analyzed
 
 
-def _pow2(n: int) -> int:
-    return 1 if n <= 1 else 1 << (n - 1).bit_length()
-
-
 @functools.lru_cache(maxsize=None)
 def _psk_peak_fn(npad: int, order: int):
     """Device program: power spectrum peak of the order-th power of the
@@ -622,10 +618,12 @@ class PskDemod:
                 "rate or the decimation"
             )
         mf_len = max(1, int(round(sps)))
+        from quadrs_tpu.runtime import _round_up_pow2
+
         n = len(x)
         if n < mf_len + int(math.ceil(3 * sps)):
             raise ValueError("burst too short: needs at least ~4 symbols")
-        npad = max(256, _pow2(n))
+        npad = max(256, _round_up_pow2(n))
         planes = np.zeros((2, npad), dtype=np.float32)
         planes[0, :n] = np.real(x)
         planes[1, :n] = np.imag(x)

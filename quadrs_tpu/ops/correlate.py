@@ -191,6 +191,8 @@ def suppress(
     taken: list[int] = []  # accepted offsets, sorted
     chosen: list[int] = []
     for i in order:
+        if max_matches is not None and len(chosen) >= max_matches:
+            break  # checked first so max_matches=0 means zero matches
         o = int(offsets[i])
         j = bisect.bisect_left(taken, o)
         if j > 0 and o - taken[j - 1] < min_distance:
@@ -199,7 +201,5 @@ def suppress(
             continue
         taken.insert(j, o)
         chosen.append(int(i))
-        if max_matches is not None and len(chosen) >= max_matches:
-            break
     chosen.sort(key=lambda i: int(offsets[i]))
     return np.asarray(chosen, dtype=np.int64)

@@ -298,6 +298,13 @@ def take_fft(
     return FftResult(norms=np.concatenate(rows, axis=0), fft_width=width)
 
 
+# A near-constant score track (e.g. a CW-like template over its own
+# carrier) makes every lag a rounding-noise "local max"; find_pattern
+# bounds its candidate list so a pathological search fails fast with
+# guidance instead of accumulating gigabytes and an O(K^2) suppression.
+FIND_CANDIDATE_CAP = 1 << 20
+
+
 @dataclass
 class FindResult:
     """Matches from :func:`find_pattern`, sorted by offset."""
@@ -385,6 +392,7 @@ def find_pattern(
     )
     ex = Executor(stream, c, batch=batch, post=make_xcorr_post(pattern, c, grid))
     scan = PeakScan(threshold)
+    cand_cap = FIND_CANDIDATE_CAP
     for offs in batches:
         (score, scale, fidx), valid = ex.run(offs)
         score = np.asarray(score)
@@ -393,6 +401,13 @@ def find_pattern(
             o, v = int(offs[i]), int(valid[i])
             m = min(max(0, v - l + 1), n_lags - o)
             scan.feed(o, score[i][:m], aux[i][:m])
+        if len(scan.offsets) > cand_cap:
+            raise ValueError(
+                f"more than {cand_cap} candidate peaks above threshold "
+                f"{threshold:g} in the first {o + m} samples: the pattern "
+                "matches nearly everywhere — raise the threshold or use a "
+                "more distinctive template"
+            )
     scan.finish()
 
     cand_off = np.asarray(scan.offsets, dtype=np.int64)

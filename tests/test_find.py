@@ -189,6 +189,20 @@ def test_suppress_orders_and_bounds():
     assert [int(off[i]) for i in keep] == [12, 103, 500]
     keep2 = suppress(off, sc, min_distance=5, max_matches=2)
     assert [int(off[i]) for i in keep2] == [12, 103]
+    assert len(suppress(off, sc, min_distance=5, max_matches=0)) == 0
+
+
+def test_degenerate_template_fails_fast(monkeypatch):
+    """A template that matches nearly everywhere (a CW tone over its
+    own carrier) must error with guidance, not accumulate millions of
+    rounding-noise candidates."""
+    n, l = 60_000, 64
+    t = np.arange(n)
+    x = np.exp(2j * np.pi * 0.01 * t).astype(np.complex64)
+    p = x[:l].copy()
+    monkeypatch.setattr(sinks, "FIND_CANDIDATE_CAP", 1_000)
+    with pytest.raises(ValueError, match="matches nearly everywhere"):
+        sinks.find_pattern(cf32_source(x), p, threshold=0.5, chunk=8_192)
 
 
 def test_find_on_chained_stream():
