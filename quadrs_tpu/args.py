@@ -507,9 +507,11 @@ def _parse_lowpass(args: _Args, raw_map) -> Command:
 
 
 def _parse_find(args: _Args, raw_map) -> Command:
-    map_ = _no_duplicates(raw_map)
-    pattern = map_.pop("pattern", None)
-    if pattern is None:
+    # find keeps the repeatable -pattern (a template BANK, like gen -cos)
+    map_all = dict(raw_map)
+    patterns = map_all.pop("pattern", None)
+    map_ = _no_duplicates(map_all)
+    if patterns is None:
         raise ValueError("'find' requires -pattern FILE (the template capture)")
     threshold = parse_si_float(map_.pop("threshold", "0.5"))
     if not 0.0 < threshold <= 1.0:
@@ -527,11 +529,12 @@ def _parse_find(args: _Args, raw_map) -> Command:
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     _ensure_empty(map_, "find")
-    details = guess_details(pattern, sr, fmt)
+    details = tuple(guess_details(p, sr, fmt) for p in patterns)
     return Octagon(
         ops.FindOp(
-            details=details, filename=pattern, threshold=threshold, top=top,
-            distance=distance, freq_tol=freq_tol, freq_step=freq_step,
+            details=details, filenames=tuple(patterns), threshold=threshold,
+            top=top, distance=distance, freq_tol=freq_tol,
+            freq_step=freq_step,
         )
     )
 

@@ -22,10 +22,11 @@ usage: {us} \\
 resample [-power 8] [-size N] UP/DOWN [rational rate conversion, e.g. 3/2 or 147/160] \\
 sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
   bucket [-width 128] [-stride =width] [-by freq] COUNT \\
-    find -pattern FILE.srR.cf32 [-threshold 0.5] [-top 0 (all)] [-distance =patlen] \\
+    find [-pattern FILE.srR.cf32]+ [-threshold 0.5] [-top 0 (all)] [-distance =patlen] \\
          [-freq-tol HZ (also search a carrier-offset grid)] [-freq-step =0.4*sr/patlen] \\
-         [matched filter: find every occurrence of the pattern in the stream by \\
-          gain/phase-invariant normalized correlation; prints offset,score,scale,freq] \\
+         [matched filter: find every occurrence of the pattern(s) in the stream by \\
+          gain/phase-invariant normalized correlation; prints offset,score,scale,freq \\
+          (repeated -pattern = a sync-word bank; lines then add the winning template)] \\
    write [-overwrite no] [-format cf32|cs8|cu8|cs16 (quantize; default cf32)] FILENAME_PREFIX \\
      gen [-cos FREQUENCY]* [-len 1 (second)] [-noise 0 (sigma/component, seeded)] [-seed 0] SAMPLE_RATE \\
       ui [-fft 8] [-stretch 4] [-stride 4] [-frames 1] [renders waterfall to ui.png] \\

@@ -34,82 +34,109 @@ import numpy as np
 
 
 def make_xcorr_post(
-    pattern: np.ndarray, c: int, freqs: np.ndarray | None = None
+    pattern, c: int, freqs: np.ndarray | None = None
 ) -> Callable:
     """Executor ``post`` for pattern search.
 
-    ``pattern``: complex l-sample template (l >= 2, l <= c).  Returns a
-    traced transform of a ``(B, c)`` complex window batch into
-    ``(score, scale, fidx)`` — ``(B, c - l + 1)`` f32/f32/int32 (see
-    module doc).
+    ``pattern``: one complex l-sample template (l >= 2, l <= c), or a
+    sequence of P templates (a sync-word BANK — lengths may differ; the
+    common lag range uses the longest).  Returns a traced transform of
+    a ``(B, c)`` complex window batch into ``(score, scale, ridx)`` —
+    ``(B, c - l_max + 1)`` f32/f32/int32, where ``ridx`` encodes the
+    winning row as ``pattern_index * F + freq_index``.
 
     ``freqs``: optional carrier-offset search grid in CYCLES PER SAMPLE
-    (F values; 0.0 is the plain search).  The pattern is premixed by
-    each grid frequency on the host, giving F matched filters per
-    window — one extra batched device axis — and the score/scale/fidx
-    at each lag come from the best grid row.  A received pattern
-    rotated by ``e^{j 2 pi f m}`` correlates fully against the ``f``
-    row (the plain row would lose ``|sinc(f*l)|`` of it), so this is
-    how a preamble is found under carrier offset.
+    (F values; 0.0 is the plain search).  Every template is premixed by
+    each grid frequency on the host, giving P*F matched filters per
+    window — one extra batched device axis — and each lag's outputs
+    come from the row with the best NORMALIZED score (per-row E_p and
+    energy window, so differently-scaled and differently-sized
+    templates compete fairly).  A received pattern rotated by
+    ``e^{j 2 pi f m}`` correlates fully against its ``f`` row (the
+    plain row would lose ``|sinc(f*l)|``), so this is how a preamble is
+    found under carrier offset.
     """
     import jax
     import jax.numpy as jnp
 
-    p = np.asarray(pattern, dtype=np.complex128)
-    l = len(p)
-    if l < 2:
-        raise ValueError("pattern must have at least 2 samples")
-    if l > c:
-        raise ValueError(f"pattern ({l}) longer than the window ({c})")
-    n_out = c - l + 1
+    if isinstance(pattern, (list, tuple)):
+        pats = [np.asarray(p, dtype=np.complex128) for p in pattern]
+    else:
+        arr = np.asarray(pattern, dtype=np.complex128)
+        pats = [arr] if arr.ndim == 1 else list(arr)  # (P, l) also accepted
+    lens = [len(p) for p in pats]
+    for l_k in lens:
+        if l_k < 2:
+            raise ValueError("pattern must have at least 2 samples")
+        if l_k > c:
+            raise ValueError(f"pattern ({l_k}) longer than the window ({c})")
+    l_max = max(lens)
+    n_out = c - l_max + 1
 
-    # host-exact spectra of the (premixed) conjugate pattern, shipped
-    # as f32 planes (complex64 constants cannot cross the tunnel)
+    # host-exact spectra of the (premixed) conjugate templates, shipped
+    # as f32 planes (complex64 constants cannot cross the tunnel);
+    # row r = pattern (r // F) premixed by grid frequency (r % F)
     grid = np.zeros(1) if freqs is None else np.asarray(freqs, dtype=np.float64)
-    m = np.arange(l, dtype=np.float64)
-    pf = np.stack(
-        [
-            np.conj(np.fft.fft(p * np.exp(2j * np.pi * ((f * m) % 1.0)), c))
-            for f in grid
-        ]
-    )  # (F, c)
-    pf_planes = np.stack([pf.real, pf.imag]).astype(np.float32)  # (2, F, c)
-    single = freqs is None or len(grid) == 1
-    e_p = float(np.sum(np.abs(p) ** 2))
-    if e_p <= 0.0:
-        raise ValueError("pattern is all zero")
-    inv_ep = np.float32(1.0 / e_p)
-    inv_ep2 = np.float32(1.0 / (e_p * e_p))
+    n_f = len(grid)
+    rows = []
+    row_inv_ep = []
+    row_len = []
+    for p in pats:
+        e_p = float(np.sum(np.abs(p) ** 2))
+        if e_p <= 0.0:
+            raise ValueError("pattern is all zero")
+        m = np.arange(len(p), dtype=np.float64)
+        for f in grid:
+            rows.append(
+                np.conj(np.fft.fft(p * np.exp(2j * np.pi * ((f * m) % 1.0)), c))
+            )
+            row_inv_ep.append(1.0 / e_p)
+            row_len.append(len(p))
+    pf = np.stack(rows)  # (R, c)
+    pf_planes = np.stack([pf.real, pf.imag]).astype(np.float32)
+    inv_ep_r = np.asarray(row_inv_ep, dtype=np.float32)
+    inv_ep2_r = (inv_ep_r.astype(np.float64) ** 2).astype(np.float32)
+    single = len(rows) == 1
     tiny = np.float32(1e-30)
+
+    def moving_energy(cs, l_k: int):
+        # sum of |x|^2 over [n, n+l_k) for n in [0, n_out)
+        return cs[:, l_k - 1 : l_k - 1 + n_out] - jnp.concatenate(
+            [jnp.zeros((cs.shape[0], 1), cs.dtype), cs[:, : n_out - 1]], axis=-1
+        )
 
     def post(x: jnp.ndarray):
         planes = jnp.asarray(pf_planes)
-        pfc = jax.lax.complex(planes[0], planes[1])  # (F, c)
+        pfc = jax.lax.complex(planes[0], planes[1])  # (R, c)
         xf = jnp.fft.fft(x, axis=-1)  # (B, c)
         mag2 = jnp.real(x) ** 2 + jnp.imag(x) ** 2
         cs = jnp.cumsum(mag2, axis=-1)
-        # moving sum of l: cs[n + l - 1] - cs[n - 1]
-        e_x = cs[:, l - 1 :] - jnp.concatenate(
-            [jnp.zeros((cs.shape[0], 1), cs.dtype), cs[:, : n_out - 1]], axis=-1
-        )
         # score = num / (e_p * e_x); normalizing by e_p^2 instead maps
         # zero-energy windows to score 0 without a divide-by-zero
-        den = jnp.maximum(e_x * inv_ep, tiny)  # (B, n_out)
 
         if single:
             corr = jnp.fft.ifft(xf * pfc[0][None, :], axis=-1)[:, :n_out]
             num = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
-            score = num * inv_ep2 / den
-            scale = jnp.sqrt(num) * inv_ep
-            fidx = jnp.zeros(score.shape, jnp.int32)
-            return score.astype(jnp.float32), scale.astype(jnp.float32), fidx
+            den = jnp.maximum(moving_energy(cs, row_len[0]) * inv_ep_r[0], tiny)
+            score = num * inv_ep2_r[0] / den
+            scale = jnp.sqrt(num) * inv_ep_r[0]
+            ridx = jnp.zeros(score.shape, jnp.int32)
+            return score.astype(jnp.float32), scale.astype(jnp.float32), ridx
 
         corr = jnp.fft.ifft(xf[:, None, :] * pfc[None, :, :], axis=-1)
         num = (jnp.real(corr) ** 2 + jnp.imag(corr) ** 2)[:, :, :n_out]
-        best = jnp.argmax(num, axis=1)  # (B, n_out) — den is f-independent
+        den = jnp.stack(
+            [
+                jnp.maximum(moving_energy(cs, row_len[r]) * inv_ep_r[r], tiny)
+                for r in range(len(rows))
+            ],
+            axis=1,
+        )  # (B, R, n_out)
+        scores = num * inv_ep2_r[None, :, None] / den
+        best = jnp.argmax(scores, axis=1)  # (B, n_out) over NORMALIZED rows
+        score = jnp.take_along_axis(scores, best[:, None, :], axis=1)[:, 0, :]
         num_b = jnp.take_along_axis(num, best[:, None, :], axis=1)[:, 0, :]
-        score = num_b * inv_ep2 / den
-        scale = jnp.sqrt(num_b) * inv_ep
+        scale = jnp.sqrt(num_b) * jnp.take(jnp.asarray(inv_ep_r), best)
         return (
             score.astype(jnp.float32),
             scale.astype(jnp.float32),

@@ -78,12 +78,13 @@ class WriteOp(Operation):
 class FindOp(Operation):
     """Matched-filter pattern search (TPU-native addition; see
     :func:`quadrs_tpu.sinks.find_pattern`): locate every occurrence of
-    the pattern capture in the accumulated stream by gain/phase-
+    the pattern capture(s) in the accumulated stream by gain/phase-
     invariant normalized cross-correlation, emitting one
-    ``offset,score,scale`` line per match."""
+    ``offset,score,scale,freq`` line per match (plus the winning
+    template index when ``-pattern`` is given more than once)."""
 
-    details: FileDetails
-    filename: str
+    details: Sequence[FileDetails]
+    filenames: Sequence[str]
     threshold: float = 0.5
     top: int = 0  # max matches to report (0 = all)
     distance: int | None = None  # NMS radius (default: pattern length)
@@ -152,26 +153,33 @@ def exec_operation(
     if isinstance(op, FindOp):
         if stream is None:
             raise ValueError("find requires an input")
-        psrc = SampleSource.from_file(op.filename, op.details)
-        if psrc.sample_rate != stream.sample_rate:
-            raise ValueError(
-                f"pattern rate {psrc.sample_rate} != stream rate "
-                f"{stream.sample_rate}: resample one side first"
-            )
-        pat, valid = psrc.read_at(0, psrc.length)
-        if valid != psrc.length:
-            raise RuntimeError("short read loading the pattern capture")
+        pats = []
+        for fname, details in zip(op.filenames, op.details):
+            psrc = SampleSource.from_file(fname, details)
+            if psrc.sample_rate != stream.sample_rate:
+                raise ValueError(
+                    f"pattern rate {psrc.sample_rate} != stream rate "
+                    f"{stream.sample_rate}: resample one side first"
+                )
+            pat, valid = psrc.read_at(0, psrc.length)
+            if valid != psrc.length:
+                raise RuntimeError("short read loading the pattern capture")
+            pats.append(pat)
         res = sinks.find_pattern(
             stream,
-            pat,
+            pats if len(pats) > 1 else pats[0],
             threshold=op.threshold,
             max_matches=op.top if op.top else None,
             min_distance=op.distance,
             freq_tol=op.freq_tol,
             freq_step=op.freq_step,
         )
-        for o, s, a, f in zip(res.offsets, res.scores, res.scales, res.freqs):
-            emit(f"{int(o)},{float(s):.4f},{float(a):.6g},{float(f):+g}")
+        bank = len(pats) > 1
+        for o, s, a, f, w in zip(
+            res.offsets, res.scores, res.scales, res.freqs, res.which
+        ):
+            line = f"{int(o)},{float(s):.4f},{float(a):.6g},{float(f):+g}"
+            emit(line + f",{int(w)}" if bank else line)  # bank adds which
         emit(
             f"find: {len(res.offsets)} matches, pattern {res.pattern_len} "
             f"samples, {res.scanned} scanned"

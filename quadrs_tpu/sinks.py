@@ -311,15 +311,16 @@ class FindResult:
 
     offsets: np.ndarray  # int64 sample offsets into the searched stream
     scores: np.ndarray  # f32 normalized correlation in [0, 1]
-    scales: np.ndarray  # f32 |match amplitude| relative to the pattern
+    scales: np.ndarray  # f32 |match amplitude| relative to its template
     freqs: np.ndarray  # f64 carrier offset of each match (Hz; 0 w/o grid)
-    pattern_len: int
+    which: np.ndarray  # int64 index of the matching template (0 w/o bank)
+    pattern_len: int  # the longest template
     scanned: int  # stream samples scanned
 
 
 def find_pattern(
     stream: Stream,
-    pattern: np.ndarray,
+    pattern,
     threshold: float = 0.5,
     chunk: int = 1 << 16,
     max_matches: int | None = None,
@@ -329,14 +330,18 @@ def find_pattern(
 ) -> FindResult:
     """Find every occurrence of a complex ``pattern`` in ``stream`` by
     gain/phase-invariant normalized cross-correlation (TPU-native
-    addition, see :mod:`quadrs_tpu.ops.correlate`).
+    addition, see :mod:`quadrs_tpu.ops.correlate`).  ``pattern`` may be
+    a sequence of templates (a sync-word BANK, lengths may differ): the
+    bank rides one batched device axis, every lag keeps its best
+    NORMALIZED row, and each match reports the winning template in
+    ``which`` — one pass classifies which preamble fired.
 
-    Windows of ``c = pow2(max(2*len(pattern), min(chunk, length)))``
-    samples step by ``c - l + 1`` (overlap-save: every lag is scored
+    Windows of ``c = pow2(max(2*l_max, min(chunk, length)))`` samples
+    step by ``c - l_max + 1`` (overlap-save: every lag is scored
     exactly once), each batch runs one fused FFT-correlation program on
     device, and a streaming local-maximum scanner keeps candidates
     ``>= threshold``; greedy non-maximum suppression within
-    ``min_distance`` (default: the pattern length) picks the matches.
+    ``min_distance`` (default: the longest template) picks the matches.
 
     ``freq_tol`` (Hz) searches a symmetric carrier-offset grid: an
     uncorrected offset ``f`` costs ``|sinc(f*l/rate)|`` of the score
@@ -350,9 +355,14 @@ def find_pattern(
     from quadrs_tpu.ops.correlate import PeakScan, make_xcorr_post, suppress
     from quadrs_tpu.runtime import _round_up_pow2
 
-    pattern = np.asarray(pattern)
-    l = len(pattern)
-    if l < 2:
+    pats = (
+        [np.asarray(q) for q in pattern]
+        if isinstance(pattern, (list, tuple))
+        else [np.asarray(pattern)]
+    )
+    lens = [len(q) for q in pats]
+    l = max(lens)  # the common lag range uses the longest template
+    if min(lens) < 2:
         raise ValueError("pattern must have at least 2 samples")
     if stream.length < l:
         raise ValueError(
@@ -384,13 +394,14 @@ def find_pattern(
     n_lags = stream.length - l + 1
     offsets = np.arange(0, n_lags, n_out, dtype=np.int64)
 
-    # the F-row grid multiplies per-batch device memory; shrink the
-    # batch budget to compensate
-    budget = max(c, (1 << 20) // max(1, len(grid_hz)))
+    # the (templates x grid)-row bank multiplies per-batch device
+    # memory; shrink the batch budget to compensate
+    n_rows = len(pats) * len(grid_hz)
+    budget = max(c, (1 << 20) // max(1, n_rows))
     batch, batches = window_batches(
         offsets, c, budget=budget, root_step=root_step_of(stream)
     )
-    ex = Executor(stream, c, batch=batch, post=make_xcorr_post(pattern, c, grid))
+    ex = Executor(stream, c, batch=batch, post=make_xcorr_post(pats, c, grid))
     scan = PeakScan(threshold)
     cand_cap = FIND_CANDIDATE_CAP
     for offs in batches:
@@ -421,11 +432,13 @@ def find_pattern(
         cand_off, cand_score, min_distance if min_distance is not None else l,
         max_matches,
     )
+    ridx = cand_aux[keep, 1].astype(np.int64)  # pattern_index * F + f_index
     return FindResult(
         offsets=cand_off[keep],
         scores=cand_score[keep],
         scales=cand_aux[keep, 0].astype(np.float32),
-        freqs=grid_hz[cand_aux[keep, 1].astype(np.int64)],
+        freqs=grid_hz[ridx % len(grid_hz)],
+        which=ridx // len(grid_hz),
         pattern_len=l,
         scanned=stream.length,
     )

@@ -283,6 +283,61 @@ def test_freq_grid_matches_oracle_max():
     np.testing.assert_allclose(picked, want, atol=5e-4)
 
 
+def test_template_bank_classifies_matches():
+    """A bank of two sync words (different lengths): one device pass
+    finds both kinds of plant and reports which template fired, with
+    per-template normalization (different energies compete fairly)."""
+    rng = np.random.default_rng(41)
+    n = 100_000
+    p_a = (rng.standard_normal(300) + 1j * rng.standard_normal(300)).astype(
+        np.complex64
+    )
+    p_b = 3.0 * (rng.standard_normal(200) + 1j * rng.standard_normal(200)).astype(
+        np.complex64
+    )  # different length AND energy
+    x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    plants = [(5_000, 0), (40_000, 1), (70_000, 0), (90_000, 1)]
+    for o, k in plants:
+        p = (p_a, p_b)[k]
+        x[o : o + len(p)] += 0.5 * p
+
+    res = sinks.find_pattern(cf32_source(x), [p_a, p_b], threshold=0.5)
+    assert [(int(o), int(w)) for o, w in zip(res.offsets, res.which)] == plants
+    assert np.all(res.scores > 0.9)
+    np.testing.assert_allclose(res.scales, 0.5, atol=0.03)
+    assert res.pattern_len == 300  # the longest template
+
+
+def test_template_bank_with_freq_grid():
+    """Bank x frequency grid: the row index decodes to (which, freq)."""
+    rng = np.random.default_rng(43)
+    sr, n = 48_000, 50_000
+    p_a = (rng.standard_normal(480) + 1j * rng.standard_normal(480)).astype(
+        np.complex64
+    )
+    p_b = (rng.standard_normal(480) + 1j * rng.standard_normal(480)).astype(
+        np.complex64
+    )
+    x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    rot = np.exp(2j * np.pi * 90.0 * np.arange(480) / sr)
+    x[9_000 : 9_000 + 480] += (0.7 * rot * p_a).astype(np.complex64)
+    x[30_000 : 30_000 + 480] += (0.7 * rot * p_b).astype(np.complex64)
+
+    res = sinks.find_pattern(
+        cf32_source(x, sr), [p_a, p_b], threshold=0.5, freq_tol=200.0
+    )
+    assert [(int(o), int(w)) for o, w in zip(res.offsets, res.which)] == [
+        (9_000, 0),
+        (30_000, 1),
+    ]
+    step = 0.4 * sr / 480
+    assert np.all(np.abs(res.freqs - 90.0) <= 0.5 * step + 1e-9)
+
+
 def test_error_surface():
     rng = np.random.default_rng(1)
     x = (rng.standard_normal(100) + 1j * rng.standard_normal(100)).astype(np.complex64)
@@ -354,6 +409,41 @@ class TestCli:
                      "-pattern", "nope.sr48k.cf32"]) == 1
         capsys.readouterr()
 
+    def test_find_pattern_bank_cli(self, tmp_path, capsys):
+        """Repeated -pattern flags form a bank; match lines gain the
+        winning template index."""
+        from quadrs_tpu.cli import main
+
+        rng = np.random.default_rng(47)
+        n = 30_000
+        p0 = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+            np.complex64
+        )
+        p1 = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+            np.complex64
+        )
+        x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64
+        )
+        x[4_000 : 4_000 + 256] += p0
+        x[20_000 : 20_000 + 256] += p1
+        for name, arr in (("cap", x), ("p0", p0), ("p1", p1)):
+            raw = np.empty(2 * len(arr), dtype=np.float32)
+            raw[0::2] = arr.real
+            raw[1::2] = arr.imag
+            (tmp_path / f"{name}.sr48k.cf32").write_bytes(raw.tobytes())
+        rc = main(["from", str(tmp_path / "cap.sr48k.cf32"), "find",
+                   "-pattern", str(tmp_path / "p0.sr48k.cf32"),
+                   "-pattern", str(tmp_path / "p1.sr48k.cf32"),
+                   "-threshold", "0.8"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        rows = [ln.split(",") for ln in lines[:-1]]
+        assert [(int(r[0]), int(r[4])) for r in rows] == [
+            (4_000, 0),
+            (20_000, 1),
+        ]
+
     def test_find_requires_input(self, tmp_path, capsys):
         from quadrs_tpu.cli import main
 
@@ -364,4 +454,4 @@ class TestCli:
     def test_usage_lists_find(self):
         from quadrs_tpu.cli import USAGE
 
-        assert "find -pattern" in USAGE
+        assert "find [-pattern" in USAGE
