@@ -526,15 +526,23 @@ def _parse_find(args: _Args, raw_map) -> Command:
     freq_step = None if freq_step is None else parse_si_float(freq_step)
     if freq_step is not None and freq_step <= 0:
         raise ValueError("-freq-step must be positive")
+    stdin = parse_bool(map_.pop("stdin", "no"))
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     _ensure_empty(map_, "find")
-    details = tuple(guess_details(p, sr, fmt) for p in patterns)
+    if stdin:
+        # -sr/-format describe the PIPE (it has no name to sniff);
+        # the template files sniff from their own names
+        if sr is None or fmt is None:
+            raise ValueError("find -stdin requires -sr and -format")
+        details = tuple(guess_details(p, None, None) for p in patterns)
+    else:
+        details = tuple(guess_details(p, sr, fmt) for p in patterns)
     return Octagon(
         ops.FindOp(
             details=details, filenames=tuple(patterns), threshold=threshold,
             top=top, distance=distance, freq_tol=freq_tol,
-            freq_step=freq_step,
+            freq_step=freq_step, stdin=stdin, sample_rate=sr, format=fmt,
         )
     )
 

@@ -27,6 +27,8 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
          [matched filter: find every occurrence of the pattern(s) in the stream by \\
           gain/phase-invariant normalized correlation; prints offset,score,scale,freq \\
           (repeated -pattern = a sync-word bank; lines then add the winning template)] \\
+         [-stdin no] [-sr R] [-format F] [search a live pipe with O(chunk) memory: \\
+          rtl_sdr - | {us} find -pattern sync.sr2M.cf32 -stdin yes -sr 2M -format cu8] \\
    write [-overwrite no] [-format cf32|cs8|cu8|cs16 (quantize; default cf32)] FILENAME_PREFIX \\
      gen [-cos FREQUENCY]* [-len 1 (second)] [-noise 0 (sigma/component, seeded)] [-seed 0] SAMPLE_RATE \\
       ui [-fft 8] [-stretch 4] [-stride 4] [-frames 1] [renders waterfall to ui.png] \\
@@ -154,7 +156,21 @@ def main(argv: list[str] | None = None) -> int:
                 if rc:
                     return rc
             elif isinstance(command, argmod.Octagon):
-                stream = exec_operation(command.op, stream)
+                from quadrs_tpu.pipeline import FindOp
+
+                if isinstance(command.op, FindOp) and command.op.stdin:
+                    # find -stdin searches a live pipe directly (the
+                    # accumulator, if any, is untouched — like ui/eui
+                    # -live -stdin); matches print at EOF
+                    from quadrs_tpu.serve import _stdin_pipe_source
+                    from quadrs_tpu.sources import LivePipeStream
+
+                    exec_operation(
+                        command.op,
+                        LivePipeStream(_stdin_pipe_source(command.op)),
+                    )
+                else:
+                    stream = exec_operation(command.op, stream)
             elif isinstance(command, argmod.Ui):
                 from quadrs_tpu.viz.waterfall import (
                     UiParams,

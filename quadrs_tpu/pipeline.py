@@ -90,6 +90,11 @@ class FindOp(Operation):
     distance: int | None = None  # NMS radius (default: pattern length)
     freq_tol: float = 0.0  # carrier-offset search half-width (Hz)
     freq_step: float | None = None  # grid spacing (default 0.4*rate/l)
+    # -stdin: search a live pipe instead of the accumulator (cli.py
+    # builds the LivePipeStream; these describe the pipe's wire format)
+    stdin: bool = False
+    sample_rate: str | None = None
+    format: str | None = None
 
 
 @dataclass

@@ -364,7 +364,7 @@ def find_pattern(
     l = max(lens)  # the common lag range uses the longest template
     if min(lens) < 2:
         raise ValueError("pattern must have at least 2 samples")
-    if stream.length < l:
+    if stream.length < l:  # live pipes read as a huge sentinel here
         raise ValueError(
             f"stream ({stream.length} samples) shorter than the pattern ({l})"
         )
@@ -389,36 +389,77 @@ def find_pattern(
     else:
         grid_hz = np.zeros(1)
         grid = None
-    c = _round_up_pow2(max(2 * l, min(chunk, stream.length)))
+    live = bool(getattr(stream, "is_live", False)) and stream.length >= (1 << 59)
+    c = _round_up_pow2(
+        max(2 * l, chunk if live else min(chunk, stream.length))
+    )
     n_out = c - l + 1
-    n_lags = stream.length - l + 1
-    offsets = np.arange(0, n_lags, n_out, dtype=np.int64)
 
     # the (templates x grid)-row bank multiplies per-batch device
     # memory; shrink the batch budget to compensate
     n_rows = len(pats) * len(grid_hz)
     budget = max(c, (1 << 20) // max(1, n_rows))
-    batch, batches = window_batches(
-        offsets, c, budget=budget, root_step=root_step_of(stream)
-    )
-    ex = Executor(stream, c, batch=batch, post=make_xcorr_post(pats, c, grid))
     scan = PeakScan(threshold)
     cand_cap = FIND_CANDIDATE_CAP
-    for offs in batches:
-        (score, scale, fidx), valid = ex.run(offs)
+
+    def feed_batch(outs, offs, n_lags) -> None:
+        (score, scale, ridx), valid = outs
         score = np.asarray(score)
-        aux = np.stack([np.asarray(scale), np.asarray(fidx)], axis=-1)
+        aux = np.stack([np.asarray(scale), np.asarray(ridx)], axis=-1)
+        last = 0
         for i in range(len(offs)):
             o, v = int(offs[i]), int(valid[i])
             m = min(max(0, v - l + 1), n_lags - o)
             scan.feed(o, score[i][:m], aux[i][:m])
+            last = o + m
         if len(scan.offsets) > cand_cap:
             raise ValueError(
                 f"more than {cand_cap} candidate peaks above threshold "
-                f"{threshold:g} in the first {o + m} samples: the pattern "
+                f"{threshold:g} in the first {last} samples: the pattern "
                 "matches nearly everywhere — raise the threshold or use a "
                 "more distinctive template"
             )
+
+    if live:
+        # a pipe's length is a sentinel until EOF: walk forward one
+        # window batch at a time (the sliding facade reads the pipe on
+        # demand and discards behind), and when EOF surfaces mid-batch,
+        # RE-RUN that batch — the first run planned its valid counts
+        # against the sentinel.  The kept lags only touch samples below
+        # each window's valid count, so pipe and file runs match
+        # exactly.
+        b = max(1, int(min(8, budget // c)))
+        ex = Executor(stream, c, batch=b, post=make_xcorr_post(pats, c, grid))
+        o = 0
+        while True:
+            offs = o + n_out * np.arange(b, dtype=np.int64)
+            outs = ex.run(offs)  # advances the pipe; may discover EOF
+            if stream.length < (1 << 59):  # EOF position now known
+                n_lags = stream.length - l + 1
+                if n_lags < 1:
+                    raise ValueError(
+                        f"stream ({stream.length} samples) shorter than "
+                        f"the pattern ({l})"
+                    )
+                offs = offs[offs < n_lags]
+                if len(offs):
+                    # the first run planned valid counts against the
+                    # sentinel; re-run so the EOF batch's valid is real
+                    feed_batch(ex.run(offs), offs, n_lags)
+                break
+            feed_batch(outs, offs, 1 << 60)
+            o += b * n_out
+    else:
+        n_lags = stream.length - l + 1
+        offsets = np.arange(0, n_lags, n_out, dtype=np.int64)
+        batch, batches = window_batches(
+            offsets, c, budget=budget, root_step=root_step_of(stream)
+        )
+        ex = Executor(
+            stream, c, batch=batch, post=make_xcorr_post(pats, c, grid)
+        )
+        for offs in batches:
+            feed_batch(ex.run(offs), offs, n_lags)
     scan.finish()
 
     cand_off = np.asarray(scan.offsets, dtype=np.int64)

@@ -338,6 +338,38 @@ def test_template_bank_with_freq_grid():
     assert np.all(np.abs(res.freqs - 90.0) <= 0.5 * step + 1e-9)
 
 
+def test_live_pipe_matches_file_exactly():
+    """find over a LivePipeStream (length unknown until EOF, windows
+    walked forward, EOF batch re-planned) returns byte-identical
+    matches to the file path on the same samples."""
+    import io
+
+    from quadrs_tpu.sources import LivePipeStream, PipeSource
+
+    rng = np.random.default_rng(51)
+    n, l = 120_000, 400
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    for o in (100, 60_000, n - l - 7):
+        x[o : o + l] += 0.4 * p
+    raw = np.empty(2 * n, dtype=np.float32)
+    raw[0::2] = x.real
+    raw[1::2] = x.imag
+
+    want = sinks.find_pattern(cf32_source(x), p, threshold=0.5, chunk=8_192)
+    pipe = PipeSource(io.BytesIO(raw.tobytes()), FileFormat.COMPLEX_FLOAT32, 48_000)
+    got = sinks.find_pattern(
+        LivePipeStream(pipe), p, threshold=0.5, chunk=8_192
+    )
+    assert np.array_equal(got.offsets, want.offsets)
+    np.testing.assert_array_equal(got.scores, want.scores)
+    np.testing.assert_array_equal(got.scales, want.scales)
+    assert got.scanned == want.scanned == n
+    assert list(want.offsets) == [100, 60_000, n - l - 7]
+
+
 def test_error_surface():
     rng = np.random.default_rng(1)
     x = (rng.standard_normal(100) + 1j * rng.standard_normal(100)).astype(np.complex64)
@@ -450,6 +482,35 @@ class TestCli:
         _, pat = self._files(tmp_path)
         assert main(["find", "-pattern", str(pat)]) == 1
         assert "find requires an input" in capsys.readouterr().err
+
+    def test_find_stdin_matches_file(self, tmp_path, capsys, monkeypatch):
+        """``find -stdin yes`` over a pipe prints exactly the lines the
+        ``from FILE find`` run prints for the same bytes."""
+        import io
+        import sys
+        from types import SimpleNamespace
+
+        from quadrs_tpu.cli import main
+
+        cap, pat = self._files(tmp_path)
+        rc = main(["from", str(cap), "find", "-pattern", str(pat),
+                   "-threshold", "0.8"])
+        assert rc == 0
+        want = capsys.readouterr().out
+
+        monkeypatch.setattr(
+            sys, "stdin", SimpleNamespace(buffer=io.BytesIO(cap.read_bytes()))
+        )
+        rc = main(["find", "-pattern", str(pat), "-threshold", "0.8",
+                   "-stdin", "yes", "-sr", "48k", "-format", "cf32"])
+        assert rc == 0
+        assert capsys.readouterr().out == want
+
+    def test_find_stdin_requires_wire_format(self, capsys):
+        from quadrs_tpu.cli import main
+
+        assert main(["find", "-pattern", "x.sr1k.cf32", "-stdin", "yes"]) == 1
+        assert "requires -sr and -format" in capsys.readouterr().err
 
     def test_usage_lists_find(self):
         from quadrs_tpu.cli import USAGE
