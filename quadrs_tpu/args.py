@@ -384,6 +384,12 @@ class ServeCmd(Command):
     symbol_rate: float = 0.0  # psk: symbols per second (required)
     order: int = 2  # psk: 2 = BPSK, 4 = QPSK
     differential: bool = True  # psk: decode phase transitions
+    # find-mode knobs (FindOp counterparts; -pattern repeatable)
+    patterns: tuple[str, ...] = ()
+    top: int = 0
+    distance: int | None = None
+    freq_tol: float = 0.0
+    freq_step: float | None = None
 
 
 def _parse_mesh(spec: str) -> tuple[int, int]:
@@ -1093,8 +1099,11 @@ def _parse_channelize(args: _Args, raw_map) -> Command:
 
 
 def _parse_serve(args: _Args, raw_map) -> Command:
-    map_ = _no_duplicates(raw_map)
-    explicit = set(map_)  # flags the user actually typed
+    # serve keeps find's repeatable -pattern (a template bank)
+    map_all = dict(raw_map)
+    patterns = tuple(map_all.pop("pattern", ()))
+    map_ = _no_duplicates(map_all)
+    explicit = set(map_) | ({"pattern"} if patterns else set())
     port = int(parse_si_uint(map_.pop("port", "7373")))
     host = map_.pop("host", "127.0.0.1")
     once = parse_bool(map_.pop("once", "no"))
@@ -1102,42 +1111,52 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     shift = parse_si_int(map_.pop("shift", "0"))
     mode = map_.pop("mode", "stream")
     if mode not in (
-        "stream", "waterfall", "scan", "ook", "fsk", "psk", "fm", "am", "ssb"
+        "stream", "waterfall", "scan", "ook", "fsk", "psk", "fm", "am",
+        "ssb", "find",
     ):
         raise ValueError(
             f"unknown -mode: {mode!r} "
-            "(stream|waterfall|scan|ook|fsk|psk|fm|am|ssb)"
+            "(stream|waterfall|scan|ook|fsk|psk|fm|am|ssb|find)"
         )
     # reject flags the chosen mode would silently ignore
     _fm_flags = {"deviation", "audio-lowpass", "audio-decimate", "audio-power",
                  "audio-rate"}
     _ssb_flags = {"sideband", "bandwidth"}
     _psk_flags = {"symbol-rate", "order", "differential"}
+    _find_flags = {"pattern", "top", "distance", "freq-tol", "freq-step"}
     _inapplicable = {
         "stream": {"stride", "threshold", "bit", "raw"}
-        | _fm_flags | _ssb_flags | _psk_flags,
+        | _fm_flags | _ssb_flags | _psk_flags | _find_flags,
         "waterfall": {"shift", "lowpass", "power", "decimate",
                       "threshold", "bit", "raw"}
-        | _fm_flags | _ssb_flags | _psk_flags,
+        | _fm_flags | _ssb_flags | _psk_flags | _find_flags,
         # scan is the waterfall bank reduced to per-bin stats: the
         # channel-chain and demod knobs don't apply, nor does -search
         "scan": {"shift", "lowpass", "power", "decimate", "bit", "raw",
-                 "search"} | _fm_flags | _ssb_flags | _psk_flags,
+                 "search"} | _fm_flags | _ssb_flags | _psk_flags | _find_flags,
         # demod modes buffer the whole burst: chunking, peak search and
         # mesh sharding don't apply (and -search would shadow the bits)
         "ook": {"shift", "lowpass", "power", "decimate", "search",
-                "chunk", "mesh"} | _fm_flags | _ssb_flags | _psk_flags,
+                "chunk", "mesh"}
+        | _fm_flags | _ssb_flags | _psk_flags | _find_flags,
         "fsk": {"threshold", "raw", "search", "chunk", "mesh"}
-        | _fm_flags | _ssb_flags | _psk_flags,
+        | _fm_flags | _ssb_flags | _psk_flags | _find_flags,
         "psk": {"width", "stride", "threshold", "bit", "raw", "search",
-                "chunk", "mesh"} | _fm_flags | _ssb_flags,
+                "chunk", "mesh"} | _fm_flags | _ssb_flags | _find_flags,
         "fm": {"width", "stride", "threshold", "bit", "raw", "search",
-               "chunk", "mesh"} | _ssb_flags | _psk_flags,
+               "chunk", "mesh"} | _ssb_flags | _psk_flags | _find_flags,
         "am": {"width", "stride", "threshold", "bit", "raw", "search",
-               "chunk", "mesh", "deviation"} | _ssb_flags | _psk_flags,
+               "chunk", "mesh", "deviation"}
+        | _ssb_flags | _psk_flags | _find_flags,
         # ssb: -bandwidth replaces -lowpass (the filter is bandwidth/2)
         "ssb": {"width", "stride", "threshold", "bit", "raw", "search",
-                "chunk", "mesh", "deviation", "lowpass"} | _psk_flags,
+                "chunk", "mesh", "deviation", "lowpass"}
+        | _psk_flags | _find_flags,
+        # find searches the RAW connection stream: no channel chain, no
+        # demod knobs; -threshold/-chunk keep their find meanings
+        "find": {"shift", "lowpass", "power", "decimate", "width",
+                 "stride", "bit", "raw", "search", "mesh"}
+        | _fm_flags | _ssb_flags | _psk_flags,
     }
     bad = explicit & _inapplicable[mode]
     if bad:
@@ -1146,7 +1165,7 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         )
     _width_default = {"stream": "64", "waterfall": "1024", "scan": "1024",
                       "ook": "4", "fsk": "64", "psk": "64", "fm": "64",
-                      "am": "64", "ssb": "64"}
+                      "am": "64", "ssb": "64", "find": "64"}
     fft_width = int(parse_si_uint(map_.pop("width", _width_default[mode])))
     # channel-filter defaults match the standalone command of each mode
     _lp_default = {"fm": "100k", "am": "10k"}
@@ -1182,13 +1201,27 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     differential = parse_bool(map_.pop("differential", "yes"))
     stride = map_.pop("stride", "2" if mode == "ook" else None)
     stride = None if stride is None else int(parse_si_uint(stride))
+    if mode == "find" and not patterns:
+        raise ValueError("-mode find requires -pattern FILE (repeatable)")
+    top = int(parse_si_uint(map_.pop("top", "0")))
+    distance = map_.pop("distance", None)
+    distance = None if distance is None else int(parse_si_uint(distance))
+    freq_tol = parse_si_float(map_.pop("freq-tol", "0"))
+    if freq_tol < 0:
+        raise ValueError("-freq-tol must be >= 0")
+    freq_step = map_.pop("freq-step", None)
+    freq_step = None if freq_step is None else parse_si_float(freq_step)
+    if freq_step is not None and freq_step <= 0:
+        raise ValueError("-freq-step must be positive")
+    _thr_default = {"scan": "0", "find": "0.5"}
     threshold = parse_si_float(
-        map_.pop("threshold", "0" if mode == "scan" else "0.001")
+        map_.pop("threshold", _thr_default.get(mode, "0.001"))
     )
     bit = map_.pop("bit", "8" if mode == "ook" else None)
     bit = None if bit is None else parse_si_float(bit)
     raw_bits = parse_bool(map_.pop("raw", "no"))
-    chunk = int(parse_si_uint(map_.pop("chunk", "4M" if mode == "stream" else "2k")))
+    _chunk_default = {"stream": "4M", "find": "64k"}
+    chunk = int(parse_si_uint(map_.pop("chunk", _chunk_default.get(mode, "2k"))))
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     mesh = map_.pop("mesh", None)
@@ -1209,6 +1242,8 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         audio_decimate=audio_decimate, audio_size=audio_size,
         audio_rate=audio_rate, sideband=sideband, bandwidth=bandwidth,
         symbol_rate=symbol_rate, order=order, differential=differential,
+        patterns=patterns, top=top, distance=distance, freq_tol=freq_tol,
+        freq_step=freq_step,
     )
 
 

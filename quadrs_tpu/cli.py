@@ -54,8 +54,10 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [band survey: per-bin avg/max power + occupancy over every window] \\
    serve [-port 7373] [-host 127.0.0.1] [-once no] [-search no] [-shift 0] [-lowpass 200k] \\
          [-power 200] [-decimate 32] [-width 64] [-chunk 4M] -sr R -format F \\
-         [-mode stream|waterfall|scan|ook|fsk|psk|fm|am|ssb] [-stride =width] [waterfall: the \\
-          raw fused spectrogram; scan: the per-bin band-survey CSV, -threshold as in scan] \\
+         [-mode stream|waterfall|scan|ook|fsk|psk|fm|am|ssb|find] [-stride =width] [waterfall: \\
+          the raw fused spectrogram; scan: the per-bin band-survey CSV, -threshold as in scan; \\
+          find: stream the connection through the matched filter ([-pattern FILE]+, \\
+          -threshold/-top/-distance/-freq-tol as in find; matches back at EOF)] \\
          [ook/fsk/psk/fm/am: demod-as-a-service — send the burst, read back the bits (or, \\
           fm/am: a "# MODE N RATE" header + N f32 audio samples); -threshold/-bit/-raw/ \\
           -deviation/-audio-*/-sideband/-bandwidth/-symbol-rate/-order as in the matching \\

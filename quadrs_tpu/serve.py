@@ -962,6 +962,70 @@ def _serve_connection(
     return stats
 
 
+def _find_connection(
+    conn, patterns, cmd: argmod.ServeCmd, fmt, sample_rate: int
+) -> RunStats:
+    """One matched-filter session: the connection's byte stream runs
+    through :func:`quadrs_tpu.sinks.find_pattern` as a live pipe
+    (O(chunk) memory — no whole-burst buffering), and the matches come
+    back at EOF as exactly the lines ``find -stdin`` prints."""
+    import time
+
+    from quadrs_tpu import sinks
+    from quadrs_tpu.sources import LivePipeStream, PipeSource
+
+    rf = conn.makefile("rb")
+    wf = conn.makefile("wb")
+    t0 = time.perf_counter()
+    try:
+        stream = LivePipeStream(PipeSource(rf, fmt, sample_rate))
+        try:
+            res = sinks.find_pattern(
+                stream,
+                patterns if len(patterns) > 1 else patterns[0],
+                threshold=cmd.threshold,
+                chunk=cmd.chunk,
+                max_matches=cmd.top if cmd.top else None,
+                min_distance=cmd.distance,
+                freq_tol=cmd.freq_tol,
+                freq_step=cmd.freq_step,
+            )
+        except ValueError as e:
+            # a bad burst (shorter than the template, degenerate
+            # threshold) answers with the error, like the demod modes
+            wf.write(f"# error: {e}\n".encode())
+            wf.flush()
+            return RunStats(
+                samples_in=0, windows_out=0,
+                seconds=time.perf_counter() - t0,
+            )
+        bank = len(patterns) > 1
+        for o, s, a, f, w in zip(
+            res.offsets, res.scores, res.scales, res.freqs, res.which
+        ):
+            line = f"{int(o)},{float(s):.4f},{float(a):.6g},{float(f):+g}"
+            if bank:
+                line += f",{int(w)}"
+            wf.write((line + "\n").encode())
+        wf.write(
+            f"# find: {len(res.offsets)} matches, pattern "
+            f"{res.pattern_len} samples, {res.scanned} scanned\n".encode()
+        )
+        wf.flush()
+        return RunStats(
+            samples_in=res.scanned,
+            windows_out=len(res.offsets),
+            seconds=time.perf_counter() - t0,
+        )
+    finally:
+        try:
+            wf.close()
+        except OSError:
+            pass
+        finally:
+            rf.close()
+
+
 def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     """The persistent TCP service: compile once, serve many connections
     (sequentially by default; ``-parallel N`` runs up to N sessions
@@ -985,6 +1049,24 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     demod = cmd.mode in ("ook", "fsk", "psk", "fm", "am", "ssb")
     if demod:
         model = _make_serve_demod(cmd)
+    elif cmd.mode == "find":
+        # load the template bank once at startup; each connection's
+        # socket then streams through the matched filter like a pipe
+        from quadrs_tpu.sources import SampleSource
+        from quadrs_tpu.utils.sniff import guess_details as sniff
+
+        model = []
+        for fname in cmd.patterns:
+            psrc = SampleSource.from_file(fname, sniff(fname, None, None))
+            if psrc.sample_rate != details.sample_rate:
+                raise ValueError(
+                    f"pattern rate {psrc.sample_rate} != -sr "
+                    f"{details.sample_rate}: resample one side first"
+                )
+            pat, valid = psrc.read_at(0, psrc.length)
+            if valid != psrc.length:
+                raise RuntimeError("short read loading the pattern capture")
+            model.append(pat)
     elif cmd.mode in ("waterfall", "scan"):
         from quadrs_tpu.models.waterfall import WaterfallConfig, WaterfallModel
 
@@ -1021,6 +1103,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
         + ("audio" if cmd.mode in ("fm", "am", "ssb")
            else "bits" if demod
            else "survey" if cmd.mode == "scan"
+           else "matches" if cmd.mode == "find"
            else "search" if cmd.search else "norms")
         + (f", mesh {cmd.mesh[0]}x{cmd.mesh[1]}" if cmd.mesh else "")
         + (f", parallel {cmd.parallel}" if cmd.parallel > 1 else "")
@@ -1036,6 +1119,10 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
         try:
             if demod:
                 stats = _demod_connection(
+                    conn, model, cmd, details.format, details.sample_rate
+                )
+            elif cmd.mode == "find":
+                stats = _find_connection(
                     conn, model, cmd, details.format, details.sample_rate
                 )
             else:

@@ -396,6 +396,77 @@ def test_serve_psk_mode_gating(capsys):
     assert "-search does not apply to -mode psk" in capsys.readouterr().err
 
 
+def test_serve_find_mode(capsys, tmp_path, monkeypatch):
+    """``serve -mode find`` streams each connection through the matched
+    filter and answers with exactly the lines ``find -stdin`` prints."""
+    import io
+    import sys
+    from types import SimpleNamespace
+
+    from quadrs_tpu.cli import main
+
+    rng = np.random.default_rng(61)
+    n, l = 50_000, 300
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    for o in (3_000, 30_000):
+        x[o : o + l] += 0.5 * p
+    raw = np.empty(2 * n, dtype=np.float32)
+    raw[0::2] = x.real
+    raw[1::2] = x.imag
+    payload = raw.tobytes()
+    pat_path = tmp_path / "sync.sr48k.cf32"
+    praw = np.empty(2 * l, dtype=np.float32)
+    praw[0::2] = p.real
+    praw[1::2] = p.imag
+    pat_path.write_bytes(praw.tobytes())
+
+    cmd = _serve_cmd(
+        mode="find", patterns=(str(pat_path),), threshold=0.8, chunk=1 << 16,
+        sample_rate="48k", format="cf32",
+    )
+    th, port = _start_server(cmd)
+    reply = _session(port, payload).decode()
+    th.join(timeout=60)
+    assert not th.is_alive()
+    assert "find matches" in capsys.readouterr().out
+
+    monkeypatch.setattr(sys, "stdin", SimpleNamespace(buffer=io.BytesIO(payload)))
+    rc = main(["find", "-pattern", str(pat_path), "-threshold", "0.8",
+               "-stdin", "yes", "-sr", "48k", "-format", "cf32"])
+    assert rc == 0
+    want = capsys.readouterr().out.strip().splitlines()
+    got = reply.strip().splitlines()
+    assert got[:-1] == want[:-1]
+    assert got[-1] == f"# {want[-1]}"
+    assert [int(ln.split(",")[0]) for ln in got[:-1]] == [3_000, 30_000]
+
+
+def test_serve_find_mode_gating(capsys):
+    from quadrs_tpu.cli import main
+
+    (cmd,) = argmod.parse(
+        ["serve", "-mode", "find", "-pattern", "a.sr48k.cf32", "-pattern",
+         "b.sr48k.cf32", "-freq-tol", "200", "-sr", "48k", "-format", "cf32"]
+    )
+    assert cmd.mode == "find" and cmd.patterns == ("a.sr48k.cf32", "b.sr48k.cf32")
+    assert cmd.threshold == 0.5 and cmd.freq_tol == 200.0
+
+    rc = main(["serve", "-mode", "find", "-sr", "48k", "-format", "cf32"])
+    assert rc == 1
+    assert "-mode find requires -pattern" in capsys.readouterr().err
+    rc = main(["serve", "-mode", "find", "-pattern", "a.sr48k.cf32",
+               "-shift", "1k", "-sr", "48k", "-format", "cf32"])
+    assert rc == 1
+    assert "-shift does not apply to -mode find" in capsys.readouterr().err
+    rc = main(["serve", "-mode", "stream", "-pattern", "a.sr48k.cf32",
+               "-sr", "48k", "-format", "cf32"])
+    assert rc == 1
+    assert "-pattern does not apply to -mode stream" in capsys.readouterr().err
+
+
 def test_serve_demod_mode_parse_and_gating(capsys):
     """The demod modes parse their knobs and reject inapplicable flags."""
     from quadrs_tpu.cli import main
