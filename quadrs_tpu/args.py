@@ -787,13 +787,8 @@ def _parse_stream(args: _Args, raw_map) -> Command:
     mesh = map_.pop("mesh", None)
     filename, stdin = _take_capture_arg(args, map_, "stream", sr, fmt)
     _ensure_empty(map_, "stream")
-    if trigger is not None:
-        if out is None:
-            raise ValueError("'stream -trigger' requires -out (burst files)")
-        if stdin:
-            raise ValueError(
-                "'stream -trigger' needs a seekable capture file, not -stdin"
-            )
+    if trigger is not None and out is None:
+        raise ValueError("'stream -trigger' requires -out (burst files)")
     return StreamCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, fft_width=fft_width, chunk=chunk, chunks=chunks,

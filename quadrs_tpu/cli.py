@@ -43,7 +43,9 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
          [-scan no] [-threshold 0] [-top 20] [-db no] [scan: band survey of the \\
           decimated channel — per-bin avg/max power + occupancy, absolute Hz] \\
          [-trigger LEVEL] [-pre 1] [-post 1] [burst recorder: write each span where \\
-          the channel peak exceeds LEVEL as a re-from-able slice of the capture] \\
+          the channel peak exceeds LEVEL as a re-from-able slice of the capture; \\
+          works on live pipes too (-stdin): a rolling raw-byte ring writes each \\
+          burst as it resolves, byte-identical to the file run] \\
          [-stdin no] FILENAME [live pipe: rtl_sdr - | {us} stream -stdin yes -sr 2M -format cu8] \\
 waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] [-stdin no] FILENAME... \\

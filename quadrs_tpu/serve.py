@@ -205,6 +205,9 @@ def _run_stream_trigger(cmd: argmod.StreamCmd, src, runner) -> int:
     ``{out}.bK.s{start}.sr{rate}.{fmt}`` (native format, no decode)."""
     from quadrs_tpu.stream_runner import burst_spans
 
+    if getattr(src, "is_pipe", False):
+        return _run_stream_trigger_live(cmd, src, runner)
+
     vals: list[np.ndarray] = []
     stats = runner.run_search(
         lambda w0, out: vals.append(np.asarray(out[1])), max_chunks=cmd.chunks
@@ -227,6 +230,66 @@ def _run_stream_trigger(cmd: argmod.StreamCmd, src, runner) -> int:
     print(
         f"stream trigger: {len(spans)} bursts over {len(val)} windows, "
         f"level {cmd.trigger:g}"
+    )
+    print(_stats_line("stream", stats))
+    return 0
+
+
+def _run_stream_trigger_live(cmd: argmod.StreamCmd, src, runner) -> int:
+    """The burst recorder off a LIVE pipe (``stream -stdin -trigger``):
+    the pipe retains a rolling raw-byte ring (pruned to the earliest
+    window an unresolved span might still need, so memory is O(open
+    burst + context), capped), an incremental :class:`BurstGate`
+    resolves spans with exactly :func:`burst_spans`'s semantics, and
+    each burst file is written AS IT RESOLVES — same bytes and names as
+    the file run over the same stream (tested)."""
+    from quadrs_tpu.sources import RawRing
+    from quadrs_tpu.stream_runner import BurstGate
+
+    ring = RawRing(src.format.pair_bytes)
+    src.byte_ring = ring
+    gate = BurstGate(cmd.pre, cmd.post)
+    win_raw = cmd.decimate * cmd.fft_width
+    lvl = np.float32(cmd.trigger)
+    ext = src.format.value
+    # per-window peaks retained for the same horizon as the byte ring
+    # (the summary line prints each burst's peak)
+    vals: list[float] = []
+    vals_base = 0
+    state = {"k": 0, "windows": 0}
+
+    def emit(a: int, b: int) -> None:
+        s0 = a * win_raw
+        s1 = min((b + 1) * win_raw, ring.end)
+        path = f"{cmd.out}.b{state['k']}.s{s0}.sr{src.sample_rate}.{ext}"
+        with open(path, "wb") as fh:
+            fh.write(ring.slice(s0, s1))
+        peak = max(vals[a - vals_base : b + 1 - vals_base])
+        print(
+            f"stream burst {state['k']}: windows {a}..{b}, samples "
+            f"{s0}..{s1}, peak {peak:.6g}, wrote {path}"
+        )
+        state["k"] += 1
+
+    def on_peaks(w0, out):
+        nonlocal vals, vals_base
+        val = np.asarray(out[1])
+        vals.extend(float(v) for v in val)
+        state["windows"] = w0 + len(val)
+        for a, b in gate.feed(val > lvl):
+            emit(a, b)
+        keep = gate.earliest_needed()
+        ring.prune(keep * win_raw)
+        if keep > vals_base:
+            vals = vals[keep - vals_base :]
+            vals_base = keep
+
+    stats = runner.run_search(on_peaks, max_chunks=cmd.chunks)
+    for a, b in gate.finish(state["windows"]):
+        emit(a, b)
+    print(
+        f"stream trigger: {state['k']} bursts over {state['windows']} "
+        f"windows, level {cmd.trigger:g}"
     )
     print(_stats_line("stream", stats))
     return 0

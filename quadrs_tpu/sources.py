@@ -143,6 +143,10 @@ class PipeSource:
         self.sample_rate = int(sample_rate)
         self._tail = b""
         self.eof = False
+        # optional rolling raw-byte history (the live burst recorder
+        # slices closed spans out of it); every consumed sample's bytes
+        # enter exactly once, in stream order
+        self.byte_ring: RawRing | None = None
 
     def read_planes(self, n: int) -> np.ndarray:
         """Read up to ``n`` samples as (2, m) native-dtype planes;
@@ -171,9 +175,88 @@ class PipeSource:
         buf = b"".join(parts)
         m = len(buf) // pair
         self._tail = buf[m * pair :]
+        if self.byte_ring is not None and m:
+            # the previous tail was never appended (it held no full
+            # sample), so this is each byte's single entry
+            self.byte_ring.append(buf[: m * pair])
         return planes_from_bytes(
             np.frombuffer(buf[: m * pair], dtype=np.uint8), self.format
         )
+
+
+class RawRing:
+    """Rolling raw-byte history of a live pipe, addressed in absolute
+    SAMPLE positions: the burst recorder slices closed spans out of it
+    and prunes everything below the earliest still-needed sample, so
+    memory stays O(open burst + context) on an endless stream.
+
+    ``cap_bytes`` bounds the retained history — a trigger level below
+    the noise floor would otherwise hold the whole stream; exceeding it
+    raises with guidance rather than growing without bound (the same
+    stance as the demod modes' 1 GiB burst cap).
+    """
+
+    def __init__(self, pair_bytes: int, cap_bytes: int = 1 << 30):
+        import threading
+
+        self.pair = int(pair_bytes)
+        self.cap = int(cap_bytes)
+        self.base = 0  # absolute sample index of the first retained byte
+        self._chunks: list[bytes] = []
+        self._nbytes = 0
+        # the runner's staging thread appends while the consumer
+        # thread slices/prunes resolved spans
+        self._lock = threading.Lock()
+
+    @property
+    def end(self) -> int:
+        """Absolute sample index one past the retained history."""
+        with self._lock:
+            return self.base + self._nbytes // self.pair
+
+    def append(self, b: bytes) -> None:
+        if not b:
+            return
+        with self._lock:
+            self._chunks.append(b)
+            self._nbytes += len(b)
+            over = self._nbytes > self.cap
+        if over:
+            raise ValueError(
+                f"burst history exceeds {self.cap} bytes: the trigger "
+                "level holds a span open indefinitely — raise -trigger "
+                "or lower -pre/-post"
+            )
+
+    def slice(self, s0: int, s1: int) -> bytes:
+        """Bytes of samples [s0, s1) — absolute positions, clipped to
+        the retained end; rewinding below the pruned base raises."""
+        with self._lock:
+            if s0 < self.base:
+                raise ValueError(
+                    f"burst slice at sample {s0} was pruned (ring base "
+                    f"{self.base})"
+                )
+            s1 = min(s1, self.base + self._nbytes // self.pair)
+            if s1 <= s0:
+                return b""
+            buf = b"".join(self._chunks)
+            self._chunks = [buf]  # keep the coalescing work
+            a = (s0 - self.base) * self.pair
+            b_ = (s1 - self.base) * self.pair
+            return buf[a:b_]
+
+    def prune(self, keep_from_sample: int) -> None:
+        """Discard history below ``keep_from_sample`` (absolute)."""
+        with self._lock:
+            end = self.base + self._nbytes // self.pair
+            drop = max(0, min(keep_from_sample, end) - self.base)
+            if drop == 0:
+                return
+            buf = b"".join(self._chunks)
+            self._chunks = [buf[drop * self.pair :]]
+            self._nbytes -= drop * self.pair
+            self.base += drop
 
 
 class LivePipeStream(SampleSource):

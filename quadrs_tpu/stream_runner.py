@@ -91,6 +91,94 @@ def burst_spans(
     return spans
 
 
+class BurstGate:
+    """Incremental mirror of :func:`burst_spans` for live input: feed
+    per-window activity in stream order; a widened span comes back as
+    soon as no FUTURE window can merge into it (an active window at
+    ``w`` reaches back to ``w - pre``, so a pending span ``(lo, hi)``
+    is final once the cursor passes ``hi + pre + 1``).  ``finish(n)``
+    closes the tail with :func:`burst_spans`'s end-clipping.  Feeding
+    any mask in pieces yields exactly ``burst_spans`` of the whole
+    (fuzz-pinned)."""
+
+    def __init__(self, pre: int = 0, post: int = 0):
+        self.pre, self.post = int(pre), int(post)
+        self._w = 0  # next window index to consume
+        self._run_start: int | None = None  # open raw run's first index
+        self._pending: tuple[int, int] | None = None  # widened, mergeable
+        self._closed: list[tuple[int, int]] = []
+
+    def _close_run(self, i: int, j: int) -> None:
+        lo, hi = max(0, i - self.pre), j + self.post
+        if self._pending is not None and lo <= self._pending[1] + 1:
+            self._pending = (self._pending[0], hi)
+        else:
+            if self._pending is not None:
+                self._closed.append(self._pending)
+            self._pending = (lo, hi)
+
+    def feed(self, active) -> list[tuple[int, int]]:
+        """Consume the next window-activity values; returns the spans
+        that became final (widened, inclusive, in order)."""
+        active = np.asarray(active, dtype=bool)
+        if len(active) == 0:
+            return []
+        w0 = self._w
+        if self._run_start is not None and not active[0]:
+            # the run ended exactly at the previous feed's last window
+            self._close_run(self._run_start, w0 - 1)
+            self._run_start = None
+        elif active[0] and self._run_start is None:
+            self._run_start = w0
+        for e in np.flatnonzero(np.diff(active.astype(np.int8))):
+            if active[e]:  # True -> False: a run ends at w0 + e
+                self._close_run(self._run_start, w0 + int(e))
+                self._run_start = None
+            else:  # False -> True: a run starts at w0 + e + 1
+                self._run_start = w0 + int(e) + 1
+        self._w = w0 + len(active)
+        # spans in _closed were superseded by a later non-merging run:
+        # final.  The pending span is final once the cursor passes
+        # hi + pre + 1 with no open run left to merge into it.
+        out = list(self._closed)
+        self._closed.clear()
+        if (
+            self._run_start is None
+            and self._pending is not None
+            and self._w > self._pending[1] + self.pre + 1
+        ):
+            out.append(self._pending)
+            self._pending = None
+        return out
+
+    def finish(self, n: int | None = None) -> list[tuple[int, int]]:
+        """Close the stream after ``n`` total windows (defaults to the
+        fed count): flush the open run and clip the final span's end
+        like :func:`burst_spans`."""
+        n = self._w if n is None else int(n)
+        if self._run_start is not None:
+            self._close_run(self._run_start, self._w - 1)
+            self._run_start = None
+        out = list(self._closed)
+        self._closed.clear()
+        if self._pending is not None:
+            out.append(self._pending)
+            self._pending = None
+        return [(lo, min(hi, n - 1)) for lo, hi in out]
+
+    def earliest_needed(self) -> int:
+        """The smallest window index a future or unresolved span might
+        still reference — everything below can be pruned."""
+        cands = [self._w - self.pre]
+        if self._pending is not None:
+            cands.append(self._pending[0])
+        if self._closed:
+            cands.append(self._closed[0][0])
+        if self._run_start is not None:
+            cands.append(max(0, self._run_start - self.pre))
+        return max(0, min(cands))
+
+
 def _background(gen, depth: int = 2):
     """Run a generator on a daemon thread, yielding its items through a
     bounded queue: staging (pread + numpy copies + device_put) overlaps

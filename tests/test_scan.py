@@ -411,6 +411,106 @@ def test_cli_stream_trigger(tmp_path, capsys):
     assert "excludes" in capsys.readouterr().err
 
 
+def test_burst_gate_streams_exactly():
+    """BurstGate fed any activity mask in ragged pieces yields exactly
+    burst_spans of the whole — including runs ending at feed edges."""
+    from quadrs_tpu.stream_runner import BurstGate, burst_spans
+
+    rng = np.random.default_rng(77)
+    for _ in range(300):
+        n = int(rng.integers(1, 160))
+        active = rng.random(n) < rng.uniform(0.05, 0.6)
+        pre, post = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        gate = BurstGate(pre, post)
+        got = []
+        i = 0
+        while i < n:
+            sz = int(rng.integers(1, 20))
+            got += gate.feed(active[i : i + sz])
+            i += sz
+        got += gate.finish(n)
+        assert got == burst_spans(active, pre, post), (pre, post, active)
+
+
+def test_raw_ring():
+    from quadrs_tpu.sources import RawRing
+
+    r = RawRing(pair_bytes=2, cap_bytes=64)
+    r.append(bytes(range(10)))  # samples 0..4
+    r.append(bytes(range(10, 20)))  # samples 5..9
+    assert r.end == 10
+    assert r.slice(2, 5) == bytes(range(4, 10))
+    r.prune(3)
+    assert r.base == 3 and r.end == 10
+    assert r.slice(3, 10) == bytes(range(6, 20))
+    assert r.slice(8, 99) == bytes(range(16, 20))  # clipped at end
+    with pytest.raises(ValueError, match="pruned"):
+        r.slice(2, 5)
+    with pytest.raises(ValueError, match="exceeds"):
+        r.append(bytes(80))
+
+
+def test_cli_stream_trigger_live_pipe_matches_file(tmp_path, capsys, monkeypatch):
+    """``stream -stdin -trigger`` over a pipe writes byte-identical
+    burst files (same names, same bytes) and the same summary lines as
+    the file run — the rolling ring + incremental gate reproduce the
+    whole-capture segmentation."""
+    import glob
+    import io
+    import sys
+    from types import SimpleNamespace
+
+    from quadrs_tpu.cli import main
+
+    sr, dec, w = 48_000, 4, 32
+    win_raw = dec * w
+    n = 300 * win_raw
+    rng = np.random.default_rng(13)
+    x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    for a, b in ((50, 80), (200, 210)):
+        x[a * win_raw : b * win_raw] += 1.0
+    raw = np.empty(2 * n, dtype=np.float32)
+    raw[0::2] = x.real
+    raw[1::2] = x.imag
+    cap = tmp_path / f"bursty.sr{sr}.cf32"
+    cap.write_bytes(raw.tobytes())
+
+    flags = ["-lowpass", "8k", "-power", "20", "-decimate", str(dec),
+             "-width", str(w), "-chunk", "32k", "-trigger", "5",
+             "-pre", "2", "-post", "2"]
+    f_dir = tmp_path / "f"
+    p_dir = tmp_path / "p"
+    f_dir.mkdir()
+    p_dir.mkdir()
+    rc = main(["stream", *flags, "-out", str(f_dir / "rec"), str(cap)])
+    assert rc == 0
+    file_lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("stream burst") or ln.startswith("stream trigger")
+    ]
+
+    monkeypatch.setattr(
+        sys, "stdin", SimpleNamespace(buffer=io.BytesIO(cap.read_bytes()))
+    )
+    rc = main(["stream", *flags, "-out", str(p_dir / "rec"), "-stdin", "yes",
+               "-sr", str(sr), "-format", "cf32"])
+    assert rc == 0
+    pipe_lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("stream burst") or ln.startswith("stream trigger")
+    ]
+    assert [ln.replace(str(p_dir), str(f_dir)) for ln in pipe_lines] == file_lines
+
+    f_files = sorted(glob.glob(str(f_dir / "rec.b*")))
+    p_files = sorted(glob.glob(str(p_dir / "rec.b*")))
+    assert len(f_files) == len(p_files) == 2
+    for fp, pp in zip(f_files, p_files):
+        assert pathlib.Path(fp).name == pathlib.Path(pp).name
+        assert pathlib.Path(fp).read_bytes() == pathlib.Path(pp).read_bytes()
+
+
 def test_survey_render_and_cli_plot(tone_capture, tmp_path, capsys):
     """The survey PNG marks the tone bins: brighter spectrum columns and
     a lit occupancy strip only at the tones."""
