@@ -533,6 +533,19 @@ def _parse_find(args: _Args, raw_map) -> Command:
     if freq_step is not None and freq_step <= 0:
         raise ValueError("-freq-step must be positive")
     stdin = parse_bool(map_.pop("stdin", "no"))
+    write = map_.pop("write", None)
+    wr_flags = {"pre", "post"} & set(map_)
+    if wr_flags and write is None:
+        raise ValueError(
+            f"-{sorted(wr_flags)[0]} requires 'find -write PREFIX'"
+        )
+    pre = int(parse_si_uint(map_.pop("pre", "0")))
+    post = int(parse_si_uint(map_.pop("post", "0")))
+    overwrite = parse_bool(map_.pop("overwrite", "no"))
+    if write is not None and stdin:
+        raise ValueError(
+            "find -write needs a seekable capture file, not -stdin"
+        )
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     _ensure_empty(map_, "find")
@@ -549,6 +562,7 @@ def _parse_find(args: _Args, raw_map) -> Command:
             details=details, filenames=tuple(patterns), threshold=threshold,
             top=top, distance=distance, freq_tol=freq_tol,
             freq_step=freq_step, stdin=stdin, sample_rate=sr, format=fmt,
+            write=write, pre=pre, post=post, overwrite=overwrite,
         )
     )
 

@@ -29,6 +29,9 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
           (repeated -pattern = a sync-word bank; lines then add the winning template)] \\
          [-stdin no] [-sr R] [-format F] [search a live pipe with O(chunk) memory: \\
           rtl_sdr - | {us} find -pattern sync.sr2M.cf32 -stdin yes -sr 2M -format cu8] \\
+         [-write PREFIX] [-pre 0] [-post 0] [-overwrite no] [save each match as a \\
+          re-from-able slice of the ORIGINAL capture, widened by pre/post samples — \\
+          preamble-triggered packet extraction, span-mapped through the chain] \\
    write [-overwrite no] [-format cf32|cs8|cu8|cs16 (quantize; default cf32)] FILENAME_PREFIX \\
      gen [-cos FREQUENCY]* [-len 1 (second)] [-noise 0 (sigma/component, seeded)] [-seed 0] SAMPLE_RATE \\
       ui [-fft 8] [-stretch 4] [-stride 4] [-frames 1] [renders waterfall to ui.png] \\

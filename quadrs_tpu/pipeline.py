@@ -95,6 +95,14 @@ class FindOp(Operation):
     stdin: bool = False
     sample_rate: str | None = None
     format: str | None = None
+    # -write: save each match as a re-`from`-able slice of the ORIGINAL
+    # capture (span-mapped through the chain, so a match on a decimated
+    # stream still slices the raw file), widened by -pre/-post searched-
+    # stream samples
+    write: str | None = None
+    pre: int = 0
+    post: int = 0
+    overwrite: bool = False
 
 
 @dataclass
@@ -185,6 +193,27 @@ def exec_operation(
         ):
             line = f"{int(o)},{float(s):.4f},{float(a):.6g},{float(f):+g}"
             emit(line + f",{int(w)}" if bank else line)  # bank adds which
+        if op.write is not None:
+            root = stream.root()
+            if not hasattr(root, "raw_bytes"):
+                raise ValueError(
+                    "find -write needs a seekable capture file behind the "
+                    "chain (a pipe keeps no history to slice)"
+                )
+            ext = root.format.value  # the enum values ARE the extensions
+            for k, (o, w) in enumerate(zip(res.offsets, res.which)):
+                # widen in searched-stream samples, then map the span
+                # through the chain (FIR lookahead included) so the
+                # slice re-demodulates cleanly
+                a = max(0, int(o) - op.pre)
+                n = int(o) + len(pats[int(w)]) + op.post - a
+                s0, sn = stream.span(a, n)
+                s0 = max(0, s0)
+                s1 = min(s0 + sn, root.length)
+                path = f"{op.write}.m{k}.s{s0}.sr{root.sample_rate}.{ext}"
+                with open(path, "wb" if op.overwrite else "xb") as fh:
+                    fh.write(root.raw_bytes(s0, s1))
+                emit(f"find match {k}: samples {s0}..{s1}, wrote {path}")
         emit(
             f"find: {len(res.offsets)} matches, pattern {res.pattern_len} "
             f"samples, {res.scanned} scanned"

@@ -9,6 +9,8 @@ planted at known offsets under gain, phase, and noise.
 
 from __future__ import annotations
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -505,6 +507,104 @@ class TestCli:
                    "-stdin", "yes", "-sr", "48k", "-format", "cf32"])
         assert rc == 0
         assert capsys.readouterr().out == want
+
+    def test_find_write_extracts_match_slices(self, tmp_path, capsys):
+        """-write saves each match as a byte-exact, re-from-able slice
+        of the original capture, widened by -pre/-post; re-searching a
+        slice finds the pattern again."""
+        import glob
+
+        from quadrs_tpu.cli import main
+
+        cap, pat = self._files(tmp_path)  # plant at 12_345, l=400
+        rc = main(["from", str(cap), "find", "-pattern", str(pat),
+                   "-threshold", "0.8", "-write", str(tmp_path / "pkt"),
+                   "-pre", "100", "-post", "200"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        files = glob.glob(str(tmp_path / "pkt.m*"))
+        assert len(files) == 1
+        name = pathlib.Path(files[0]).name
+        s0 = int(name.split(".s")[1].split(".")[0])
+        assert s0 == 12_345 - 100  # raw source: span is identity
+        data = pathlib.Path(files[0]).read_bytes()
+        src = cap.read_bytes()
+        assert data == src[s0 * 8 : s0 * 8 + len(data)]
+        assert len(data) == (400 + 100 + 200) * 8
+        assert f"wrote {files[0]}" in out
+
+        # the slice is a valid capture: the pattern matches inside it
+        assert main(["from", files[0], "find", "-pattern", str(pat),
+                     "-threshold", "0.8"]) == 0
+        line = capsys.readouterr().out.splitlines()[0]
+        assert int(line.split(",")[0]) == 100
+
+        # overwrite guard (same -pre/-post -> same slice filename)
+        assert main(["from", str(cap), "find", "-pattern", str(pat),
+                     "-threshold", "0.8", "-write", str(tmp_path / "pkt"),
+                     "-pre", "100", "-post", "200"]) == 1
+        assert "Error:" in capsys.readouterr().err
+
+    def test_find_write_spans_through_chain(self, tmp_path, capsys):
+        """Matching on a decimated chain still slices the RAW capture:
+        the span mapping covers the match's FIR lookahead."""
+        import glob
+
+        from quadrs_tpu.cli import main
+        from quadrs_tpu.sources import open_capture
+        from quadrs_tpu.stream import LowPass
+
+        rng = np.random.default_rng(71)
+        n = 80_000
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64
+        )
+        raw = np.empty(2 * n, dtype=np.float32)
+        raw[0::2] = x.real
+        raw[1::2] = x.imag
+        cap = tmp_path / "chain.sr48k.cf32"
+        cap.write_bytes(raw.tobytes())
+
+        # the pattern IS a slice of the decimated chain at offset 4000
+        chain = LowPass(open_capture(str(cap)), 5_000, 4, 80)
+        pat, valid = chain.read_at(4_000, 250)
+        assert valid == 250
+        praw = np.empty(2 * 250, dtype=np.float32)
+        praw[0::2] = pat.real
+        praw[1::2] = pat.imag
+        pat_path = tmp_path / "pat.sr12k.cf32"
+        pat_path.write_bytes(praw.tobytes())
+
+        rc = main(["from", str(cap), "lowpass", "-power", "40",
+                   "-decimate", "4", "5k", "find", "-pattern",
+                   str(pat_path), "-threshold", "0.99", "-write",
+                   str(tmp_path / "pkt")])
+        assert rc == 0
+        capsys.readouterr()
+        files = glob.glob(str(tmp_path / "pkt.m*"))
+        assert len(files) == 1
+        name = pathlib.Path(files[0]).name
+        s0 = int(name.split(".s")[1].split(".")[0])
+        want_s0, want_n = chain.span(4_000, 250)
+        assert s0 == max(0, want_s0)
+        data = pathlib.Path(files[0]).read_bytes()
+        src = cap.read_bytes()
+        assert data == src[s0 * 8 : s0 * 8 + len(data)]
+        # re-demodulating the slice reproduces the decimated pattern:
+        # the span included the FIR lookahead
+        sliced = LowPass(open_capture(files[0]), 5_000, 4, 80)
+        got, v = sliced.read_at(0, 250)
+        assert v == 250
+        np.testing.assert_allclose(got, pat, atol=2e-6)
+
+    def test_find_write_gating(self, tmp_path, capsys):
+        from quadrs_tpu.cli import main
+
+        assert main(["find", "-pattern", "x.sr1k.cf32", "-pre", "5"]) == 1
+        assert "requires 'find -write" in capsys.readouterr().err
+        assert main(["find", "-pattern", "x.sr1k.cf32", "-write", "y",
+                     "-stdin", "yes", "-sr", "1k", "-format", "cf32"]) == 1
+        assert "seekable" in capsys.readouterr().err
 
     def test_find_stdin_requires_wire_format(self, capsys):
         from quadrs_tpu.cli import main
