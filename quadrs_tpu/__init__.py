@@ -23,7 +23,15 @@ the MXU.
 """
 
 from quadrs_tpu.formats import FileFormat, FileDetails
-from quadrs_tpu.stream import LowPass, Resample, Shift, Stream
+from quadrs_tpu.stream import (
+    Agc,
+    DcBlock,
+    IqCorrect,
+    LowPass,
+    Resample,
+    Shift,
+    Stream,
+)
 from quadrs_tpu.sources import (
     LivePipeStream,
     PipeSource,
@@ -43,6 +51,9 @@ __all__ = [
     "Shift",
     "LowPass",
     "Resample",
+    "DcBlock",
+    "Agc",
+    "IqCorrect",
     "LivePipeStream",
     "PipeSource",
     "SampleSource",

@@ -593,6 +593,48 @@ def _parse_resample(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_dcblock(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    window = int(parse_si_uint(map_.pop("window", "32k")))
+    if window < 1:
+        raise ValueError("-window must be at least 1")
+    _ensure_empty(map_, "dcblock")
+    return Octagon(ops.DcBlockOp(window=window))
+
+
+def _parse_agc(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    target = parse_si_float(map_.pop("target", "1"))
+    if target <= 0:
+        raise ValueError("-target must be positive")
+    window = int(parse_si_uint(map_.pop("window", "4k")))
+    if window < 1:
+        raise ValueError("-window must be at least 1")
+    max_gain = parse_si_float(map_.pop("max-gain", "1k"))
+    if max_gain <= 0:
+        raise ValueError("-max-gain must be positive")
+    _ensure_empty(map_, "agc")
+    return Octagon(ops.AgcOp(target=target, window=window, max_gain=max_gain))
+
+
+def _parse_iqbal(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    c_raw = map_.pop("c", None)
+    c: complex | None = None
+    if c_raw is not None:
+        if ":" not in c_raw:
+            raise ValueError(f"-c must be RE:IM (e.g. 0.01:-0.002): '{c_raw}'")
+        re_s, im_s = c_raw.split(":", 1)
+        c = complex(parse_plain_float(re_s), parse_plain_float(im_s))
+    est = int(parse_si_uint(map_.pop("est", "256k")))
+    if c_raw is not None and "est" in raw_map:
+        raise ValueError("iqbal takes -c or -est, not both")
+    if est < 2:
+        raise ValueError("-est must be at least 2")
+    _ensure_empty(map_, "iqbal")
+    return Octagon(ops.IqbalOp(c=c, est=est))
+
+
 def _parse_sparkfft(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     width = int(parse_si_uint(map_.pop("width", "128")))
@@ -1261,6 +1303,9 @@ _PARSERS = {
     "shift": _parse_shift,
     "lowpass": _parse_lowpass,
     "resample": _parse_resample,
+    "dcblock": _parse_dcblock,
+    "agc": _parse_agc,
+    "iqbal": _parse_iqbal,
     "sparkfft": _parse_sparkfft,
     "bucket": _parse_bucket,
     "find": _parse_find,

@@ -20,6 +20,9 @@ usage: {us} \\
    shift [-]FREQUENCY \\
  lowpass [-power 20] [-decimate 8] FREQUENCY \\
 resample [-power 8] [-size N] UP/DOWN [rational rate conversion, e.g. 3/2 or 147/160] \\
+ dcblock [-window 32k] [subtract the trailing-window mean: kills a tuner's DC spike] \\
+     agc [-target 1] [-window 4k] [-max-gain 1k] [normalize trailing-window RMS to target] \\
+   iqbal [-c RE:IM] [-est 256k] [IQ-imbalance image cancel; -c explicit, else blind-estimated] \\
 sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
   bucket [-width 128] [-stride =width] [-by freq] COUNT \\
     find [-pattern FILE.srR.cf32]+ [-threshold 0.5] [-top 0 (all)] [-distance =patlen] \\

@@ -51,6 +51,35 @@ class ResampleOp(Operation):
 
 
 @dataclass
+class DcBlockOp(Operation):
+    """Trailing-mean DC-offset removal (TPU-native addition; see
+    :class:`quadrs_tpu.stream.DcBlock`)."""
+
+    window: int = 32_000  # the CLI default "32k" (decimal SI)
+
+
+@dataclass
+class AgcOp(Operation):
+    """Trailing-RMS automatic gain control (TPU-native addition; see
+    :class:`quadrs_tpu.stream.Agc`)."""
+
+    target: float = 1.0
+    window: int = 4_000  # the CLI default "4k" (decimal SI)
+    max_gain: float = 1000.0
+
+
+@dataclass
+class IqbalOp(Operation):
+    """IQ-imbalance correction (TPU-native addition; see
+    :class:`quadrs_tpu.stream.IqCorrect`).  ``c`` is the explicit
+    correction coefficient; None blind-estimates it from the first
+    ``est`` samples."""
+
+    c: complex | None = None
+    est: int = 1 << 18
+
+
+@dataclass
 class SparkFftOp(Operation):
     width: int = 128
     stride: int | None = None
@@ -149,6 +178,27 @@ def exec_operation(
         from quadrs_tpu.stream import Resample
 
         return Resample(stream, op.up, op.down, size=op.size, power=op.power)
+
+    if isinstance(op, DcBlockOp):
+        if stream is None:
+            raise ValueError("dcblock requires an input")
+        from quadrs_tpu.stream import DcBlock
+
+        return DcBlock(stream, op.window)
+
+    if isinstance(op, AgcOp):
+        if stream is None:
+            raise ValueError("agc requires an input")
+        from quadrs_tpu.stream import Agc
+
+        return Agc(stream, target=op.target, window=op.window, max_gain=op.max_gain)
+
+    if isinstance(op, IqbalOp):
+        if stream is None:
+            raise ValueError("iqbal requires an input")
+        from quadrs_tpu.stream import IqCorrect
+
+        return IqCorrect(stream, c=op.c, est_samples=op.est)
 
     if isinstance(op, SparkFftOp):
         if stream is None:

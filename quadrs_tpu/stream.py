@@ -215,6 +215,232 @@ class LowPass(Stream):
         return fir_decimate(x, self.taps, self.decimate, n, impl=self.fir_impl)
 
 
+def _tw_indices(lead: jnp.ndarray, n: int, window: int):
+    """Per-row block indices for trailing windows ``(m-W, m]``.
+
+    ``lead[r]`` is the block index of row ``r``'s first output sample
+    (``W-1`` once the stream has warmed up; smaller only for windows
+    that start within the first ``W-1`` samples of the capture, where
+    the lookback clamps at offset 0).  Returns ``(idx, hi, lo)``:
+    ``idx`` addresses output samples in the padded input block, ``hi``/
+    ``lo`` address an exclusive-prefix cumsum such that
+    ``cs[hi] - cs[lo]`` is each output position's trailing-window sum.
+    """
+    idx = lead[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]
+    hi = idx + 1
+    lo = jnp.maximum(hi - window, 0)
+    return idx, hi, lo
+
+
+def _tw_count(abs_c: jnp.ndarray, n: int, window: int) -> jnp.ndarray:
+    """(B, n) f32 sample count of each trailing window: ``min(W, m+1)``
+    at absolute position ``m``.  ``abs_c`` is the absolute position of
+    each row's first output, pre-clipped to ``W`` on the host so int32
+    arithmetic cannot overflow at large offsets."""
+    m1 = abs_c[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :] + 1
+    return jnp.minimum(m1, window).astype(jnp.float32)
+
+
+class _Trailing(Stream):
+    """Shared plumbing for stages conditioned on a trailing window of
+    the last ``W`` input samples (inclusive of the current one): exact
+    random access (the lookback is re-read, clamped at the stream
+    start), so outputs are pull-size invariant — unlike LowPass's
+    reference-mandated per-read truncation, these stages are TPU-native
+    additions and choose exact semantics (the same stance as Resample's
+    exact ``length``)."""
+
+    window: int
+
+    def __init__(self, inner: Stream, window: int):
+        if window < 1:
+            raise ValueError("window must be at least 1")
+        self.inner = inner
+        self.window = int(window)
+        self.length = inner.length
+        self.sample_rate = inner.sample_rate
+
+    def span(self, off: int, n: int) -> tuple[int, int]:
+        lo = max(0, off - (self.window - 1))
+        return self.inner.span(lo, n + (off - lo))
+
+    def plan(self, offs: np.ndarray, n: int, base: int) -> Plan:
+        offs = np.asarray(offs, dtype=np.int64)
+        back = self.window - 1
+        offs_in = np.maximum(offs - back, 0)
+        lead = (offs - offs_in).astype(np.int32)
+        inner = self.inner.plan(offs_in, n + back, base)
+        valid_out = np.clip(inner.valid - lead.astype(np.int64), 0, n)
+        prep = {
+            "inner": inner.prep,
+            "lead": lead,
+            "abs_c": np.minimum(offs, self.window).astype(np.int32),
+            "valid_out": valid_out.astype(np.int32),
+        }
+        return Plan(prep=prep, valid=valid_out)
+
+    @staticmethod
+    def _mask_valid(y: jnp.ndarray, prep: Any, n: int) -> jnp.ndarray:
+        """Keep the module invariant that outputs past the source-derived
+        valid count are exactly zero (a trailing mean/gain would
+        otherwise leak into the padding region)."""
+        keep = (
+            jnp.arange(n, dtype=jnp.int32)[None, :] < prep["valid_out"][:, None]
+        )
+        return jnp.where(keep, y, 0)
+
+    def _inner_block(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
+        return self.inner.read_batch(ctx, prep["inner"], n + self.window - 1)
+
+
+class DcBlock(_Trailing):
+    """DC-offset remover (TPU-native addition; no reference
+    counterpart).  Subtracts from each sample the mean of the trailing
+    ``window`` input samples (inclusive):
+
+        y[m] = x[m] - mean(x[max(0, m-W+1) .. m])
+
+    — the digital equivalent of rtl-sdr/gqrx "DC remove": direct-
+    conversion tuners park a DC spike at the center bin that a
+    ``shift``-then-``lowpass`` chain would otherwise mix into the
+    channel.  The trailing mean is two cumsum lookups per output (the
+    moving sum is a prefix-sum difference, no per-window reduction);
+    the f32 prefix accumulates per pulled block, so values agree
+    across pull sizes to ~1e-6 relative, not bit-exactly.
+    """
+
+    def read_batch(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
+        x = self._inner_block(ctx, prep, n)
+        if self.window == 1:  # trailing window is the sample itself
+            return jnp.zeros_like(x)
+        zero = jnp.zeros((x.shape[0], 1), dtype=x.dtype)
+        cs = jnp.concatenate([zero, jnp.cumsum(x, axis=1)], axis=1)
+        idx, hi, lo = _tw_indices(prep["lead"], n, self.window)
+        ssum = jnp.take_along_axis(cs, hi, axis=1) - jnp.take_along_axis(
+            cs, lo, axis=1
+        )
+        dc = ssum / _tw_count(prep["abs_c"], n, self.window)
+        y = jnp.take_along_axis(x, idx, axis=1) - dc
+        return self._mask_valid(y, prep, n)
+
+
+class Agc(_Trailing):
+    """Automatic gain control (TPU-native addition).  Normalizes the
+    trailing-window RMS to ``target``:
+
+        rms[m] = sqrt(mean(|x[k]|^2, k in (m-W, m]))
+        y[m]   = x[m] * target / max(rms[m], target / max_gain)
+
+    Instant attack (the current sample is inside its own window, so a
+    strong burst cannot overshoot by more than its first-sample share)
+    and ``window``-shaped decay; ``max_gain`` stops silence from being
+    amplified into noise.  Gain is a pure function of the trailing
+    input window, so random access and pull-size invariance hold like
+    every other stage (values to ~1e-6: f32 prefix sums)."""
+
+    def __init__(
+        self,
+        inner: Stream,
+        target: float = 1.0,
+        window: int = 4096,
+        max_gain: float = 1000.0,
+    ):
+        super().__init__(inner, window)
+        if not target > 0:
+            raise ValueError("target must be positive")
+        if not max_gain > 0:
+            raise ValueError("max-gain must be positive")
+        self.target = float(target)
+        self.max_gain = float(max_gain)
+
+    def read_batch(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
+        x = self._inner_block(ctx, prep, n)
+        p = jnp.real(x) ** 2 + jnp.imag(x) ** 2
+        if self.window == 1:
+            # direct per-sample magnitude: the cumsum difference would
+            # carry prefix-relative cancellation noise (~1% at tiny
+            # window sums), pointless when the window is one sample
+            rms = jnp.sqrt(p)
+            gain = self.target / jnp.maximum(rms, self.target / self.max_gain)
+            return self._mask_valid(x * gain, prep, n)
+        zero = jnp.zeros((p.shape[0], 1), dtype=p.dtype)
+        cs = jnp.concatenate([zero, jnp.cumsum(p, axis=1)], axis=1)
+        idx, hi, lo = _tw_indices(prep["lead"], n, self.window)
+        psum = jnp.take_along_axis(cs, hi, axis=1) - jnp.take_along_axis(
+            cs, lo, axis=1
+        )
+        mean = jnp.maximum(psum, 0.0) / _tw_count(prep["abs_c"], n, self.window)
+        rms = jnp.sqrt(mean)
+        gain = self.target / jnp.maximum(rms, self.target / self.max_gain)
+        y = jnp.take_along_axis(x, idx, axis=1) * gain
+        return self._mask_valid(y, prep, n)
+
+
+class IqCorrect(Stream):
+    """IQ-imbalance corrector (TPU-native addition).  Applies the
+    standard widely-linear correction
+
+        y[m] = x[m] - c * conj(x[m])
+
+    which cancels an image produced by receiver gain/phase mismatch
+    (model ``x = alpha*s + beta*conj(s)``; the image term vanishes for
+    ``c = beta/conj(alpha)`` up to second order).  ``c`` is either
+    given explicitly or blind-estimated once at construction from the
+    capture's leading samples via the circularity ratio
+
+        rho = E[x^2] / E[|x|^2],    c = rho / 2
+
+    (host f64 — exact and deterministic).  A proper complex signal has
+    ``E[s^2] = 0``, so ``E[x^2] = 2*beta*E[|s|^2]`` measures the image
+    directly; halving the ratio lands ``c = beta/(1+|beta|^2)``, which
+    leaves a THIRD-order residual ``beta*|beta|^2/(1+|beta|^2)`` — the
+    closed-form single-shot equivalent of the adaptive circularity-
+    nulling compensator.  The applied
+    correction is a fixed elementwise linear map: random-access
+    coherent, pull-size invariant, length/rate preserving."""
+
+    def __init__(
+        self,
+        inner: Stream,
+        c: complex | None = None,
+        est_samples: int = 1 << 18,
+    ):
+        self.inner = inner
+        self.length = inner.length
+        self.sample_rate = inner.sample_rate
+        if c is None:
+            n = int(min(est_samples, inner.length))
+            if n < 2:
+                raise ValueError("capture too short to estimate IQ imbalance")
+            x, valid = inner.read_at(0, n)
+            x = np.asarray(x[:valid], dtype=np.complex128)
+            denom = float(np.sum(np.abs(x) ** 2))
+            if denom == 0.0:
+                raise ValueError("all-zero capture: cannot estimate IQ imbalance")
+            rho = complex(np.sum(x * x) / denom)
+            if abs(rho) > 0.9:
+                raise ValueError(
+                    f"circularity ratio |E[x^2]|/E[|x|^2] = {abs(rho):.3f}: "
+                    "the signal is nearly non-circular (e.g. pure real/AM "
+                    "at DC), so blind estimation would cancel the signal "
+                    "itself — pass an explicit coefficient instead"
+                )
+            c = rho / 2.0
+        self.c = complex(c)
+
+    def span(self, off: int, n: int) -> tuple[int, int]:
+        return self.inner.span(off, n)
+
+    def plan(self, offs: np.ndarray, n: int, base: int) -> Plan:
+        inner = self.inner.plan(offs, n, base)
+        return Plan(prep={"inner": inner.prep}, valid=inner.valid)
+
+    def read_batch(self, ctx: dict, prep: Any, n: int) -> jnp.ndarray:
+        x = self.inner.read_batch(ctx, prep["inner"], n)
+        c = jnp.complex64(self.c)
+        return x - c * jnp.conj(x)
+
+
 class Resample(Stream):
     """Rational sample-rate converter (TPU-native addition; the
     reference only decimates, ``src/filter.rs``).
