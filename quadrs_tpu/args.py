@@ -173,6 +173,20 @@ class ScanCmd(Command):
 
 
 @dataclass
+class InfoCmd(Command):
+    """``info``: per-capture statistics (the ``soxi`` of IQ files) —
+    format/rate/length plus device-reduced DC offset, RMS, peak,
+    circularity (IQ-image indicator), and raw-code clipping fraction.
+    Terminal command: every remaining token is a capture filename."""
+
+    filenames: list[str]
+    chunk: int = 4_000_000
+    limit: int | None = None  # analyze only the first N samples
+    sample_rate: str | None = None
+    format: str | None = None
+
+
+@dataclass
 class OokCmd(Command):
     """``ook``: demodulate an on-off-keyed capture to bits
     (:class:`~quadrs_tpu.models.demod.OokDemod`; the README's
@@ -938,6 +952,30 @@ def _parse_scan(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_info(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    chunk = int(parse_si_uint(map_.pop("chunk", "4M")))
+    limit = map_.pop("limit", None)
+    limit = None if limit is None else int(parse_si_uint(limit))
+    if limit is not None and limit < 1:
+        raise ValueError("-limit must be at least 1")
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    _ensure_empty(map_, "info")
+    filenames = []
+    while True:  # terminal command: everything left is a capture file
+        tok = args.next()
+        if tok is None:
+            break
+        filenames.append(tok)
+    if not filenames:
+        raise ValueError("'info' requires at least one capture filename")
+    return InfoCmd(
+        filenames=filenames, chunk=chunk, limit=limit, sample_rate=sr,
+        format=fmt,
+    )
+
+
 def _parse_ook(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     width = int(parse_si_uint(map_.pop("width", "4")))
@@ -1319,6 +1357,7 @@ _PARSERS = {
     "stream": _parse_stream,
     "waterfall": _parse_waterfall,
     "scan": _parse_scan,
+    "info": _parse_info,
     "ook": _parse_ook,
     "fsk": _parse_fsk,
     "psk": _parse_psk,

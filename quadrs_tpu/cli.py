@@ -55,6 +55,9 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
          [-stdin no] FILENAME [live pipe: rtl_sdr - | {us} stream -stdin yes -sr 2M -format cu8] \\
 waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] [-stdin no] FILENAME... \\
+    info [-chunk 4M] [-limit N] [-sr R] [-format F] FILENAME... [capture statistics: \\
+         format/rate/length + device-reduced dc offset, rms/peak/crest, IQ-image \\
+         level (what iqbal corrects), raw-code clipping fraction] \\
     scan [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] [-chunks N] \\
          [-threshold 0 (occupancy level)] [-top 20] [-db no] [-out PREFIX (full \\
          per-bin CSV)] [-plot no (render .sK.png survey plots)] [-overwrite no] \\
@@ -135,6 +138,7 @@ def _serve_types() -> tuple:
         argmod.AmCmd,
         argmod.SsbCmd,
         argmod.ChannelizeCmd,
+        argmod.InfoCmd,
         argmod.ServeCmd,
     )
 

@@ -650,6 +650,60 @@ def run_am(cmd: argmod.AmCmd) -> int:
     return 0
 
 
+def run_info(cmd: argmod.InfoCmd) -> int:
+    """Per-capture statistics (``quadjax info``): the ``soxi`` of IQ
+    files.  Prints format/rate/length from the header math plus the
+    device-reduced signal stats of :func:`quadrs_tpu.sinks.capture_info`
+    — DC offset (a direct-conversion tuner's center spike; ``dcblock``
+    removes it), RMS/peak/crest, the circularity ratio (the IQ-image
+    indicator ``iqbal`` corrects: image level in dB is ``|rho|/2``),
+    and the raw-code clipping fraction (components at a rail — gain
+    too hot)."""
+    import time
+
+    from quadrs_tpu.sinks import capture_info
+
+    def db(x: float) -> str:
+        import math
+
+        return f"{20.0 * math.log10(max(x, 1e-30)):.1f} dB"
+
+    t0 = time.perf_counter()
+    total = 0
+    for name in cmd.filenames:
+        src = open_capture(name, cmd.sample_rate, cmd.format)
+        i = capture_info(src, chunk=cmd.chunk, limit=cmd.limit)
+        total += i.analyzed
+        scope = (
+            "" if i.analyzed == i.samples
+            else f" (stats over the first {i.analyzed})"
+        )
+        print(
+            f"{name}: {i.format.value}, {i.sample_rate} Hz, "
+            f"{i.samples} samples, {i.bytes} bytes, {i.seconds:.3f} s{scope}"
+        )
+        dc_rel = abs(i.dc) / max(i.rms, 1e-30)
+        print(
+            f"  dc {i.dc.real:+.5g}{i.dc.imag:+.5g}j"
+            f" (|dc|/rms {db(dc_rel)})   rms {i.rms:.5g}   "
+            f"peak {i.peak:.5g} (crest {db(i.peak / max(i.rms, 1e-30))})"
+        )
+        clip = (
+            "n/a (float format)" if i.clipped is None
+            else f"{100.0 * i.clipped:.4g}% of components"
+        )
+        print(
+            f"  iq image |rho|/2 {abs(i.rho) / 2.0:.4g}"
+            f" ({db(abs(i.rho) / 2.0)} image)   clipped: {clip}"
+        )
+    dt = max(time.perf_counter() - t0, 1e-9)
+    print(
+        f"info: {len(cmd.filenames)} files, {total} samples, "
+        f"{dt:.2f}s, {total / dt / 1e6:.0f} Msps"
+    )
+    return 0
+
+
 def run_channelize(cmd: argmod.ChannelizeCmd) -> int:
     """Split a capture into K channels in one polyphase-bank pass:
     write each selected channel as ``{prefix}.ch{k}.sr{rate}.cf32``
@@ -1244,5 +1298,6 @@ RUNNERS = {
     argmod.AmCmd: run_am,
     argmod.SsbCmd: run_ssb,
     argmod.ChannelizeCmd: run_channelize,
+    argmod.InfoCmd: run_info,
     argmod.ServeCmd: run_serve,
 }

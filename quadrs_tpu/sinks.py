@@ -483,3 +483,108 @@ def find_pattern(
         pattern_len=l,
         scanned=stream.length,
     )
+
+
+@dataclass
+class CaptureInfo:
+    """Per-capture statistics from :func:`capture_info` (the ``info``
+    command): decoded-domain signal stats about the format's neutral
+    value, plus raw-code clipping counts."""
+
+    format: FileFormat
+    sample_rate: int
+    samples: int
+    bytes: int
+    seconds: float
+    analyzed: int  # samples the stats below actually cover
+    dc: complex  # mean deviation from the format's neutral value
+    rms: float  # sqrt(E |x - neutral|^2)
+    peak: float  # max |x - neutral|
+    rho: complex  # circularity ratio E[z^2]/E[|z|^2] of z = x - mean(x)
+    clipped: float | None  # fraction of raw components at a rail (int fmts)
+
+
+_RAILS = {
+    FileFormat.COMPLEX_INT8: (-128, 127),
+    FileFormat.COMPLEX_UINT8: (0, 255),
+    FileFormat.COMPLEX_INT16: (-32768, 32767),
+}
+
+# decode of the format's midpoint code: the reference's cu8/cs16
+# formulas park the signal near -127 / -32767 (src/lib.rs:250-253), so
+# meaningful DC/RMS statistics subtract this neutral value first
+_NEUTRAL = {
+    FileFormat.COMPLEX_FLOAT32: 0.0,
+    FileFormat.COMPLEX_INT8: 0.0,
+    FileFormat.COMPLEX_UINT8: 127.5 / 255.0 - 127.5,
+    FileFormat.COMPLEX_INT16: 32767.5 / 65535.0 - 32767.5,
+}
+
+
+def capture_info(source, chunk: int = 1 << 22, limit: int | None = None) -> CaptureInfo:
+    """Analyze a capture (``quadjax info``): DC offset, RMS, peak,
+    circularity ratio (the IQ-imbalance indicator ``iqbal`` corrects),
+    and raw-code clipping fraction, reduced on device chunk by chunk
+    (f32 per-chunk tree reductions, f64 host accumulation) so a
+    multi-GB file costs one pass of native-dtype staging."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadrs_tpu.formats import decode_plane
+
+    fmt = source.format
+    neutral = jnp.float32(_NEUTRAL[fmt])
+    rails = _RAILS.get(fmt)
+
+    @jax.jit
+    def reduce_chunk(planes):
+        re = decode_plane(planes[0], fmt, xp=jnp) - neutral
+        im = decode_plane(planes[1], fmt, xp=jnp) - neutral
+        p = re * re + im * im
+        out = (
+            jnp.sum(re),
+            jnp.sum(im),
+            jnp.sum(p),
+            jnp.sum(re * re - im * im),  # Re E[z^2]
+            jnp.sum(2.0 * re * im),  # Im E[z^2]
+            jnp.max(p, initial=0.0),
+        )
+        if rails is not None:
+            clip = jnp.sum((planes[0] == rails[0]) | (planes[0] == rails[1]))
+            clip += jnp.sum((planes[1] == rails[0]) | (planes[1] == rails[1]))
+            out = out + (clip.astype(jnp.float32),)
+        return out
+
+    total = source.length if limit is None else min(limit, source.length)
+    acc = np.zeros(5, dtype=np.float64)
+    max_p = 0.0
+    clips = 0.0
+    off = 0
+    while off < total:
+        n = min(chunk, total - off)
+        planes = source.stage(off, off + n)
+        parts = [float(v) for v in reduce_chunk(planes)]
+        acc += parts[:5]
+        max_p = max(max_p, parts[5])
+        if rails is not None:
+            clips += parts[6]
+        off += n
+    n = max(1, total)
+    # circularity about the MEAN (a DC offset is not an IQ image):
+    # E[(z-u)^2] = E[z^2] - u^2, E[|z-u|^2] = E[|z|^2] - |u|^2
+    mu = complex(acc[0] / n, acc[1] / n)
+    z2 = complex(acc[3] / n, acc[4] / n) - mu * mu
+    pvar = max(acc[2] / n - abs(mu) ** 2, 1e-300)
+    return CaptureInfo(
+        format=fmt,
+        sample_rate=source.sample_rate,
+        samples=source.length,
+        bytes=source.length * fmt.pair_bytes,
+        seconds=source.length / source.sample_rate,
+        analyzed=total,
+        dc=mu,
+        rms=float(np.sqrt(acc[2] / n)),
+        peak=float(np.sqrt(max_p)),
+        rho=z2 / pvar,
+        clipped=None if rails is None else clips / (2.0 * n),
+    )
