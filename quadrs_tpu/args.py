@@ -955,6 +955,8 @@ def _parse_scan(args: _Args, raw_map) -> Command:
 def _parse_info(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     chunk = int(parse_si_uint(map_.pop("chunk", "4M")))
+    if chunk < 1:
+        raise ValueError("-chunk must be at least 1")
     limit = map_.pop("limit", None)
     limit = None if limit is None else int(parse_si_uint(limit))
     if limit is not None and limit < 1:

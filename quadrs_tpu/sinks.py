@@ -510,29 +510,28 @@ _RAILS = {
     FileFormat.COMPLEX_INT16: (-32768, 32767),
 }
 
-# decode of the format's midpoint code: the reference's cu8/cs16
-# formulas park the signal near -127 / -32767 (src/lib.rs:250-253), so
-# meaningful DC/RMS statistics subtract this neutral value first
+# decode of each format's IDLE code (the center of its decoded range):
+# the reference's cu8/cs16 formulas park the signal near -127 / -32767.5
+# (src/lib.rs:250-253), so meaningful DC/RMS statistics subtract this
+# neutral value first.  cs8/cs16 idle at code 0, cu8 at 127.5 (an idle
+# rtl dongle dithers 127/128).
 _NEUTRAL = {
     FileFormat.COMPLEX_FLOAT32: 0.0,
-    FileFormat.COMPLEX_INT8: 0.0,
-    FileFormat.COMPLEX_UINT8: 127.5 / 255.0 - 127.5,
-    FileFormat.COMPLEX_INT16: 32767.5 / 65535.0 - 32767.5,
+    FileFormat.COMPLEX_INT8: 0.0,  # decode(0)
+    FileFormat.COMPLEX_UINT8: 127.5 / 255.0 - 127.5,  # decode(127.5) = -127.0
+    FileFormat.COMPLEX_INT16: -32767.5,  # decode(0)
 }
 
 
-def capture_info(source, chunk: int = 1 << 22, limit: int | None = None) -> CaptureInfo:
-    """Analyze a capture (``quadjax info``): DC offset, RMS, peak,
-    circularity ratio (the IQ-imbalance indicator ``iqbal`` corrects),
-    and raw-code clipping fraction, reduced on device chunk by chunk
-    (f32 per-chunk tree reductions, f64 host accumulation) so a
-    multi-GB file costs one pass of native-dtype staging."""
+def _info_reducer(fmt: FileFormat):
+    """The jitted per-chunk reduction for :func:`capture_info`, cached
+    per format so a multi-file ``info`` run compiles once per (format,
+    chunk-shape) instead of once per file."""
     import jax
     import jax.numpy as jnp
 
     from quadrs_tpu.formats import decode_plane
 
-    fmt = source.format
     neutral = jnp.float32(_NEUTRAL[fmt])
     rails = _RAILS.get(fmt)
 
@@ -555,6 +554,24 @@ def capture_info(source, chunk: int = 1 << 22, limit: int | None = None) -> Capt
             out = out + (clip.astype(jnp.float32),)
         return out
 
+    return reduce_chunk
+
+
+_INFO_REDUCERS: dict = {}
+
+
+def capture_info(source, chunk: int = 1 << 22, limit: int | None = None) -> CaptureInfo:
+    """Analyze a capture (``quadjax info``): DC offset, RMS, peak,
+    circularity ratio (the IQ-imbalance indicator ``iqbal`` corrects),
+    and raw-code clipping fraction, reduced on device chunk by chunk
+    (f32 per-chunk tree reductions, f64 host accumulation) so a
+    multi-GB file costs one pass of native-dtype staging."""
+    if chunk < 1:
+        raise ValueError("chunk must be at least 1")
+    fmt = source.format
+    rails = _RAILS.get(fmt)
+    reduce_chunk = _INFO_REDUCERS.setdefault(fmt, _info_reducer(fmt))
+
     total = source.length if limit is None else min(limit, source.length)
     acc = np.zeros(5, dtype=np.float64)
     max_p = 0.0
@@ -574,7 +591,17 @@ def capture_info(source, chunk: int = 1 << 22, limit: int | None = None) -> Capt
     # E[(z-u)^2] = E[z^2] - u^2, E[|z-u|^2] = E[|z|^2] - |u|^2
     mu = complex(acc[0] / n, acc[1] / n)
     z2 = complex(acc[3] / n, acc[4] / n) - mu * mu
-    pvar = max(acc[2] / n - abs(mu) ** 2, 1e-300)
+    pvar = acc[2] / n - abs(mu) ** 2
+    # a (near-)constant capture has no AC power to be circular about:
+    # both moments cancel to rounding noise, so report no image rather
+    # than their ratio; |rho| <= 1 mathematically, so clamp residual
+    # f32-sum cancellation error too
+    if pvar <= 1e-9 * (acc[2] / n + 1e-30):
+        rho = 0j
+    else:
+        rho = z2 / pvar
+        if abs(rho) > 1.0:
+            rho /= abs(rho)
     return CaptureInfo(
         format=fmt,
         sample_rate=source.sample_rate,
@@ -585,6 +612,6 @@ def capture_info(source, chunk: int = 1 << 22, limit: int | None = None) -> Capt
         dc=mu,
         rms=float(np.sqrt(acc[2] / n)),
         peak=float(np.sqrt(max_p)),
-        rho=z2 / pvar,
+        rho=rho,
         clipped=None if rails is None else clips / (2.0 * n),
     )

@@ -342,7 +342,7 @@ class Agc(_Trailing):
         self,
         inner: Stream,
         target: float = 1.0,
-        window: int = 4096,
+        window: int = 4_000,  # matches the CLI default "4k" (decimal SI)
         max_gain: float = 1000.0,
     ):
         super().__init__(inner, window)
@@ -386,11 +386,13 @@ class IqCorrect(Stream):
     (model ``x = alpha*s + beta*conj(s)``; the image term vanishes for
     ``c = beta/conj(alpha)`` up to second order).  ``c`` is either
     given explicitly or blind-estimated once at construction from the
-    capture's leading samples via the circularity ratio
+    capture's leading samples via the MEAN-CENTERED circularity ratio
 
-        rho = E[x^2] / E[|x|^2],    c = rho / 2
+        z = x - E[x],    rho = E[z^2] / E[|z|^2],    c = rho / 2
 
-    (host f64 — exact and deterministic).  A proper complex signal has
+    (host f64 — exact and deterministic; centering keeps a DC offset —
+    including the cu8/cs16 decode formulas' parked baseline — from
+    reading as an image).  A proper complex signal has
     ``E[s^2] = 0``, so ``E[x^2] = 2*beta*E[|s|^2]`` measures the image
     directly; halving the ratio lands ``c = beta/(1+|beta|^2)``, which
     leaves a THIRD-order residual ``beta*|beta|^2/(1+|beta|^2)`` — the
@@ -414,9 +416,17 @@ class IqCorrect(Stream):
                 raise ValueError("capture too short to estimate IQ imbalance")
             x, valid = inner.read_at(0, n)
             x = np.asarray(x[:valid], dtype=np.complex128)
+            # moments about the MEAN: a DC offset — a tuner's center
+            # spike, or the cu8/cs16 decode formulas parking the whole
+            # capture near -127 / -32767.5 — is not an IQ image and
+            # must not bias (or, for the integer formats, saturate)
+            # the estimate
+            x = x - x.mean()
             denom = float(np.sum(np.abs(x) ** 2))
             if denom == 0.0:
-                raise ValueError("all-zero capture: cannot estimate IQ imbalance")
+                raise ValueError(
+                    "constant capture: cannot estimate IQ imbalance"
+                )
             rho = complex(np.sum(x * x) / denom)
             if abs(rho) > 0.9:
                 raise ValueError(

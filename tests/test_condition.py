@@ -190,12 +190,41 @@ def test_iqbal_explicit_coefficient_is_exact_inverse_to_first_order():
 
 
 def test_iqbal_rejects_noncircular_capture():
-    x = np.ones(512, dtype=np.complex64)  # pure real DC: |c| = 1
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=512).astype(np.complex64)  # real noise: |rho| = 1
     src = SampleSource(
         np.ascontiguousarray(x).view(np.uint8), FileFormat.COMPLEX_FLOAT32, 1000
     )
     with pytest.raises(ValueError, match="non-circular"):
         IqCorrect(src)
+    const = SampleSource(
+        np.ascontiguousarray(np.ones(512, dtype=np.complex64)).view(np.uint8),
+        FileFormat.COMPLEX_FLOAT32,
+        1000,
+    )
+    with pytest.raises(ValueError, match="constant"):
+        IqCorrect(const)
+
+
+def test_iqbal_blind_estimate_ignores_dc_and_integer_baselines():
+    # a DC offset must not bias the estimate (it is not an image) ...
+    s, z = _imbalanced(beta=0.04 + 0.02j, seed=8)
+    src = SampleSource(
+        np.ascontiguousarray((z + (2.0 - 1.0j)).astype(np.complex64)).view(
+            np.uint8
+        ),
+        FileFormat.COMPLEX_FLOAT32,
+        1000,
+    )
+    st = IqCorrect(src)
+    assert abs(st.c - (0.04 + 0.02j)) < 0.02  # noise floor ~sqrt(2/n)/2
+    # ... and a raw cu8 capture (decoded baseline ~ -127-127j) must be
+    # estimable at all rather than saturating the non-circular guard
+    rng = np.random.default_rng(12)
+    codes = rng.integers(117, 138, size=4096).astype(np.uint8)
+    cu8 = SampleSource(codes, FileFormat.COMPLEX_UINT8, 1000)
+    st2 = IqCorrect(cu8)
+    assert abs(st2.c) < 0.1  # uncorrelated re/im codes: no real image
 
 
 def test_conditioning_stacks_with_the_reference_chain():

@@ -60,6 +60,22 @@ def test_cu8_neutral_and_clipping():
     assert i2.clipped == pytest.approx(150 / 2000)
 
 
+def test_cs16_neutral_is_decode_of_code_zero():
+    # an idle cs16 receiver holds code 0, which decodes to -32767.5
+    # (raw/65535 - 32767.5); info's dc must read ~0 there, and a small
+    # ripple must read at its true decoded scale (1/65535 per code)
+    raw = np.zeros(4000, dtype="<i2")
+    raw[0::2] = 100  # +100 codes on re only
+    src = SampleSource(raw.view(np.uint8), FileFormat.COMPLEX_INT16, 1000)
+    i = capture_info(src)
+    assert abs(i.dc - (100 / 65535.0)) < 1e-6
+    assert i.clipped == 0.0
+    assert i.rho == 0  # constant capture: no AC power, report no image
+    rails = np.array([-32768, 32767, 0, 0], dtype="<i2")
+    i2 = capture_info(SampleSource(rails.view(np.uint8), FileFormat.COMPLEX_INT16, 1000))
+    assert i2.clipped == pytest.approx(0.5)
+
+
 def test_cs8_limit_and_rails():
     raw = np.zeros(400, dtype=np.int8)
     raw[:4] = 127
