@@ -540,13 +540,20 @@ def _info_reducer(fmt: FileFormat):
         re = decode_plane(planes[0], fmt, xp=jnp) - neutral
         im = decode_plane(planes[1], fmt, xp=jnp) - neutral
         p = re * re + im * im
+        # second moments are computed about the CHUNK's own mean (the
+        # host recombines exactly via the parallel-variance identity):
+        # E[x^2]-mu^2 cancels to f32 rounding noise on DC-dominated
+        # captures, which made rho garbage on near-constant input
+        cre = re - jnp.mean(re)
+        cim = im - jnp.mean(im)
         out = (
             jnp.sum(re),
             jnp.sum(im),
             jnp.sum(p),
-            jnp.sum(re * re - im * im),  # Re E[z^2]
-            jnp.sum(2.0 * re * im),  # Im E[z^2]
             jnp.max(p, initial=0.0),
+            jnp.sum(cre * cre + cim * cim),  # centered power
+            jnp.sum(cre * cre - cim * cim),  # Re sum (z-mu_k)^2
+            jnp.sum(2.0 * cre * cim),  # Im sum (z-mu_k)^2
         )
         if rails is not None:
             clip = jnp.sum((planes[0] == rails[0]) | (planes[0] == rails[1]))
@@ -573,33 +580,39 @@ def capture_info(source, chunk: int = 1 << 22, limit: int | None = None) -> Capt
     reduce_chunk = _INFO_REDUCERS.setdefault(fmt, _info_reducer(fmt))
 
     total = source.length if limit is None else min(limit, source.length)
-    acc = np.zeros(5, dtype=np.float64)
+    acc = np.zeros(3, dtype=np.float64)  # sum re, sum im, sum p
+    chunks: list[tuple[int, complex, float, complex]] = []  # per-chunk moments
     max_p = 0.0
     clips = 0.0
     off = 0
     while off < total:
-        n = min(chunk, total - off)
-        planes = source.stage(off, off + n)
+        n_k = min(chunk, total - off)
+        planes = source.stage(off, off + n_k)
         parts = [float(v) for v in reduce_chunk(planes)]
-        acc += parts[:5]
-        max_p = max(max_p, parts[5])
+        acc += parts[:3]
+        max_p = max(max_p, parts[3])
+        mu_k = complex(parts[0] / n_k, parts[1] / n_k)
+        chunks.append((n_k, mu_k, parts[4], complex(parts[5], parts[6])))
         if rails is not None:
-            clips += parts[6]
-        off += n
+            clips += parts[7]
+        off += n_k
     n = max(1, total)
-    # circularity about the MEAN (a DC offset is not an IQ image):
-    # E[(z-u)^2] = E[z^2] - u^2, E[|z-u|^2] = E[|z|^2] - |u|^2
     mu = complex(acc[0] / n, acc[1] / n)
-    z2 = complex(acc[3] / n, acc[4] / n) - mu * mu
-    pvar = acc[2] / n - abs(mu) ** 2
-    # a (near-)constant capture has no AC power to be circular about:
-    # both moments cancel to rounding noise, so report no image rather
-    # than their ratio; |rho| <= 1 mathematically, so clamp residual
-    # f32-sum cancellation error too
-    if pvar <= 1e-9 * (acc[2] / n + 1e-30):
+    # combine the chunk-centered second moments about the GLOBAL mean
+    # (exact identity: sum|x-mu|^2 = sum|x-mu_k|^2 + n_k|mu_k-mu|^2,
+    # and likewise for the unconjugated square) — circularity is about
+    # the mean because a DC offset is not an IQ image
+    s_pc = sum(cp + n_k * abs(mu_k - mu) ** 2 for n_k, mu_k, cp, _ in chunks)
+    s_z2 = sum(cz + n_k * (mu_k - mu) ** 2 for n_k, mu_k, _, cz in chunks)
+    rms = float(np.sqrt(acc[2] / n))
+    # a (near-)constant capture has no AC power to be circular about —
+    # centered sums are pure f32 rounding noise there, so report no
+    # image below ~100 ulp of the signal scale; |rho| <= 1
+    # mathematically, so clamp residual rounding too
+    if np.sqrt(s_pc / n) < 1e-5 * (abs(mu) + rms + 1e-30):
         rho = 0j
     else:
-        rho = z2 / pvar
+        rho = s_z2 / s_pc
         if abs(rho) > 1.0:
             rho /= abs(rho)
     return CaptureInfo(
@@ -610,7 +623,7 @@ def capture_info(source, chunk: int = 1 << 22, limit: int | None = None) -> Capt
         seconds=source.length / source.sample_rate,
         analyzed=total,
         dc=mu,
-        rms=float(np.sqrt(acc[2] / n)),
+        rms=rms,
         peak=float(np.sqrt(max_p)),
         rho=rho,
         clipped=None if rails is None else clips / (2.0 * n),
