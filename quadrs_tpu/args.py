@@ -187,6 +187,23 @@ class InfoCmd(Command):
 
 
 @dataclass
+class ReplayCmd(Command):
+    """``replay``: stream a capture's raw bytes to stdout paced at its
+    sample rate — turns any file into a live pipe for exercising the
+    ``-stdin`` consumers (``quadjax replay cap.sr2M.cu8 | quadjax
+    stream -stdin yes -sr 2M -format cu8 ...``), standing in for the
+    radio.  ``-speed X`` scales real time (0 = unthrottled), ``-loop
+    N`` repeats the capture."""
+
+    filename: str
+    speed: float = 1.0
+    loop: int = 1
+    chunk: int = 65_536  # samples per write/pace step
+    sample_rate: str | None = None
+    format: str | None = None
+
+
+@dataclass
 class OokCmd(Command):
     """``ook``: demodulate an on-off-keyed capture to bits
     (:class:`~quadrs_tpu.models.demod.OokDemod`; the README's
@@ -978,6 +995,29 @@ def _parse_info(args: _Args, raw_map) -> Command:
     )
 
 
+def _parse_replay(args: _Args, raw_map) -> Command:
+    map_ = _no_duplicates(raw_map)
+    speed = parse_si_float(map_.pop("speed", "1"))
+    if speed < 0:
+        raise ValueError("-speed must be >= 0 (0 = unthrottled)")
+    loop = int(parse_si_uint(map_.pop("loop", "1")))
+    if loop < 1:
+        raise ValueError("-loop must be at least 1")
+    chunk = int(parse_si_uint(map_.pop("chunk", "64k")))
+    if chunk < 1:
+        raise ValueError("-chunk must be at least 1")
+    sr = map_.pop("sr", None)
+    fmt = map_.pop("format", None)
+    _ensure_empty(map_, "replay")
+    filename = args.next()
+    if filename is None:
+        raise ValueError("'replay' requires a capture filename argument")
+    return ReplayCmd(
+        filename=filename, speed=speed, loop=loop, chunk=chunk,
+        sample_rate=sr, format=fmt,
+    )
+
+
 def _parse_ook(args: _Args, raw_map) -> Command:
     map_ = _no_duplicates(raw_map)
     width = int(parse_si_uint(map_.pop("width", "4")))
@@ -1360,6 +1400,7 @@ _PARSERS = {
     "waterfall": _parse_waterfall,
     "scan": _parse_scan,
     "info": _parse_info,
+    "replay": _parse_replay,
     "ook": _parse_ook,
     "fsk": _parse_fsk,
     "psk": _parse_psk,

@@ -55,6 +55,9 @@ sparkfft [-width 128] [-stride =width] [-range LOW:HIGH] \\
          [-stdin no] FILENAME [live pipe: rtl_sdr - | {us} stream -stdin yes -sr 2M -format cu8] \\
 waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [-chunks N] [-search no] [-out PREFIX] [-mesh TxS] [-stdin no] FILENAME... \\
+  replay [-speed 1 (0 = unthrottled)] [-loop 1] [-chunk 64k] [-sr R] [-format F] FILENAME \\
+         [stream the raw capture bytes to stdout paced at the sample rate — a recorded \\
+          stand-in for the radio: {us} replay cap.sr2M.cu8 | {us} stream -stdin yes ...] \\
     info [-chunk 4M] [-limit N] [-sr R] [-format F] FILENAME... [capture statistics: \\
          format/rate/length + device-reduced dc offset, rms/peak/crest, IQ-image \\
          level (what iqbal corrects), raw-code clipping fraction] \\
@@ -139,6 +142,7 @@ def _serve_types() -> tuple:
         argmod.SsbCmd,
         argmod.ChannelizeCmd,
         argmod.InfoCmd,
+        argmod.ReplayCmd,
         argmod.ServeCmd,
     )
 

@@ -704,6 +704,53 @@ def run_info(cmd: argmod.InfoCmd) -> int:
     return 0
 
 
+def run_replay(cmd: argmod.ReplayCmd) -> int:
+    """Stream a capture's raw bytes to stdout paced at its sample rate
+    (``quadjax replay``): the producer side of the live-pipe story —
+    any ``-stdin`` consumer can be exercised against a recorded
+    capture exactly as it would run against a radio.  Bytes are the
+    file's own (no decode), so the consumer sees the identical wire
+    format; pacing writes ``-chunk`` samples then sleeps to the global
+    schedule (cumulative, so jitter does not accumulate).  Stats go to
+    stderr — stdout IS the data stream."""
+    import sys
+    import time
+
+    src = open_capture(cmd.filename, cmd.sample_rate, cmd.format)
+    if not hasattr(src, "raw_bytes"):
+        raise ValueError("replay needs a seekable capture file")
+    out = sys.stdout.buffer
+    total = 0
+    t0 = time.perf_counter()
+    try:
+        for _ in range(cmd.loop):
+            off = 0
+            while off < src.length:
+                n = min(cmd.chunk, src.length - off)
+                out.write(src.raw_bytes(off, off + n))
+                off += n
+                total += n
+                if cmd.speed > 0:
+                    due = t0 + total / (src.sample_rate * cmd.speed)
+                    delay = due - time.perf_counter()
+                    if delay > 0:
+                        time.sleep(delay)
+        out.flush()
+    except BrokenPipeError:
+        # the consumer closed its end (e.g. piped into `head` or a
+        # -chunks-bounded run): stop quietly, and point stdout at
+        # devnull so interpreter shutdown doesn't re-raise on flush
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+    dt = max(time.perf_counter() - t0, 1e-9)
+    print(
+        f"replay: {total} samples, {dt:.2f}s, {total / dt / 1e6:.1f} Msps",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def run_channelize(cmd: argmod.ChannelizeCmd) -> int:
     """Split a capture into K channels in one polyphase-bank pass:
     write each selected channel as ``{prefix}.ch{k}.sr{rate}.cf32``
@@ -1299,5 +1346,6 @@ RUNNERS = {
     argmod.SsbCmd: run_ssb,
     argmod.ChannelizeCmd: run_channelize,
     argmod.InfoCmd: run_info,
+    argmod.ReplayCmd: run_replay,
     argmod.ServeCmd: run_serve,
 }
