@@ -610,12 +610,19 @@ def bench_find(on_accel: bool) -> dict:
     grid_msps = measure_msps_acc(
         step_of(make_xcorr_post(pat, c, grid)), b * n_out, secs, min_iters=2
     )
+    # A/B: the house four-step MXU DFT in place of XLA's butterfly FFT
+    # (a+b MACs/sample vs ~5*log2 c flops — width-dependent crossover)
+    fs_msps = measure_msps_acc(
+        step_of(make_xcorr_post(pat, c, fft_impl="four_step")),
+        b * n_out, secs, min_iters=2,
+    )
     entry = {
         "metric": f"pattern search (l={l}, FFT block {c}; input rate)",
         "value": round(msps, 1),
         "unit": "Msamples/sec/chip",
         "vs_baseline": round(msps / 100.0, 2),
         "freq_grid9_msps": round(grid_msps, 1),
+        "four_step_msps": round(fs_msps, 1),
         **tstats,
     }
     # per NEW input sample: one forward + one inverse FFT of c amortized

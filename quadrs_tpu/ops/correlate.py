@@ -34,7 +34,7 @@ import numpy as np
 
 
 def make_xcorr_post(
-    pattern, c: int, freqs: np.ndarray | None = None
+    pattern, c: int, freqs: np.ndarray | None = None, fft_impl: str = "xla"
 ) -> Callable:
     """Executor ``post`` for pattern search.
 
@@ -44,6 +44,11 @@ def make_xcorr_post(
     a ``(B, c)`` complex window batch into ``(score, scale, ridx)`` —
     ``(B, c - l_max + 1)`` f32/f32/int32, where ``ridx`` encodes the
     winning row as ``pattern_index * F + freq_index``.
+
+    ``fft_impl``: the transform engine for the length-``c`` blocks —
+    ``"xla"`` (XLA's butterfly FFT) or ``"four_step"`` (the house
+    two-factor MXU DFT, forward and inverse on f32 planes).  The
+    crossover is width-dependent; ``bench_find`` carries the A/B.
 
     ``freqs``: optional carrier-offset search grid in CYCLES PER SAMPLE
     (F values; 0.0 is the plain search).  Every template is premixed by
@@ -99,6 +104,27 @@ def make_xcorr_post(
     single = len(rows) == 1
     tiny = np.float32(1e-30)
 
+    if fft_impl == "four_step":
+        from quadrs_tpu.ops.stft import _require_four_step, four_step_fft_planes
+
+        a_fac = _require_four_step(c)
+
+        def fwd(x):
+            yr, yi = four_step_fft_planes(jnp.real(x), jnp.imag(x), a_fac)
+            return jax.lax.complex(yr, yi)
+
+        def inv(x):
+            yr, yi = four_step_fft_planes(
+                jnp.real(x), jnp.imag(x), a_fac, inverse=True
+            )
+            return jax.lax.complex(yr, yi)
+
+    elif fft_impl == "xla":
+        fwd = lambda x: jnp.fft.fft(x, axis=-1)
+        inv = lambda x: jnp.fft.ifft(x, axis=-1)
+    else:
+        raise ValueError(f"unknown fft impl: {fft_impl!r} (xla|four_step)")
+
     def moving_energy(cs, l_k: int):
         # sum of |x|^2 over [n, n+l_k) for n in [0, n_out)
         return cs[:, l_k - 1 : l_k - 1 + n_out] - jnp.concatenate(
@@ -108,14 +134,14 @@ def make_xcorr_post(
     def post(x: jnp.ndarray):
         planes = jnp.asarray(pf_planes)
         pfc = jax.lax.complex(planes[0], planes[1])  # (R, c)
-        xf = jnp.fft.fft(x, axis=-1)  # (B, c)
+        xf = fwd(x)  # (B, c)
         mag2 = jnp.real(x) ** 2 + jnp.imag(x) ** 2
         cs = jnp.cumsum(mag2, axis=-1)
         # score = num / (e_p * e_x); normalizing by e_p^2 instead maps
         # zero-energy windows to score 0 without a divide-by-zero
 
         if single:
-            corr = jnp.fft.ifft(xf * pfc[0][None, :], axis=-1)[:, :n_out]
+            corr = inv(xf * pfc[0][None, :])[:, :n_out]
             num = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
             den = jnp.maximum(moving_energy(cs, row_len[0]) * inv_ep_r[0], tiny)
             score = num * inv_ep2_r[0] / den
@@ -123,7 +149,7 @@ def make_xcorr_post(
             ridx = jnp.zeros(score.shape, jnp.int32)
             return score.astype(jnp.float32), scale.astype(jnp.float32), ridx
 
-        corr = jnp.fft.ifft(xf[:, None, :] * pfc[None, :, :], axis=-1)
+        corr = inv(xf[:, None, :] * pfc[None, :, :])
         num = (jnp.real(corr) ** 2 + jnp.imag(corr) ** 2)[:, :, :n_out]
         den = jnp.stack(
             [

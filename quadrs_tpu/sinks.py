@@ -327,6 +327,7 @@ def find_pattern(
     min_distance: int | None = None,
     freq_tol: float = 0.0,
     freq_step: float | None = None,
+    fft_impl: str = "xla",
 ) -> FindResult:
     """Find every occurrence of a complex ``pattern`` in ``stream`` by
     gain/phase-invariant normalized cross-correlation (TPU-native
@@ -456,7 +457,8 @@ def find_pattern(
             offsets, c, budget=budget, root_step=root_step_of(stream)
         )
         ex = Executor(
-            stream, c, batch=batch, post=make_xcorr_post(pats, c, grid)
+            stream, c, batch=batch,
+            post=make_xcorr_post(pats, c, grid, fft_impl=fft_impl),
         )
         for offs in batches:
             feed_batch(ex.run(offs), offs, n_lags)

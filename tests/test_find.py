@@ -616,3 +616,40 @@ class TestCli:
         from quadrs_tpu.cli import USAGE
 
         assert "find [-pattern" in USAGE
+
+
+def test_four_step_fft_impl_matches_xla():
+    """The house MXU DFT engine (fft_impl="four_step") is a drop-in for
+    XLA's FFT: same offsets, scores to f32 tolerance, on both the
+    single-template and the template-bank/grid paths."""
+    rng = np.random.default_rng(15)
+    n, l = 60_000, 512
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    x = 0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    for o in (100, 30_000, n - l):
+        x[o : o + l] += 0.8 * p
+    src = cf32_source(x)
+    a = sinks.find_pattern(src, p, threshold=0.5, chunk=4096)
+    b = sinks.find_pattern(src, p, threshold=0.5, chunk=4096, fft_impl="four_step")
+    assert np.array_equal(a.offsets, b.offsets)
+    np.testing.assert_allclose(a.scores, b.scores, atol=2e-4)
+    np.testing.assert_allclose(a.scales, b.scales, atol=2e-4)
+
+    q = (rng.standard_normal(l // 2) + 1j * rng.standard_normal(l // 2)).astype(
+        np.complex64
+    )
+    ga = sinks.find_pattern(
+        src, [p, q], threshold=0.5, chunk=4096, freq_tol=300.0
+    )
+    gb = sinks.find_pattern(
+        src, [p, q], threshold=0.5, chunk=4096, freq_tol=300.0,
+        fft_impl="four_step",
+    )
+    assert np.array_equal(ga.offsets, gb.offsets)
+    assert np.array_equal(ga.which, gb.which)
+    np.testing.assert_allclose(ga.scores, gb.scores, atol=2e-4)
+
+    with pytest.raises(ValueError, match="fft impl"):
+        sinks.find_pattern(src, p, fft_impl="nope")
