@@ -610,10 +610,15 @@ def bench_find(on_accel: bool) -> dict:
     grid_msps = measure_msps_acc(
         step_of(make_xcorr_post(pat, c, grid)), b * n_out, secs, min_iters=2
     )
-    # A/B: the house four-step MXU DFT in place of XLA's butterfly FFT
-    # (a+b MACs/sample vs ~5*log2 c flops — width-dependent crossover)
+    # standing A/B: the default (auto -> the three-factor MXU split,
+    # a+b1+b2 = 128 MACs/sample at c=65536) vs the two-factor split
+    # (a+b = 1088) vs XLA's butterfly FFT.  v5e: 563 / 134 / 126 Msps.
     fs_msps = measure_msps_acc(
         step_of(make_xcorr_post(pat, c, fft_impl="four_step")),
+        b * n_out, secs, min_iters=2,
+    )
+    xla_msps = measure_msps_acc(
+        step_of(make_xcorr_post(pat, c, fft_impl="xla")),
         b * n_out, secs, min_iters=2,
     )
     entry = {
@@ -623,6 +628,7 @@ def bench_find(on_accel: bool) -> dict:
         "vs_baseline": round(msps / 100.0, 2),
         "freq_grid9_msps": round(grid_msps, 1),
         "four_step_msps": round(fs_msps, 1),
+        "xla_fft_msps": round(xla_msps, 1),
         **tstats,
     }
     # per NEW input sample: one forward + one inverse FFT of c amortized

@@ -20,8 +20,10 @@ Mapping to the hardware: the correlation runs as overlap-save FFT
 convolution — the executor's window length ``c`` (a power of two) IS
 the FFT block, each window yielding ``c - l + 1`` valid scores, so one
 batched ``FFT -> pointwise multiply -> IFFT`` per chunk does all the
-work (XLA's TPU FFT), plus a cumulative-sum moving window for the
-energy term.  The pattern's spectrum is precomputed on the host in f64
+work, plus a cumulative-sum moving window for the energy term.  The
+transforms ride the house three-factor MXU DFT by default (563 vs 126
+Msps over XLA's butterfly FFT at c=65536 on v5e — see
+:func:`make_xcorr_post`'s ``fft_impl``).  The pattern's spectrum is precomputed on the host in f64
 (like every NCO table in this package) and enters the program as f32
 planes — complex constants never cross the tunnel.
 """
@@ -34,7 +36,7 @@ import numpy as np
 
 
 def make_xcorr_post(
-    pattern, c: int, freqs: np.ndarray | None = None, fft_impl: str = "xla"
+    pattern, c: int, freqs: np.ndarray | None = None, fft_impl: str = "auto"
 ) -> Callable:
     """Executor ``post`` for pattern search.
 
@@ -46,9 +48,15 @@ def make_xcorr_post(
     winning row as ``pattern_index * F + freq_index``.
 
     ``fft_impl``: the transform engine for the length-``c`` blocks —
-    ``"xla"`` (XLA's butterfly FFT) or ``"four_step"`` (the house
-    two-factor MXU DFT, forward and inverse on f32 planes).  The
-    crossover is width-dependent; ``bench_find`` carries the A/B.
+    ``"xla"`` (XLA's butterfly FFT), ``"four_step"`` (the house
+    two-factor MXU DFT, forward and inverse on f32 planes), or
+    ``"three_step"`` (the three-factor split — ``a+b1+b2`` MACs per
+    sample instead of ``a+b``; at c=65536 that is 128 vs 1088).
+    ``"auto"`` (the default) routes by measurement: three_step when the
+    block factors three ways, else four_step, else XLA — on v5e at
+    c=65536 the single-template search runs 563 (three_step) vs 134
+    (four_step) vs 126 (xla) Msps same-session; ``bench_find`` carries
+    the standing A/B.
 
     ``freqs``: optional carrier-offset search grid in CYCLES PER SAMPLE
     (F values; 0.0 is the plain search).  Every template is premixed by
@@ -104,6 +112,16 @@ def make_xcorr_post(
     single = len(rows) == 1
     tiny = np.float32(1e-30)
 
+    if fft_impl == "auto":
+        from quadrs_tpu.ops.stft import _four_step_factor, _three_step_factors
+
+        if _three_step_factors(c) is not None:
+            fft_impl = "three_step"
+        elif _four_step_factor(c) is not None:
+            fft_impl = "four_step"
+        else:
+            fft_impl = "xla"
+
     if fft_impl == "four_step":
         from quadrs_tpu.ops.stft import _require_four_step, four_step_fft_planes
 
@@ -119,11 +137,28 @@ def make_xcorr_post(
             )
             return jax.lax.complex(yr, yi)
 
+    elif fft_impl == "three_step":
+        from quadrs_tpu.ops.stft import _require_three_step, three_step_fft_planes
+
+        a3, b13 = _require_three_step(c)
+
+        def fwd(x):
+            yr, yi = three_step_fft_planes(jnp.real(x), jnp.imag(x), a3, b13)
+            return jax.lax.complex(yr, yi)
+
+        def inv(x):
+            yr, yi = three_step_fft_planes(
+                jnp.real(x), jnp.imag(x), a3, b13, inverse=True
+            )
+            return jax.lax.complex(yr, yi)
+
     elif fft_impl == "xla":
         fwd = lambda x: jnp.fft.fft(x, axis=-1)
         inv = lambda x: jnp.fft.ifft(x, axis=-1)
     else:
-        raise ValueError(f"unknown fft impl: {fft_impl!r} (xla|four_step)")
+        raise ValueError(
+            f"unknown fft impl: {fft_impl!r} (xla|four_step|three_step)"
+        )
 
     def moving_energy(cs, l_k: int):
         # sum of |x|^2 over [n, n+l_k) for n in [0, n_out)

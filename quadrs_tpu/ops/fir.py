@@ -257,7 +257,7 @@ def _overlap_save_poly(
     butterflies at the power=2000 / decimate=32 operating point, and no
     strided HBM access.
     """
-    from quadrs_tpu.ops.stft import _four_step_factor, four_step_fft_planes
+    from quadrs_tpu.ops.stft import mxu_fft_planes
 
     size = len(taps)
     md = -(-size // d)  # decimated-domain subfilter length
@@ -292,15 +292,15 @@ def _overlap_save_poly(
     frames = _overlapped_frames(x, hop2 * d, m2 * d, n_frames)  # (B, F, m2*d)
     b = x.shape[0]
     ph = frames.reshape(b, n_frames, m2, d).transpose(0, 1, 3, 2)
-    a = _four_step_factor(m2)
-    if a is not None:
-        sr, si = four_step_fft_planes(ph.real, ph.imag, a)  # (B, F, d, m2)
+    fwd = mxu_fft_planes(ph.real, ph.imag)  # (B, F, d, m2) or None
+    if fwd is not None:
+        sr, si = fwd
         accr = jnp.sum(sr * hr - si * hi, axis=2)  # (B, F, m2)
         acci = jnp.sum(sr * hi + si * hr, axis=2)
-        yr, yi = four_step_fft_planes(accr, acci, a, inverse=True)
+        yr, yi = mxu_fft_planes(accr, acci, inverse=True)
     else:
-        # enormous subfilters (m2 > 1024^2) have no two-factor split with
-        # both matmuls <= 1024 wide; fall back to XLA's butterfly FFT
+        # enormous subfilters (m2 > 1024^2) have no MXU split with
+        # every matmul <= 1024 wide; fall back to XLA's butterfly FFT
         spec = jnp.fft.fft(jax.lax.complex(ph.real, ph.imag))
         acc = jnp.sum(spec * jax.lax.complex(hr, hi), axis=2)
         inv = jnp.fft.ifft(acc)

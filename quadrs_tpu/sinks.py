@@ -327,7 +327,7 @@ def find_pattern(
     min_distance: int | None = None,
     freq_tol: float = 0.0,
     freq_step: float | None = None,
-    fft_impl: str = "xla",
+    fft_impl: str = "auto",
 ) -> FindResult:
     """Find every occurrence of a complex ``pattern`` in ``stream`` by
     gain/phase-invariant normalized cross-correlation (TPU-native

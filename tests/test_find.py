@@ -618,10 +618,11 @@ class TestCli:
         assert "find [-pattern" in USAGE
 
 
-def test_four_step_fft_impl_matches_xla():
-    """The house MXU DFT engine (fft_impl="four_step") is a drop-in for
-    XLA's FFT: same offsets, scores to f32 tolerance, on both the
-    single-template and the template-bank/grid paths."""
+@pytest.mark.parametrize("impl", ["four_step", "three_step"])
+def test_house_fft_impl_matches_xla(impl):
+    """The house MXU DFT engines (fft_impl="four_step"/"three_step") are
+    drop-ins for XLA's FFT: same offsets, scores to f32 tolerance, on
+    both the single-template and the template-bank/grid paths."""
     rng = np.random.default_rng(15)
     n, l = 60_000, 512
     p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
@@ -632,7 +633,7 @@ def test_four_step_fft_impl_matches_xla():
         x[o : o + l] += 0.8 * p
     src = cf32_source(x)
     a = sinks.find_pattern(src, p, threshold=0.5, chunk=4096)
-    b = sinks.find_pattern(src, p, threshold=0.5, chunk=4096, fft_impl="four_step")
+    b = sinks.find_pattern(src, p, threshold=0.5, chunk=4096, fft_impl=impl)
     assert np.array_equal(a.offsets, b.offsets)
     np.testing.assert_allclose(a.scores, b.scores, atol=2e-4)
     np.testing.assert_allclose(a.scales, b.scales, atol=2e-4)
@@ -645,7 +646,7 @@ def test_four_step_fft_impl_matches_xla():
     )
     gb = sinks.find_pattern(
         src, [p, q], threshold=0.5, chunk=4096, freq_tol=300.0,
-        fft_impl="four_step",
+        fft_impl=impl,
     )
     assert np.array_equal(ga.offsets, gb.offsets)
     assert np.array_equal(ga.which, gb.which)

@@ -259,6 +259,56 @@ def test_four_step_fft_planes_exact():
     assert _four_step_factor(1021) is None  # prime width -> xla fallback
 
 
+def test_three_step_fft_planes_exact():
+    """The three-factor split (forward and inverse) matches numpy across
+    widths; the factor picker returns splits whose product is the width
+    and minimizes a+b1+b2; batched_fft(impl="three_step") agrees with
+    XLA's FFT."""
+    import jax
+
+    from quadrs_tpu.ops.stft import (
+        _three_step_factors,
+        batched_fft,
+        three_step_fft_planes,
+    )
+    from util import from_device_complex, to_device_complex
+
+    rng = np.random.default_rng(73)
+    for w in (512, 1024, 4096, 6144, 65536):
+        fac = _three_step_factors(w)
+        assert fac is not None
+        a, b1 = fac
+        assert w % (a * b1) == 0
+        x = (rng.normal(size=(4, w)) + 1j * rng.normal(size=(4, w))).astype(
+            np.complex64
+        )
+        fwd = jax.jit(lambda r, i, a=a, b1=b1: three_step_fft_planes(r, i, a, b1))
+        inv = jax.jit(
+            lambda r, i, a=a, b1=b1: three_step_fft_planes(r, i, a, b1, inverse=True)
+        )
+        yr, yi = fwd(x.real, x.imag)
+        want = np.fft.fft(x.astype(np.complex128))
+        np.testing.assert_allclose(
+            np.asarray(yr) + 1j * np.asarray(yi), want, atol=3e-6 * np.abs(want).max()
+        )
+        zr, zi = inv(want.real.astype(np.float32), want.imag.astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(zr) + 1j * np.asarray(zi), x, atol=3e-5 * np.abs(x).max()
+        )
+    # the split really is three-way cheap: at 65536 a+b1+b2 = 128
+    a, b1 = _three_step_factors(65536)
+    assert a + b1 + 65536 // (a * b1) == 128
+    assert _three_step_factors(1021) is None  # prime width
+    y = (rng.normal(size=(2, 2048)) + 1j * rng.normal(size=(2, 2048))).astype(
+        np.complex64
+    )
+    got = from_device_complex(
+        jax.jit(lambda v: batched_fft(v, impl="three_step"))(to_device_complex(y))
+    )
+    want = np.fft.fft(y.astype(np.complex128))
+    np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
+
+
 # ---------------------------------------------------------------------------
 # write -format (integer quantization; TPU-native addition)
 
