@@ -21,8 +21,8 @@ convolution — the executor's window length ``c`` (a power of two) IS
 the FFT block, each window yielding ``c - l + 1`` valid scores, so one
 batched ``FFT -> pointwise multiply -> IFFT`` per chunk does all the
 work, plus a cumulative-sum moving window for the energy term.  The
-transforms ride the house three-factor MXU DFT by default (563 vs 126
-Msps over XLA's butterfly FFT at c=65536 on v5e — see
+transforms ride the house MXU DFT splits by default (at c=65536 the
+three-factor split runs 798 vs XLA's 526 Msps on v5e — see
 :func:`make_xcorr_post`'s ``fft_impl``).  The pattern's spectrum is precomputed on the host in f64
 (like every NCO table in this package) and enters the program as f32
 planes — complex constants never cross the tunnel.
@@ -52,11 +52,13 @@ def make_xcorr_post(
     two-factor MXU DFT, forward and inverse on f32 planes), or
     ``"three_step"`` (the three-factor split — ``a+b1+b2`` MACs per
     sample instead of ``a+b``; at c=65536 that is 128 vs 1088).
-    ``"auto"`` (the default) routes by measurement: three_step when the
-    block factors three ways, else four_step, else XLA — on v5e at
-    c=65536 the single-template search runs 563 (three_step) vs 134
-    (four_step) vs 126 (xla) Msps same-session; ``bench_find`` carries
-    the standing A/B.
+    ``"auto"`` (the default) routes through
+    :func:`~quadrs_tpu.ops.stft.mxu_fft_choice` — cheapest split by
+    effective MACs with the 128-lane floor, else XLA.  Measured v5e at
+    c=65536 the single-template search runs 798 (three_step) vs 667
+    (four_step) vs 526 (xla) Msps same-session (an earlier, slower
+    tunnel session saw 563/134/126 — ordering identical);
+    ``bench_find`` carries the standing A/B.
 
     ``freqs``: optional carrier-offset search grid in CYCLES PER SAMPLE
     (F values; 0.0 is the plain search).  Every template is premixed by
@@ -113,14 +115,10 @@ def make_xcorr_post(
     tiny = np.float32(1e-30)
 
     if fft_impl == "auto":
-        from quadrs_tpu.ops.stft import _four_step_factor, _three_step_factors
+        from quadrs_tpu.ops.stft import mxu_fft_choice
 
-        if _three_step_factors(c) is not None:
-            fft_impl = "three_step"
-        elif _four_step_factor(c) is not None:
-            fft_impl = "four_step"
-        else:
-            fft_impl = "xla"
+        choice = mxu_fft_choice(c)
+        fft_impl = "xla" if choice is None else choice[0]
 
     if fft_impl == "four_step":
         from quadrs_tpu.ops.stft import _require_four_step, four_step_fft_planes

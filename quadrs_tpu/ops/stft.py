@@ -45,15 +45,16 @@ def dft_matrix(width: int) -> np.ndarray:
 
 
 def _auto_impl(width: int) -> str:
-    """Measured v5e crossovers: dense DFT matmul to 256, the four-step
-    split from 512 (it beats XLA's butterfly FFT at every tested width
-    512..4096 — and by 2x at 1024), XLA FFT when the width won't split
-    (primes and widths with huge factors)."""
+    """Measured v5e crossovers: dense DFT matmul to 256; from 512 the
+    cheaper house split by :func:`mxu_fft_choice`'s 128-lane-floor
+    effective cost (four_step 512-8192 — it beats XLA's butterfly FFT
+    at every tested width 512..4096, by 2x at 1024 — three_step from
+    16384, confirmed at 8192/16384/32768/65536); XLA FFT when the
+    width won't split (primes and widths with huge factors)."""
     if width <= _DFT_MATMUL_MAX_WIDTH:
         return "matmul"
-    if _four_step_factor(width) is not None:
-        return "four_step"
-    return "xla"
+    choice = mxu_fft_choice(width)
+    return "xla" if choice is None else choice[0]
 
 
 def batched_fft(x: jnp.ndarray, *, impl: str = "auto") -> jnp.ndarray:
@@ -276,22 +277,53 @@ def three_step_fft_planes(
     return yr, yi
 
 
+def _eff_macs(*factors: int) -> int:
+    """Effective MACs/sample of a factored DFT on the MXU: each stage's
+    ``(..., f) @ (f, f)`` matmul pays for at least 128 output lanes, so
+    a factor below 128 costs as much as 128.  The floor is what the
+    raw MAC count misses — measured v5e: at width 4096 the three-factor
+    split (16*16*16, 48 raw MACs) LOSES 1.8x to the two-factor
+    (32*128, 160 raw) on the os_poly FIR chain (90 vs 163 Msps
+    same-session), while at 65536 the three-factor (64*32*32) wins
+    798 vs 667 on the pattern search — exactly the eff-cost ordering
+    (384 vs 256 at 4096; 384 vs 1152 at 65536)."""
+    return sum(max(f, 128) for f in factors)
+
+
+def mxu_fft_choice(width: int) -> tuple[str, object] | None:
+    """The cheaper house MXU DFT split for this width by effective
+    MACs/sample (:func:`_eff_macs`): ``("four_step", a)`` or
+    ``("three_step", (a, b1))``; None when the width won't factor (the
+    caller falls back to XLA's butterfly FFT).  Ties prefer the
+    two-factor split (fewer stages; the measured winner at 4096)."""
+    fac3 = _three_step_factors(width)
+    a4 = _four_step_factor(width)
+    c3 = None if fac3 is None else _eff_macs(*fac3, width // (fac3[0] * fac3[1]))
+    c4 = None if a4 is None else _eff_macs(a4, width // a4)
+    if c4 is not None and (c3 is None or c4 <= c3):
+        return ("four_step", a4)
+    if c3 is not None:
+        return ("three_step", fac3)
+    return None
+
+
 def mxu_fft_planes(
     xr: jnp.ndarray, xi: jnp.ndarray, *, inverse: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray] | None:
-    """Route f32 planes through the cheapest house MXU DFT split for
-    this width: the three-factor split when it exists (``a+b1+b2``
-    MACs/sample), else the two-factor split (``a+b``), else None (the
-    caller falls back to XLA's FFT).  Measured v5e, pattern search at
-    c=65536: 563 / 134 / 126 Msps respectively."""
+    """Route f32 planes through :func:`mxu_fft_choice`'s split for this
+    width, or None when it has none (the caller falls back to XLA's
+    FFT).  Measured v5e: pattern search c=65536 798 (three) / 667
+    (four) / 526 (xla) Msps; os_poly FIR m2=4096 163 (four) / 90
+    (three) same-session — the 128-lane floor picks the winner both
+    times."""
     width = xr.shape[-1]
-    fac3 = _three_step_factors(width)
-    if fac3 is not None:
-        return three_step_fft_planes(xr, xi, fac3[0], fac3[1], inverse=inverse)
-    a = _four_step_factor(width)
-    if a is not None:
-        return four_step_fft_planes(xr, xi, a, inverse=inverse)
-    return None
+    choice = mxu_fft_choice(width)
+    if choice is None:
+        return None
+    kind, fac = choice
+    if kind == "three_step":
+        return three_step_fft_planes(xr, xi, fac[0], fac[1], inverse=inverse)
+    return four_step_fft_planes(xr, xi, fac, inverse=inverse)
 
 
 def fftshift(x: jnp.ndarray) -> jnp.ndarray:

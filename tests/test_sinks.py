@@ -309,6 +309,43 @@ def test_three_step_fft_planes_exact():
     np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
 
 
+def test_mxu_fft_choice_eff_cost_routing():
+    """The shared chooser picks by effective MACs with the 128-lane
+    floor: two-factor at 4096 (measured 1.8x winner on the os_poly FIR
+    chain), three-factor at 65536 (measured winner on the pattern
+    search), None at primes; and mxu_fft_planes is exact under both
+    routes."""
+    import jax
+
+    from quadrs_tpu.ops.stft import _eff_macs, mxu_fft_choice, mxu_fft_planes
+
+    kind4, a4 = mxu_fft_choice(4096)
+    assert kind4 == "four_step"
+    kindl, fac3 = mxu_fft_choice(65536)
+    assert kindl == "three_step"
+    assert _eff_macs(*fac3, 65536 // (fac3[0] * fac3[1])) < _eff_macs(64, 1024)
+    assert mxu_fft_choice(1021) is None  # prime
+    assert _eff_macs(16, 16, 16) == 384  # the floor, not 48
+
+    rng = np.random.default_rng(5)
+    for w in (4096, 65536):
+        x = (rng.normal(size=(2, w)) + 1j * rng.normal(size=(2, w))).astype(
+            np.complex64
+        )
+        yr, yi = jax.jit(mxu_fft_planes)(x.real, x.imag)
+        want = np.fft.fft(x.astype(np.complex128))
+        np.testing.assert_allclose(
+            np.asarray(yr) + 1j * np.asarray(yi), want,
+            atol=3e-6 * np.abs(want).max(),
+        )
+        zr, zi = jax.jit(lambda r, i: mxu_fft_planes(r, i, inverse=True))(
+            want.real.astype(np.float32), want.imag.astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(zr) + 1j * np.asarray(zi), x, atol=3e-5 * np.abs(x).max()
+        )
+
+
 # ---------------------------------------------------------------------------
 # write -format (integer quantization; TPU-native addition)
 
