@@ -182,24 +182,62 @@ def make_xcorr_post(
             ridx = jnp.zeros(score.shape, jnp.int32)
             return score.astype(jnp.float32), scale.astype(jnp.float32), ridx
 
-        corr = inv(xf[:, None, :] * pfc[None, :, :])
-        num = (jnp.real(corr) ** 2 + jnp.imag(corr) ** 2)[:, :, :n_out]
-        den = jnp.stack(
-            [
-                jnp.maximum(moving_energy(cs, row_len[r]) * inv_ep_r[r], tiny)
-                for r in range(len(rows))
-            ],
-            axis=1,
-        )  # (B, R, n_out)
-        scores = num * inv_ep2_r[None, :, None] / den
-        best = jnp.argmax(scores, axis=1)  # (B, n_out) over NORMALIZED rows
-        score = jnp.take_along_axis(scores, best[:, None, :], axis=1)[:, 0, :]
-        num_b = jnp.take_along_axis(num, best[:, None, :], axis=1)[:, 0, :]
-        scale = jnp.sqrt(num_b) * jnp.take(jnp.asarray(inv_ep_r), best)
+        # Row-sequential running max, scanned over rows.  The obvious
+        # batched form — one (B, R, c) inverse transform, then argmax
+        # over R plus take_along_axis — loses 2.5-2.9x on v5e: the
+        # middle-axis gathers of the argmax epilogue cost MORE than
+        # all R inverse DFTs combined (same-session B=4 R=9 c=65536:
+        # batched+argmax 23.6/27.0 Msps, batched+where 59.5,
+        # row-sequential+where 67.5; identical ridx, scores within
+        # 4e-9).  One inverse per row with where-selects keeps the
+        # epilogue on the VPU; strict ``>`` in ascending row order
+        # reproduces argmax's first-max tie break exactly.  lax.scan
+        # beats the Python-unrolled loop too (91.4 -> 99.4 Msps at
+        # R=9, 36.8 -> 39.6 at R=63, same-session) and keeps compile
+        # flat in R (21 -> 12 s at R=9, 317 -> 47 s at R=63; the grid
+        # is capped at 256 rows upstream).  Moving energy is computed
+        # once per UNIQUE template length, not once per row (a grid
+        # of F frequencies would otherwise stack F identical arrays).
+        lens = sorted(set(row_len))
+        me_stack = jnp.stack([moving_energy(cs, l_k) for l_k in lens])
+        den_idx = np.asarray(
+            [lens.index(l_k) for l_k in row_len], dtype=np.int32
+        )
+        z = jnp.zeros((xf.shape[0], n_out), jnp.float32)
+        init = (z - jnp.float32(1.0), z, jnp.zeros(z.shape, jnp.int32))
+
+        def body(carry, xs):
+            score, sc2, ridx = carry
+            pr, pi, di, r, iep, iep2 = xs
+            corr = inv(xf * jax.lax.complex(pr, pi)[None, :])[:, :n_out]
+            num = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
+            den = jnp.maximum(jnp.take(me_stack, di, axis=0) * iep, tiny)
+            s_r = num * iep2 / den
+            better = s_r > score
+            # sc2 = (scale)^2: scale = sqrt(num) * inv_ep_r[best]
+            return (
+                jnp.where(better, s_r, score),
+                jnp.where(better, num * iep2, sc2),
+                jnp.where(better, r, ridx),
+            ), None
+
+        (score, sc2, ridx), _ = jax.lax.scan(
+            body,
+            init,
+            (
+                planes[0],
+                planes[1],
+                jnp.asarray(den_idx),
+                jnp.arange(len(rows), dtype=jnp.int32),
+                jnp.asarray(inv_ep_r),
+                jnp.asarray(inv_ep2_r),
+            ),
+        )
+        scale = jnp.sqrt(sc2)
         return (
             score.astype(jnp.float32),
             scale.astype(jnp.float32),
-            best.astype(jnp.int32),
+            ridx.astype(jnp.int32),
         )
 
     return post
