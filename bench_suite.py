@@ -612,7 +612,13 @@ def bench_find(on_accel: bool) -> dict:
     )
     # standing A/B: the default (auto -> the three-factor MXU split,
     # a+b1+b2 = 128 MACs/sample at c=65536) vs the two-factor split
-    # (a+b = 1088) vs XLA's butterfly FFT.  v5e: 563 / 134 / 126 Msps.
+    # (a+b = 1088) vs XLA's butterfly FFT.  At this THIN dispatch
+    # (B=4, 262k samples) the three-vs-four ordering is session-
+    # dependent on the tunneled v5e: 798/667/526 and 563/134/126 one
+    # day (three first), 604-670 / 730-733 / 612-740 another (four
+    # first, ~10-20%).  The fat-dispatch sweeps behind mxu_fft_choice
+    # (~2M samples/dispatch) picked three at 65536 decisively; the
+    # router keeps that, and these columns track the thin case.
     fs_msps = measure_msps_acc(
         step_of(make_xcorr_post(pat, c, fft_impl="four_step")),
         b * n_out, secs, min_iters=2,
