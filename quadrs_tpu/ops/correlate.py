@@ -36,7 +36,11 @@ import numpy as np
 
 
 def make_xcorr_post(
-    pattern, c: int, freqs: np.ndarray | None = None, fft_impl: str = "auto"
+    pattern,
+    c: int,
+    freqs: np.ndarray | None = None,
+    fft_impl: str = "auto",
+    extract: tuple[float, int] | None = None,
 ) -> Callable:
     """Executor ``post`` for pattern search.
 
@@ -70,6 +74,31 @@ def make_xcorr_post(
     ``e^{j 2 pi f m}`` correlates fully against its ``f`` row (the
     plain row would lose ``|sinc(f*l)|``), so this is how a preamble is
     found under carrier offset.
+
+    ``extract``: optional ``(threshold, k)`` — move the local-maximum
+    candidate scan ON DEVICE so the host touches only real candidates
+    instead of 12 bytes/lag of score planes (the full-score transfer is
+    what bounds the product over the tunneled runtime).  The returned
+    callable then takes ``(x, left)`` — ``left`` the f32 score
+    immediately LEFT of this dispatch's first lag (``-inf`` on the
+    first) — flattens the batch to one contiguous M=B*(c-l+1) lag row
+    (window offsets must abut by c-l+1, as ``find_pattern``'s grid
+    does), marks positions ``0..M-2`` that are ``>= threshold`` and
+    ``>=`` both neighbors (identical comparisons to :class:`PeakScan`),
+    and returns the tuple
+
+        (vals, idx, scl, rid, count, s_first, s_m2, s_last,
+         scale_last, ridx_last)
+
+    — top-``k`` candidate scores with their flat positions and gathered
+    aux (entries with ``vals < threshold`` are padding), the true
+    candidate count (host falls back to the full-score path when it
+    exceeds ``k``), and the boundary scalars that carry PeakScan's
+    exact pending-element semantics across dispatches: position M-1
+    cannot be decided until its right neighbor arrives, so the host
+    holds ``(s_last, scale_last, ridx_last)`` pending with
+    ``s_m2`` as its left neighbor and decides it against the next
+    dispatch's ``s_first``.
     """
     import jax
     import jax.numpy as jnp
@@ -190,7 +219,7 @@ def make_xcorr_post(
         )  # (B, q) exclusive across blocks
         return (coarse[:, :, None] + lane_ps).reshape(mag2.shape[0], c)
 
-    def post(x: jnp.ndarray):
+    def compute(x: jnp.ndarray):
         planes = jnp.asarray(pf_planes)
         pfc = jax.lax.complex(planes[0], planes[1])  # (R, c)
         xf = fwd(x)  # (B, c)
@@ -266,7 +295,43 @@ def make_xcorr_post(
             ridx.astype(jnp.int32),
         )
 
-    return post
+    if extract is None:
+        return compute
+
+    thr = jnp.float32(extract[0])
+    k = int(extract[1])
+
+    def post_extract(x: jnp.ndarray, left: jnp.ndarray):
+        score, scale, ridx = compute(x)
+        s = score.reshape(-1)  # (M,) contiguous lags across the batch
+        m = s.shape[0]
+        # positions 0..M-2 have both neighbors in hand (position 0's
+        # left is the carried ``left``); M-1 stays pending on the host
+        v = s[:-1]
+        lefts = jnp.concatenate([left.reshape(1).astype(s.dtype), s[:-2]])
+        mask = (v >= thr) & (v >= lefts) & (v >= s[1:])
+        count = jnp.sum(mask.astype(jnp.int32))
+        # non-candidates sink to -1 < any threshold in (0, 1], so a
+        # top-k over the masked row yields exactly the candidates
+        vals, idx = jax.lax.top_k(
+            jnp.where(mask, v, jnp.float32(-1.0)), min(k, m - 1)
+        )
+        scl = jnp.take(scale.reshape(-1), idx)
+        rid = jnp.take(ridx.reshape(-1), idx)
+        return (
+            vals,
+            idx.astype(jnp.int32),
+            scl,
+            rid,
+            count,
+            s[0],
+            s[m - 2],
+            s[m - 1],
+            scale.reshape(-1)[m - 1],
+            ridx.reshape(-1)[m - 1],
+        )
+
+    return post_extract
 
 
 class PeakScan:
@@ -315,6 +380,66 @@ class PeakScan:
             self.aux.extend(ext_aux[idx])
             self._left = float(ext[-2])
         self._pend = (ext_off0 + len(ext) - 1, float(ext[-1]), ext_aux[-1])
+
+    @property
+    def carry(self) -> float:
+        """Score immediately left of the next feed's first element —
+        the ``left`` input of a device-extracted dispatch."""
+        return self._pend[1] if self._pend is not None else -np.inf
+
+    def feed_extract(self, off0: int, m: int, res: tuple) -> bool:
+        """Consume one device-extracted dispatch covering lags
+        ``[off0, off0+m)`` (``res`` is the tuple a
+        :func:`make_xcorr_post(extract=...)` program returns).  The
+        dispatch decided positions ``0..m-2`` itself (its ``left``
+        input must have been :attr:`carry`); this method decides the
+        held-back pending element against the dispatch's first score
+        and holds position ``m-1`` pending — byte-identical candidate
+        streams to feeding the full score rows through :meth:`feed`.
+        Returns False when the candidate count overflowed the program's
+        top-k width (caller re-runs that dispatch full-score)."""
+        (vals, idx, scl, rid, count, s_first, s_m2, s_last,
+         scale_last, ridx_last) = res
+        n = int(count)
+        if n > len(np.asarray(vals)):
+            return False
+        if self._pend is not None:
+            po, pv, pa = self._pend
+            if off0 != po + 1:
+                raise ValueError(f"non-contiguous feed: {off0} after {po}")
+            if (
+                pv >= self.threshold
+                and pv >= self._left
+                and pv >= float(s_first)
+            ):
+                self.offsets.append(po)
+                self.scores.append(pv)
+                self.aux.append(pa)
+        if n:
+            # all n real candidates sort ahead of the -1 padding, so
+            # the first n rows ARE the hits; re-order by lag position
+            idx = np.asarray(idx[:n], dtype=np.int64)
+            order = np.argsort(idx, kind="stable")
+            self.offsets.extend((off0 + idx[order]).tolist())
+            self.scores.extend(
+                np.asarray(vals[:n], dtype=np.float64)[order].tolist()
+            )
+            self.aux.extend(
+                np.stack(
+                    [
+                        np.asarray(scl[:n], dtype=np.float64)[order],
+                        np.asarray(rid[:n], dtype=np.float64)[order],
+                    ],
+                    axis=-1,
+                )
+            )
+        self._left = float(s_m2)
+        self._pend = (
+            off0 + m - 1,
+            float(s_last),
+            np.array([float(scale_last), float(ridx_last)]),
+        )
+        return True
 
     def finish(self) -> None:
         if self._pend is not None:

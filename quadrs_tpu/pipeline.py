@@ -76,7 +76,7 @@ class IqbalOp(Operation):
     ``est`` samples."""
 
     c: complex | None = None
-    est: int = 1 << 18
+    est: int = 256_000  # matches the CLI's '-est 256k' (decimal SI)
 
 
 @dataclass

@@ -104,30 +104,42 @@ class Executor:
         n: int,
         batch: int | None = None,
         post: Callable[[jnp.ndarray], Any] | None = None,
+        post_takes_aux: bool = False,
+        post_whole_batch: bool = False,
     ):
         """``post``: optional traced transform of the (B, n) sample batch
-        (e.g. windowed FFT norms) fused into the same program."""
+        (e.g. windowed FFT norms) fused into the same program.
+
+        ``post_takes_aux``: ``post`` is ``post(x, aux)`` — ``aux`` a
+        small host value passed per :meth:`run` call (e.g. the carried
+        boundary score of a device-side candidate scan).
+
+        ``post_whole_batch``: ``post``'s outputs are batch-level (no
+        per-window leading dim), so :meth:`run` must not strip padding
+        rows; such a batch must fill the executor's full width."""
         self.stream = stream
         self.n = int(n)
         self.batch = batch
         self.post = post
+        self.post_takes_aux = post_takes_aux
+        self.post_whole_batch = post_whole_batch
         self.source = stream.root()
 
-        def call(buf, prep):
+        def call(buf, prep, aux):
             out = stream.read_batch({"buf": buf}, prep, self.n)
             if post is not None:
-                out = post(out)
+                out = post(out, aux) if post_takes_aux else post(out)
             return _split_complex(out)
 
         self._fn = jax.jit(call)
 
-    def run(self, offs: np.ndarray) -> tuple[Any, np.ndarray]:
+    def run(self, offs: np.ndarray, aux=None) -> tuple[Any, np.ndarray]:
         """Execute one batch of window offsets.
 
         Returns ``(outputs, valid)`` where ``outputs`` has leading dim
-        ``len(offs)`` (padding rows stripped) and ``valid`` gives each
-        window's true sample count per the reference's short-read
-        semantics.
+        ``len(offs)`` (padding rows stripped, unless the executor was
+        built ``post_whole_batch``) and ``valid`` gives each window's
+        true sample count per the reference's short-read semantics.
         """
         offs = np.asarray(offs, dtype=np.int64)
         b_real = len(offs)
@@ -136,6 +148,11 @@ class Executor:
         b = self.batch or b_real
         if b_real > b:
             raise ValueError(f"batch of {b_real} exceeds executor width {b}")
+        if self.post_whole_batch and b_real != b:
+            raise ValueError(
+                f"whole-batch post needs a full batch ({b_real} of {b}): "
+                "padding rows would duplicate the last window's outputs"
+            )
         padded = np.concatenate([offs, np.repeat(offs[-1], b - b_real)])
 
         if getattr(self.source, "has_staging", False):
@@ -162,7 +179,13 @@ class Executor:
         from quadrs_tpu.utils.profiling import PROFILER
 
         plan = self.stream.plan(padded, self.n, base)
+        aux_in = (
+            np.float32(0.0)
+            if aux is None
+            else np.asarray(aux, dtype=np.float32)
+        )
         with PROFILER.stage(type(self.stream).__name__.lower(), b_real * self.n):
-            out = _join_complex(self._fn(staged, plan.prep))
-        out = jax.tree_util.tree_map(lambda a: a[:b_real], out)
+            out = _join_complex(self._fn(staged, plan.prep, aux_in))
+        if not self.post_whole_batch:
+            out = jax.tree_util.tree_map(lambda a: a[:b_real], out)
         return out, plan.valid[:b_real]

@@ -304,6 +304,15 @@ def take_fft(
 # guidance instead of accumulating gigabytes and an O(K^2) suppression.
 FIND_CANDIDATE_CAP = 1 << 20
 
+# Per-dispatch lag budget for find_pattern (fat dispatches: the search
+# is latency-bound at 0.2% MXU, so dispatch volume is the first-order
+# lever; thin ~262k-lag dispatches also showed session-unstable
+# transform orderings — STATUS.md r04) and the device candidate scan's
+# top-k width (a dispatch with more candidates than this falls back to
+# the full-score path).  Module-level so tests can shrink them.
+FIND_DISPATCH_BUDGET = 1 << 22
+FIND_TOPK = 1024
+
 
 @dataclass
 class FindResult:
@@ -396,10 +405,15 @@ def find_pattern(
     )
     n_out = c - l + 1
 
-    # the (templates x grid)-row bank multiplies per-batch device
-    # memory; shrink the batch budget to compensate
-    n_rows = len(pats) * len(grid_hz)
-    budget = max(c, (1 << 20) // max(1, n_rows))
+    # one f32 threshold for both comparison sites: the device candidate
+    # scan compares in f32, the host pending logic in f64 — rounding
+    # the threshold once keeps them bit-identical
+    threshold = float(np.float32(threshold))
+    # Fat dispatches (see FIND_DISPATCH_BUDGET).  The grid/bank rows
+    # scan row-sequentially on device, so per-dispatch memory is
+    # ~44*B*c bytes regardless of R (~190 MB at B=64, c=65536) plus
+    # the R*c template spectra.
+    budget = max(c, FIND_DISPATCH_BUDGET)
     scan = PeakScan(threshold)
     cand_cap = FIND_CANDIDATE_CAP
 
@@ -456,12 +470,41 @@ def find_pattern(
         batch, batches = window_batches(
             offsets, c, budget=budget, root_step=root_step_of(stream)
         )
-        ex = Executor(
+        # Every full batch runs the device-side candidate scan: the
+        # program returns top-k candidates + boundary scalars instead
+        # of 12 bytes/lag of score planes (the full-score transfer is
+        # what bounds the product over a tunneled runtime).  The ragged
+        # tail batch — and any dispatch whose candidate count overflows
+        # k — falls back to the full-score path; PeakScan's pending
+        # element bridges the two exactly (see feed_extract).
+        k_top = FIND_TOPK
+        ex_x = Executor(
             stream, c, batch=batch,
-            post=make_xcorr_post(pats, c, grid, fft_impl=fft_impl),
+            post=make_xcorr_post(
+                pats, c, grid, fft_impl=fft_impl, extract=(threshold, k_top)
+            ),
+            post_takes_aux=True, post_whole_batch=True,
         )
+        ex_full = None
         for offs in batches:
-            feed_batch(ex.run(offs), offs, n_lags)
+            if len(offs) == batch and int(offs[-1]) + c <= stream.length:
+                res, _ = ex_x.run(offs, aux=scan.carry)
+                if scan.feed_extract(int(offs[0]), len(offs) * n_out, res):
+                    if len(scan.offsets) > cand_cap:
+                        raise ValueError(
+                            f"more than {cand_cap} candidate peaks above "
+                            f"threshold {threshold:g} in the first "
+                            f"{int(offs[-1]) + n_out} samples: the pattern "
+                            "matches nearly everywhere — raise the "
+                            "threshold or use a more distinctive template"
+                        )
+                    continue
+            if ex_full is None:
+                ex_full = Executor(
+                    stream, c, batch=batch,
+                    post=make_xcorr_post(pats, c, grid, fft_impl=fft_impl),
+                )
+            feed_batch(ex_full.run(offs), offs, n_lags)
     scan.finish()
 
     cand_off = np.asarray(scan.offsets, dtype=np.int64)
@@ -560,7 +603,9 @@ def _info_reducer(fmt: FileFormat):
         if rails is not None:
             clip = jnp.sum((planes[0] == rails[0]) | (planes[0] == rails[1]))
             clip += jnp.sum((planes[1] == rails[0]) | (planes[1] == rails[1]))
-            out = out + (clip.astype(jnp.float32),)
+            # int32 keeps the count exact past 2^24 components/chunk
+            # (f32 would round a heavily-clipped user-raised -chunk)
+            out = out + (clip.astype(jnp.int32),)
         return out
 
     return reduce_chunk
@@ -579,7 +624,9 @@ def capture_info(source, chunk: int = 1 << 22, limit: int | None = None) -> Capt
         raise ValueError("chunk must be at least 1")
     fmt = source.format
     rails = _RAILS.get(fmt)
-    reduce_chunk = _INFO_REDUCERS.setdefault(fmt, _info_reducer(fmt))
+    if fmt not in _INFO_REDUCERS:  # setdefault would rebuild on hits
+        _INFO_REDUCERS[fmt] = _info_reducer(fmt)
+    reduce_chunk = _INFO_REDUCERS[fmt]
 
     total = source.length if limit is None else min(limit, source.length)
     acc = np.zeros(3, dtype=np.float64)  # sum re, sum im, sum p

@@ -405,7 +405,7 @@ class IqCorrect(Stream):
         self,
         inner: Stream,
         c: complex | None = None,
-        est_samples: int = 1 << 18,
+        est_samples: int = 256_000,  # matches the CLI's '-est 256k'
     ):
         self.inner = inner
         self.length = inner.length

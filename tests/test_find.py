@@ -128,6 +128,98 @@ def test_chunk_size_invariance():
     assert list(a.offsets) == [0, 20_011, 49_800]
 
 
+def test_device_extract_matches_full_path(monkeypatch):
+    """The device-side candidate scan (top-k + boundary scalars,
+    sinks.find_pattern's default for full batches) yields byte-identical
+    matches to the full-score PeakScan path, across multi-dispatch runs,
+    pending-element handoffs at every dispatch boundary, and top-k
+    overflow fallbacks."""
+    rng = np.random.default_rng(21)
+    l = 512
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    n = 120_000
+    x = 0.03 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    plants = [100, 30_000, 59_777, 90_000, 119_000]
+    for i, o in enumerate(plants):
+        x[o : o + l] += np.complex64(0.8 * np.exp(1j * i)) * p
+    src = cf32_source(x)
+
+    # tiny budget: c=8192 -> 4-window dispatches, ~15 full + ragged tail
+    monkeypatch.setattr(sinks, "FIND_DISPATCH_BUDGET", 1 << 15)
+    a = sinks.find_pattern(src, p, threshold=0.5, chunk=8192)
+    # top-k of 1 overflows whenever a dispatch holds >1 candidate,
+    # exercising the full-score fallback mid-run
+    monkeypatch.setattr(sinks, "FIND_TOPK", 1)
+    b = sinks.find_pattern(src, p, threshold=0.5, chunk=8192)
+    # single fat dispatch (default budget), extract path end-to-end
+    monkeypatch.setattr(sinks, "FIND_DISPATCH_BUDGET", 1 << 22)
+    monkeypatch.setattr(sinks, "FIND_TOPK", 1024)
+    d = sinks.find_pattern(src, p, threshold=0.5, chunk=8192)
+
+    assert list(a.offsets) == plants
+    for other in (b, d):
+        assert np.array_equal(a.offsets, other.offsets)
+        np.testing.assert_allclose(a.scores, other.scores, atol=1e-4)
+        np.testing.assert_allclose(a.scales, other.scales, atol=1e-4)
+        assert np.array_equal(a.which, other.which)
+
+
+def test_device_extract_aligned_tail(monkeypatch):
+    """A stream whose last window is exactly full (no ragged tail)
+    drives the PENDING element through finish() off the extract path;
+    a plant at the very last lag must still be found."""
+    rng = np.random.default_rng(22)
+    l = 512
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    c = 8192
+    n_out = c - l + 1
+    n = 4 * n_out + l - 1  # windows tile [0, n_lags) exactly
+    x = 0.03 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    x[n - l :] += 0.8 * p  # match at the final lag = the last pending
+    monkeypatch.setattr(sinks, "FIND_DISPATCH_BUDGET", 1 << 15)
+    res = sinks.find_pattern(cf32_source(x), p, threshold=0.5, chunk=c)
+    assert list(res.offsets) == [n - l]
+
+
+def test_device_extract_bank_and_grid(monkeypatch):
+    """Extract path parity for the template-bank + frequency-grid
+    search: which/freqs/scores identical to the full-score path."""
+    rng = np.random.default_rng(23)
+    sr = 48_000
+    l = 400
+    pa = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    pb = (rng.standard_normal(l // 2) + 1j * rng.standard_normal(l // 2)).astype(
+        np.complex64
+    )
+    n = 60_000
+    x = 0.03 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    m = np.arange(l)
+    cfo = 110.0  # Hz
+    x[5_000 : 5_000 + l] += 0.7 * pa * np.exp(2j * np.pi * cfo * m / sr).astype(
+        np.complex64
+    )
+    x[40_000 : 40_000 + l // 2] += 0.9 * pb
+    src = cf32_source(x, sr=sr)
+    kw = dict(threshold=0.4, chunk=4096, freq_tol=300.0)
+    monkeypatch.setattr(sinks, "FIND_DISPATCH_BUDGET", 1 << 14)  # 4-window
+    a = sinks.find_pattern(src, [pa, pb], **kw)
+    monkeypatch.setattr(sinks, "FIND_TOPK", 1)  # force overflow fallback
+    b = sinks.find_pattern(src, [pa, pb], **kw)
+    assert list(a.offsets) == [5_000, 40_000]
+    assert list(a.which) == [0, 1]
+    assert abs(a.freqs[0] - cfo) <= 0.5 * 0.4 * sr / l
+    assert np.array_equal(a.offsets, b.offsets)
+    assert np.array_equal(a.which, b.which)
+    assert np.array_equal(a.freqs, b.freqs)
+    np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)
+
+
 def test_nms_collapses_sidelobes():
     """A repeated pattern (period < distance) yields one match per
     plant; near-duplicate candidates within min_distance collapse to
