@@ -646,6 +646,419 @@ def bench_find(on_accel: bool) -> dict:
     return entry
 
 
+# -- demodulator family ------------------------------------------------------
+
+
+def _demod_capture(n: int) -> str:
+    """Synthetic cf32 capture for the demod benches (noise + an FM-ish
+    carrier at -280 kHz so `shift 280k` centers it), cached on disk."""
+    path = f"/tmp/quadrs-demod-{n}.sr21M.cf32"
+    want = n * 8
+    if not (os.path.exists(path) and os.path.getsize(path) == want):
+        rng = np.random.default_rng(17)
+        t = np.arange(n, dtype=np.float64) / 21e6
+        ph = 2 * np.pi * (-280e3 * t) + 1.5 * np.sin(2 * np.pi * 1e3 * t)
+        x = 0.5 * np.exp(1j * ph)
+        x += 0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+        x.astype(np.complex64).tofile(path)
+    return path
+
+
+def _staged_chain_step(chain, n: int, offs: np.ndarray, post):
+    """One-time host staging of a window batch over ``chain`` (the same
+    span/plan logic as runtime.Executor.run), returning a jitted step
+    that re-runs the exact product program (read_batch -> post) with
+    every output folded into the carried scalar.  A 16-value gain cycle
+    on the staged planes defeats any cross-iteration caching (cf32
+    decode is linear, so scaled planes are just a scaled capture)."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.runtime import _round_up_pow2
+
+    src = chain.root()
+    offs = np.asarray(offs, dtype=np.int64)
+    lo, _ = chain.span(int(offs.min()), n)
+    s_off, s_n = chain.span(int(offs.max()), n)
+    lo = max(0, min(lo, src.length))
+    hi = max(lo, min(s_off + s_n, src.length))
+    staged = src.stage(lo, hi)
+    cap = _round_up_pow2(staged.shape[-1])
+    if staged.shape[-1] < cap:
+        staged = np.pad(staged, ((0, 0), (0, cap - staged.shape[-1])))
+    plan = chain.plan(offs, n, lo)
+    raw = jax.device_put(staged)
+    prep = jax.device_put(plan.prep)
+    gains = np.linspace(0.5, 1.5, 16, dtype=np.float32)
+
+    @jax.jit
+    def _acc(g, acc):
+        x = chain.read_batch({"buf": raw * g}, prep, n)
+        y = post(x) if post is not None else x
+        for leaf in jax.tree_util.tree_leaves(y):
+            if jnp.issubdtype(leaf.dtype, jnp.complexfloating):
+                acc = acc + jnp.sum(jnp.real(leaf)) + jnp.sum(jnp.imag(leaf))
+            else:
+                acc = acc + jnp.sum(leaf)
+        return acc
+
+    return lambda i, acc: _acc(jnp.float32(gains[i % 16]), acc)
+
+
+def _audio_tail_step(demod, rate: int, n_a: int):
+    """Product-true audio stage step: calls demod._audio_stage (cached
+    jitted FIR + rational-resample cores, full np fetches between) on a
+    4-buffer input cycle; the fetches synchronize, so wall differencing
+    is honest."""
+    from quadrs_tpu.models.demod import _audio_stage
+
+    rng = np.random.default_rng(7)
+    bufs = [
+        (0.5 + 0.1 * k) * rng.standard_normal(n_a).astype(np.float32)
+        for k in range(4)
+    ]
+
+    def step(i, acc):
+        _, y = _audio_stage(demod, rate, bufs[i % 4])
+        return acc + float(np.float64(y.sum()))
+
+    return step
+
+
+def _combined(chain_msps: float, tail_msps: float, decimate: int) -> float:
+    """End-to-end input rate of chain + tail stages run back to back:
+    the tail consumes channel-rate samples (1/decimate of the input)."""
+    return 1.0 / (1.0 / chain_msps + 1.0 / (decimate * tail_msps))
+
+
+def bench_fm(on_accel: bool) -> dict:
+    """FM receiver (models/demod.py FmDemod): shift -> 400-tap FIR
+    (decimate 10) -> quadrature discriminator, then the audio tail
+    (15 kHz FIR decimate 10 + rational resample 210k->48k)."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.models.demod import FmDemod
+
+    from quadrs_tpu.sources import SampleSource
+
+    fm = FmDemod(
+        center=280_000, bandwidth=100_000, decimate=10, taps=400,
+        audio_bandwidth=15_000, audio_decimate=10, audio_taps=64,
+        audio_rate=48_000,
+    )
+    c = (1 << 16) if on_accel else (1 << 13)
+    b = 8 if on_accel else 2
+    src = SampleSource.from_file(_demod_capture(b * c * fm.decimate + 8192))
+    chan = fm.channel(src)
+    rate = chan.sample_rate
+    scale = np.float32(rate / (2.0 * np.pi))
+
+    def post(x):  # the discriminator (demod.py FmDemod.discriminate)
+        d = x[:, 1:] * jnp.conj(x[:, :-1])
+        return jnp.arctan2(jnp.imag(d), jnp.real(d)) * scale
+
+    offs = np.arange(b, dtype=np.int64) * c
+    step = _staged_chain_step(chan, c + 1, offs, post)
+    secs = 1.5 if on_accel else 0.3
+    tstats: dict = {}
+    chain_msps = measure_msps_acc(
+        step, b * c * fm.decimate, secs, min_iters=2, stats_out=tstats
+    )
+    n_a = (1 << 20) if on_accel else (1 << 15)
+    audio_msps = measure_msps_acc(
+        _audio_tail_step(fm, rate, n_a), n_a, secs, min_iters=2
+    )
+    msps = _combined(chain_msps, audio_msps, fm.decimate)
+    entry = {
+        "metric": "FM receiver (shift->fir(10)->discriminator->audio tail; input rate)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+        "chain_msps": round(chain_msps, 1),
+        "audio_msps_at_channel_rate": round(audio_msps, 1),
+        **tstats,
+    }
+    entry.update(
+        roofline(
+            msps,
+            6.0 + (4.0 * fm.taps + 12.0) / fm.decimate
+            + (2.0 * fm.audio_taps + 20.0) / fm.decimate,
+            8.0,
+        )
+    )
+    return entry
+
+
+def bench_am(on_accel: bool) -> dict:
+    """AM receiver (models/demod.py AmDemod): shift -> 400-tap FIR
+    (decimate 20) -> envelope, then audio tail (FIR decimate 20 +
+    resample 52.5k->48k)."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.models.demod import AmDemod
+    from quadrs_tpu.sources import SampleSource
+
+    am = AmDemod(
+        center=280_000, bandwidth=10_000, decimate=20, taps=400,
+        audio_bandwidth=20_000, audio_decimate=20, audio_taps=64,
+        audio_rate=48_000,
+    )
+    c = (1 << 16) if on_accel else (1 << 13)
+    b = 4 if on_accel else 2
+    src = SampleSource.from_file(_demod_capture(b * c * am.decimate + 8192))
+    chan = am.channel(src)
+    offs = np.arange(b, dtype=np.int64) * c
+    step = _staged_chain_step(chan, c, offs, lambda x: jnp.abs(x))
+    secs = 1.5 if on_accel else 0.3
+    tstats: dict = {}
+    chain_msps = measure_msps_acc(
+        step, b * c * am.decimate, secs, min_iters=2, stats_out=tstats
+    )
+    n_a = (1 << 20) if on_accel else (1 << 15)
+    audio_msps = measure_msps_acc(
+        _audio_tail_step(am, chan.sample_rate, n_a), n_a, secs, min_iters=2
+    )
+    msps = _combined(chain_msps, audio_msps, am.decimate)
+    entry = {
+        "metric": "AM receiver (shift->fir(20)->envelope->audio tail; input rate)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+        "chain_msps": round(chain_msps, 1),
+        "audio_msps_at_channel_rate": round(audio_msps, 1),
+        **tstats,
+    }
+    entry.update(
+        roofline(
+            msps,
+            6.0 + (4.0 * am.taps + 4.0 + 2.0 * am.audio_taps + 20.0) / am.decimate,
+            8.0,
+        )
+    )
+    return entry
+
+
+def bench_ssb(on_accel: bool) -> dict:
+    """SSB receiver (models/demod.py SsbDemod): pre-shift -> 2000-tap
+    FIR (decimate 400) -> re-shift -> real, then resample 52.5k->48k."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.models.demod import SsbDemod
+    from quadrs_tpu.sources import SampleSource
+
+    ssb = SsbDemod(
+        center=280_000, bandwidth=3_000, decimate=400, taps=2_000,
+        sideband="usb", audio_rate=48_000,
+    )
+    c = (1 << 14) if on_accel else (1 << 11)
+    b = 1
+    src = SampleSource.from_file(_demod_capture(b * c * ssb.decimate + 16384))
+    chan = ssb.channel(src)
+    offs = np.arange(b, dtype=np.int64) * c
+    step = _staged_chain_step(chan, c, offs, lambda x: jnp.real(x))
+    secs = 1.5 if on_accel else 0.3
+    tstats: dict = {}
+    chain_msps = measure_msps_acc(
+        step, b * c * ssb.decimate, secs, min_iters=2, stats_out=tstats
+    )
+    n_a = (1 << 18) if on_accel else (1 << 14)
+    audio_msps = measure_msps_acc(
+        _audio_tail_step(ssb, chan.sample_rate, n_a), n_a, secs, min_iters=2
+    )
+    msps = _combined(chain_msps, audio_msps, ssb.decimate)
+    entry = {
+        "metric": "SSB receiver (usb filter method, fir(400)->resample; input rate)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+        "chain_msps": round(chain_msps, 1),
+        "audio_msps_at_channel_rate": round(audio_msps, 1),
+        **tstats,
+    }
+    entry.update(
+        roofline(msps, 6.0 + (4.0 * ssb.taps + 26.0) / ssb.decimate, 8.0)
+    )
+    return entry
+
+
+def bench_fsk(on_accel: bool) -> dict:
+    """FSK receiver (models/demod.py FskDemod): shift -> 400-tap FIR
+    (decimate 32) -> 64-pt halves-energy discriminator (the reference
+    bucket flow, src/fft.rs:71-101, as a receiver)."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.models.demod import FskDemod
+    from quadrs_tpu.ops.stft import stft_norms
+    from quadrs_tpu.sources import SampleSource
+
+    fsk = FskDemod(center=280_000, bandwidth=200_000, decimate=32, taps=400,
+                   fft_width=64)
+    w = fsk.fft_width
+    b = 2048 if on_accel else 256
+    src = SampleSource.from_file(_demod_capture(b * w * fsk.decimate + 8192))
+    chan = fsk.channel(src)
+
+    def post(x):  # sinks.freq_levels' comparator halves
+        norms = stft_norms(x, shift=False)
+        half = w // 2
+        return norms[:, :half].sum(axis=1), norms[:, half:].sum(axis=1)
+
+    offs = np.arange(b, dtype=np.int64) * w
+    step = _staged_chain_step(chan, w, offs, post)
+    secs = 1.5 if on_accel else 0.3
+    tstats: dict = {}
+    msps = measure_msps_acc(
+        step, b * w * fsk.decimate, secs, min_iters=2, stats_out=tstats
+    )
+    entry = {
+        "metric": "FSK receiver (shift->fir(32)->64-pt bucket discriminator; input rate)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+        **tstats,
+    }
+    entry.update(
+        roofline(
+            msps,
+            6.0 + (4.0 * fsk.taps + 5.0 * math.log2(w) + 6.0) / fsk.decimate,
+            8.0,
+        )
+    )
+    return entry
+
+
+def bench_ook(on_accel: bool) -> dict:
+    """OOK envelope detector (models/demod.py OokDemod): width-4
+    stride-2 spectral envelope -> threshold (the reference sparkfft
+    flow as a receiver).  2 new input samples per window."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.models.demod import OokDemod
+    from quadrs_tpu.ops.stft import stft_norms
+    from quadrs_tpu.sources import SampleSource
+
+    ook = OokDemod()
+    b = (1 << 18) if on_accel else (1 << 14)
+    src = SampleSource.from_file(
+        _demod_capture(b * ook.stride + ook.width + 4096)
+    )
+
+    def post(x):
+        norms = stft_norms(x)
+        return (norms >= np.float32(ook.threshold)).any(axis=1)
+
+    offs = np.arange(b, dtype=np.int64) * ook.stride
+    step = _staged_chain_step(src, ook.width, offs, post)
+    secs = 1.5 if on_accel else 0.3
+    tstats: dict = {}
+    msps = measure_msps_acc(step, b * ook.stride, secs, min_iters=2,
+                            stats_out=tstats)
+    entry = {
+        "metric": "OOK envelope detector (width 4, stride 2; input rate)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+        **tstats,
+    }
+    entry.update(
+        roofline(msps, stft_flops_per_sample(ook.width, ook.stride) + 0.5, 8.0)
+    )
+    return entry
+
+
+def bench_psk(on_accel: bool) -> dict:
+    """PSK receiver (models/demod.py PskDemod, QPSK): the baseband
+    channel chain plus the per-burst sync programs (order-th-power FFT
+    peak; derotate + matched filter + Oerder-Meyr reduction) at a 2^20
+    burst.  ``value`` combines all three at their per-input-sample
+    shares; ``sync_wall_msps`` is the product analyze() wall including
+    host tables and the full z fetch (transfer-bound on tunneled rigs)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from quadrs_tpu.models.demod import PskDemod, _psk_peak_fn, _psk_process_fn
+    from quadrs_tpu.sources import SampleSource
+
+    psk = PskDemod(center=280_000, bandwidth=200_000, decimate=32, taps=400,
+                   symbol_rate=65_625.0, order=4)
+    c = (1 << 16) if on_accel else (1 << 13)
+    b = 2
+    src = SampleSource.from_file(_demod_capture(b * c * psk.decimate + 8192))
+    chan = psk.channel(src)
+    rate = chan.sample_rate
+    offs = np.arange(b, dtype=np.int64) * c
+    step = _staged_chain_step(chan, c, offs, None)
+    secs = 1.5 if on_accel else 0.3
+    tstats: dict = {}
+    chain_msps = measure_msps_acc(
+        step, b * c * psk.decimate, secs, min_iters=2, stats_out=tstats
+    )
+
+    npad = (1 << 20) if on_accel else (1 << 15)
+    n = npad - 1000
+    rng = np.random.default_rng(5)
+    planes = rng.standard_normal((2, npad)).astype(np.float32)
+    planes_dev = jax.device_put(planes)
+    sps = rate / psk.symbol_rate
+    mf_len = max(1, int(round(sps)))
+    nn = np.arange(npad, dtype=np.float64)
+    ph = -2 * np.pi * np.mod(0.37 * nn, psk.order * npad) / (psk.order * npad)
+    rot = jax.device_put(np.stack([np.cos(ph), np.sin(ph)]).astype(np.float32))
+    pht = -2 * np.pi * np.mod(nn / sps, 1.0)
+    tim = jax.device_put(np.stack([np.cos(pht), np.sin(pht)]).astype(np.float32))
+    peak_fn = _psk_peak_fn(npad, psk.order)
+    proc_fn = _psk_process_fn(npad, psk.order, mf_len)
+    gains = np.linspace(0.5, 1.5, 16, dtype=np.float32)
+
+    @jax.jit
+    def _sync_acc(g, acc):
+        pl = planes_dev * g
+        k0, pm, p0, pp = peak_fn(pl, jnp.int32(n))
+        (zr, zi), (sr_, si), (er, ei) = proc_fn(pl, rot, tim, jnp.int32(n))
+        return (
+            acc + k0.astype(jnp.float32) + pm + p0 + pp
+            + jnp.sum(zr) + jnp.sum(zi) + sr_ + si + er + ei
+        )
+
+    sync_msps = measure_msps_acc(
+        lambda i, acc: _sync_acc(jnp.float32(gains[i % 16]), acc),
+        npad, secs, min_iters=2,
+    )
+
+    # product analyze() wall (host tables + 2 dispatches + full fetch)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    psk.analyze(rate, x)  # compile
+    t0 = _time.perf_counter()
+    reps = 3
+    for k in range(reps):
+        psk.analyze(rate, x * np.complex64(1.0 + 0.1 * k))
+    wall = (_time.perf_counter() - t0) / reps
+    sync_wall_msps = n / wall / 1e6
+
+    msps = 1.0 / (1.0 / chain_msps + 1.0 / (psk.decimate * sync_msps))
+    entry = {
+        "metric": "PSK receiver (QPSK chain + per-burst sync programs; input rate)",
+        "value": round(msps, 1),
+        "unit": "Msamples/sec/chip",
+        "vs_baseline": round(msps / 100.0, 2),
+        "chain_msps": round(chain_msps, 1),
+        "sync_msps_at_channel_rate": round(sync_msps, 1),
+        "analyze_wall_msps_at_channel_rate": round(sync_wall_msps, 1),
+        **tstats,
+    }
+    entry.update(
+        roofline(
+            msps,
+            6.0
+            + (4.0 * psk.taps + 10.0 * math.log2(npad) + 40.0) / psk.decimate,
+            8.0,
+        )
+    )
+    return entry
+
+
 def _sustained_capture(n_samples: int) -> str:
     """A synthetic cs8 capture file, cached across runs (2 bytes/sample)."""
     path = f"/tmp/quadrs-sustained-{n_samples}.sr21M.cs8"
@@ -922,6 +1335,12 @@ def suite(on_accel: bool) -> list[dict]:
         bench_channelizer(on_accel),
         bench_resample(on_accel),
         bench_find(on_accel),
+        bench_fm(on_accel),
+        bench_am(on_accel),
+        bench_ssb(on_accel),
+        bench_fsk(on_accel),
+        bench_ook(on_accel),
+        bench_psk(on_accel),
         bench_disk_staging(on_accel),
         bench_disk_sustained(on_accel),
         bench_long_fir_sustained(on_accel),
@@ -940,6 +1359,12 @@ def main() -> None:
         bench_channelizer,
         bench_resample,
         bench_find,
+        bench_fm,
+        bench_am,
+        bench_ssb,
+        bench_fsk,
+        bench_ook,
+        bench_psk,
         bench_disk_staging,
         bench_disk_sustained,
         bench_long_fir_sustained,

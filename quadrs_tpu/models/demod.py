@@ -231,24 +231,33 @@ def _audio_fir(
     dispatch), with the same taps family and output-length convention as
     :class:`~quadrs_tpu.stream.LowPass`:
     ``n_out = 1 + (len - taps) // decimate``."""
-    import jax
-    import jax.numpy as jnp
-
-    from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
-
     d = decimate
     cutoff_hz = (
         bandwidth
         if bandwidth is not None
         else rate // (2 * d)  # anti-alias at the output Nyquist
     )
-    taps = lowpass_taps(cutoff_hz / rate, n_taps)
     n_out = 1 + (len(audio) - n_taps) // d
     if n_out < 1:
         raise ValueError("audio shorter than the audio filter")
     n_in = n_out * d + n_taps
     x = np.zeros(n_in, dtype=np.float32)
     x[: len(audio)] = audio[:n_in]
+    return rate // d, np.asarray(
+        _audio_fir_fn(cutoff_hz / rate, n_taps, d, n_out)(x)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _audio_fir_fn(cutoff_ratio: float, n_taps: int, d: int, n_out: int):
+    """Cached jitted core of :func:`_audio_fir` — demodulating many
+    bursts with the same geometry must not recompile per burst."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadrs_tpu.ops.fir import fir_decimate, lowpass_taps
+
+    taps = lowpass_taps(cutoff_ratio, n_taps)
 
     @jax.jit
     def run(a):  # complex packing happens on device (tunnel rule)
@@ -256,7 +265,7 @@ def _audio_fir(
         y = fir_decimate(xc[None, :], taps, d, n_out)
         return jnp.real(y[0])
 
-    return rate // d, np.asarray(run(x))
+    return run
 
 
 def _audio_stage(demod, rate: int, audio: np.ndarray) -> tuple[int, np.ndarray]:

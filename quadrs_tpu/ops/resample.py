@@ -118,20 +118,26 @@ def resample_real(
     take = min(n_in, max(0, len(audio) - gamma_min))
     x[:take] = audio[gamma_min : gamma_min + take]
 
+    return target_rate, np.asarray(_resample_real_fn(size, l, m_, nb, n_out)(x))
+
+
+@functools.lru_cache(maxsize=32)
+def _resample_real_fn(size: int, up: int, down: int, nb: int, n_out: int):
+    """Cached jitted core of :func:`resample_real` — demodulating many
+    bursts with the same geometry must not recompile per burst."""
+    weights, _, frame_len, _ = resample_tables(size, up, down)
+    w0 = jnp.asarray(weights[0])
     from quadrs_tpu.ops.fir import _overlapped_frames
 
     @jax.jit
     def run(a):
-        frames = _overlapped_frames(a[None, :], m_, frame_len, nb)  # (1, nb, m)
+        frames = _overlapped_frames(a[None, :], down, frame_len, nb)  # (1, nb, m)
         y = jnp.einsum(
-            "bfm,ml->bfl",
-            frames,
-            jnp.asarray(weights[0]),
-            precision=jax.lax.Precision.HIGHEST,
+            "bfm,ml->bfl", frames, w0, precision=jax.lax.Precision.HIGHEST
         )
         return y.reshape(-1)[:n_out]
 
-    return target_rate, np.asarray(run(x))
+    return run
 
 
 def resample_block(

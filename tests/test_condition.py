@@ -60,6 +60,7 @@ def test_dcblock_matches_oracle(window):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dcblock_random_access_and_pull_invariance():
     src, data = _capture(dc=0.5)
     st = DcBlock(src, 128)

@@ -27,6 +27,7 @@ def _graft():
     return mod
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_devices,n_processes", [(4, 2), (6, 3), (16, 4)])
 def test_multiprocess_sharded_step(n_devices, n_processes):
     """(16, 4) is the wide-soak configuration: a 16-device mesh split 4

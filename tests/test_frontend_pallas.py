@@ -131,6 +131,7 @@ def test_supported_decimations():
         (FileFormat.COMPLEX_FLOAT32, 32, 4000),  # power=2000: m_sub=125 multi-group
     ],
 )
+@pytest.mark.slow
 def test_widened_envelope_matches_stream(fmt, decimate, taps):
     """Round-3 envelope: non-dividing decimates and long filters (up to
     128 subfilters, group-accumulated) through the transposed kernel

@@ -74,6 +74,7 @@ def test_matches_oracle(up, down, size):
     np.testing.assert_allclose(np.asarray(y2[:v2]), ref[off : off + v2], atol=2e-6, rtol=2e-6)
 
 
+@pytest.mark.slow
 def test_chunked_reads_bit_match_full_read():
     src, _ = _capture()
     rs = Resample(src, 3, 2, size=48)

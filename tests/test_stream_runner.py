@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from quadrs_tpu.formats import FileFormat
 from quadrs_tpu.models.receiver import PipelineConfig, PipelineModel
@@ -566,6 +567,7 @@ def test_waterfall_runner_sharded_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_sharded_runner_fuzz_matches_single_device():
     """Randomized property test: StreamRunner(mesh) == single-device
     across random (taps, decimate, fft_width, chunk, n_stream) draws."""

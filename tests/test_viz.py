@@ -170,6 +170,7 @@ def test_eui_render_frames_scroll(tmp_path):
         assert np.array_equal(frame, eui_render(src, pk))
 
 
+@pytest.mark.slow
 def test_ui_render_geometry_matches_sequential_oracle():
     """Pixel-for-pixel check of the render loop geometry (column fill,
     row-band wrap, vertical stretch, y-flip, separator columns) against

@@ -27,6 +27,7 @@ from quadrs_tpu.ops.waterfall_pallas import WaterfallSpec, fused_waterfall, supp
         (8192, FileFormat.COMPLEX_INT8, "rectangular"),
     ],
 )
+@pytest.mark.slow
 def test_fused_waterfall_matches_xla(width, fmt, windowing):
     cfg = WaterfallConfig(
         n_streams=3 if width < 4096 else 2, fft_width=width, stride=width, fmt=fmt,
@@ -293,6 +294,7 @@ def test_fused_waterfall_search_ties():
     assert np.all(np.asarray(gi) == 0) and np.all(np.asarray(gm) == 0)
 
 
+@pytest.mark.slow
 def test_fused_waterfall_fuzz():
     """Random (width, stride, format, windowing, stream count) configs:
     kernel vs XLA chain."""
@@ -328,6 +330,7 @@ def test_fused_waterfall_fuzz():
         )
 
 
+@pytest.mark.slow
 def test_wide_width_fuzz():
     """Randomized sweep of WIDE widths (b > 16, where every stride class
     reroutes through the strided machinery because the classic kernel's
@@ -382,6 +385,7 @@ def test_wide_width_fuzz():
         np.testing.assert_allclose(gv, top, rtol=3e-5, err_msg=label)
 
 
+@pytest.mark.slow
 def test_strided_inkernel_fuzz():
     """Randomized sweep of the in-kernel strided path (norms + search)
     across width/stride/format/length draws, vs the XLA chain."""
@@ -441,6 +445,7 @@ def test_unknown_frontend_rejected():
         (4096, 2048, "blackman-harris", FileFormat.COMPLEX_INT16),
     ],
 )
+@pytest.mark.slow
 def test_strided_factorized_stage_a(width, stride, windowing, fmt):
     """Wide widths (b >= 16) run the two-factor stage-A q-DFT (b1*b2
     split, measured 931 -> 1754 Msps at 4096-pt 4x overlap on v5e);
@@ -489,6 +494,7 @@ def test_strided_factorized_stage_a(width, stride, windowing, fmt):
         (1024, 12, FileFormat.COMPLEX_INT16),    # g=4, P=32
     ],
 )
+@pytest.mark.slow
 def test_subaligned_stride_classes(width, stride, fmt):
     """Non-128-multiple strides (any gcd within the overlap band)
     route the SEARCH through the class-interleave wrapper: P
@@ -537,6 +543,7 @@ def test_subaligned_stride_classes(width, stride, fmt):
     np.testing.assert_allclose(gv, top, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_subaligned_fewer_windows_than_classes():
     """Regression: n_windows < P left some classes empty (nw_c = 0),
     which crashed the subaligned route with a ZeroDivisionError while
@@ -574,6 +581,7 @@ def test_subaligned_fewer_windows_than_classes():
         np.testing.assert_allclose(gv, top, rtol=2e-5, err_msg=f"nw={nw}")
 
 
+@pytest.mark.slow
 def test_sharded_waterfall_wide_factorized():
     """The (stream, time)-sharded bank composed with the factorized
     wide-width kernel (b=16, overlapped stride -> ICI window halo with
@@ -605,6 +613,7 @@ def test_sharded_waterfall_wide_factorized():
     np.testing.assert_allclose(out, want, rtol=3e-5, atol=3e-5 * want.max())
 
 
+@pytest.mark.slow
 def test_wide_width_nontiled_strides_route_correctly():
     """Regression: a wide width (b > 16, where the TILED case routes via
     the strided machinery) with a NON-tiled stride must not be mistaken
@@ -663,6 +672,7 @@ def test_wide_width_nontiled_strides_route_correctly():
         (4096, 4096, (5, 32)),
     ],
 )
+@pytest.mark.slow
 def test_strided_small_window_tiles(width, stride, nws):
     """Adaptive window tiles (_pick_win_tile): chunks with fewer than
     128 windows/stream shrink the tile to a 32-multiple instead of
@@ -723,6 +733,7 @@ def test_strided_small_window_tiles(width, stride, nws):
         (4096, 1024, FileFormat.COMPLEX_INT8, "rectangular"),     # wide b=32, 4x overlap
     ],
 )
+@pytest.mark.slow
 def test_fused_waterfall_scan_matches_xla(width, stride, fmt, windowing):
     """(sum, max, above) per bin from the in-kernel survey == the XLA
     norms reduced in numpy; threshold chosen mid-gap so the f32 count
@@ -770,6 +781,7 @@ def test_fused_waterfall_scan_matches_xla(width, stride, fmt, windowing):
     assert np.all(got_above >= lo) and np.all(got_above <= hi)
 
 
+@pytest.mark.slow
 def test_fused_waterfall_scan_tile_boundaries():
     """Window counts around the 128-window tile boundary mask the
     padding correctly (sum/max/above see only real windows)."""
@@ -824,6 +836,7 @@ def test_model_jit_scan_pallas_matches_xla():
     assert np.abs(b[2].astype(np.int64) - a[2].astype(np.int64)).max() <= 2
 
 
+@pytest.mark.slow
 def test_fused_waterfall_scan_fuzz():
     """Random (width, stride, format, windowing) configs through the
     in-kernel survey — every routing class (tiled s_r=b, overlapped
