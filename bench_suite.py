@@ -518,6 +518,36 @@ def bench_channelizer(on_accel: bool) -> dict:
     # per input sample: branch FIRs = N complex*real MACs (4 flops each)
     # and the dense K-point DFT = K^2 complex MACs per K inputs = 8*K
     entry.update(roofline(msps, 4.0 * taps_n + 8.0 * k, 8.0))
+
+    # wide-K sweep at a fixed 8-taps-per-branch prototype (the standard
+    # design scales the prototype with K; a fixed 128-tap prototype at
+    # K=1024 would leave <1 tap per branch).  Checks the cross-branch
+    # DFT's routing (ops/stft.batched_fft -> mxu_fft_choice at wide K)
+    # and the (frames, U*K) layout for cliffs.
+    k_sweep: dict = {}
+    for kw in (64, 256, 1024):
+        taps_w = lowpass_taps(1.0 / (2 * kw), 8 * kw)
+        n_out_w = ((1 << 20) if on_accel else (1 << 15)) // kw
+        chunk_w = n_out_w * kw
+        xr_w = jnp.asarray(
+            rng.standard_normal(chunk_w + 8 * kw).astype(np.float32)
+        )
+        xi_w = jnp.asarray(
+            rng.standard_normal(chunk_w + 8 * kw).astype(np.float32)
+        )
+
+        def _bank_w(g, acc, xr_w=xr_w, xi_w=xi_w, taps_w=taps_w, kw=kw, n_out_w=n_out_w):
+            x = (jax.lax.complex(xr_w, xi_w) * g)[None, :]
+            out = channelize_block(x, taps_w, kw, n_out_w)
+            return acc + jnp.sum(jnp.real(out) ** 2 + jnp.imag(out) ** 2)
+
+        bank_w = jax.jit(_bank_w)
+        w_msps = measure_msps_acc(
+            step_of(bank_w), chunk_w, 1.5 if on_accel else 0.3, min_iters=2
+        )
+        k_sweep[str(kw)] = round(w_msps, 1)
+    entry["k_sweep_msps"] = k_sweep
+    entry["k_sweep_taps_per_branch"] = 8
     return entry
 
 

@@ -579,6 +579,12 @@ def _parse_find(args: _Args, raw_map) -> Command:
         )
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
+    mesh = map_.pop("mesh", None)
+    mesh = None if mesh is None else _parse_mesh(mesh)
+    if mesh is not None and mesh[1] != 1:
+        raise ValueError("find -mesh shards one capture: use T or Tx1")
+    if mesh is not None and stdin:
+        raise ValueError("find -mesh needs a capture file, not -stdin")
     _ensure_empty(map_, "find")
     if stdin:
         # -sr/-format describe the PIPE (it has no name to sniff);
@@ -594,6 +600,7 @@ def _parse_find(args: _Args, raw_map) -> Command:
             top=top, distance=distance, freq_tol=freq_tol,
             freq_step=freq_step, stdin=stdin, sample_rate=sr, format=fmt,
             write=write, pre=pre, post=post, overwrite=overwrite,
+            mesh=mesh,
         )
     )
 
@@ -1284,9 +1291,10 @@ def _parse_serve(args: _Args, raw_map) -> Command:
                 "chunk", "mesh", "deviation", "lowpass"}
         | _psk_flags | _find_flags,
         # find searches the RAW connection stream: no channel chain, no
-        # demod knobs; -threshold/-chunk keep their find meanings
+        # demod knobs; -threshold/-chunk keep their find meanings, and
+        # -mesh Tx1 buffers each burst and time-shards the correlation
         "find": {"shift", "lowpass", "power", "decimate", "width",
-                 "stride", "bit", "raw", "search", "mesh"}
+                 "stride", "bit", "raw", "search"}
         | _fm_flags | _ssb_flags | _psk_flags,
     }
     bad = explicit & _inapplicable[mode]

@@ -244,6 +244,93 @@ def make_sharded_waterfall_step(
     return cache[key]
 
 
+def find_halo(pattern_len: int) -> int:
+    """Samples a matched-filter time-shard needs past its local slice:
+    the score at its last local lag reads ``pattern_len - 1`` samples
+    into its right neighbor — the exact analogue of the FIR halo
+    (:func:`halo_samples`)."""
+    return pattern_len - 1
+
+
+def make_sharded_find_step(
+    pattern, c: int, fmt, mesh: Mesh, freqs=None, fft_impl: str = "auto"
+):
+    """Multi-chip matched-filter correlator (the device program behind
+    ``sinks.find_pattern(mesh=...)``).
+
+    The sample axis shards over the mesh's 'time' axis: each chip holds
+    a contiguous slice of NATIVE capture planes, pulls the ``l-1``
+    sample halo from its right neighbor over ICI (``ppermute``; the
+    last shard takes the fed ``tail`` — the true stream continuation),
+    decodes on device, assembles its slice into overlap-save FFT
+    windows (row slices + concat, never a strided gather) and scores
+    every local lag with the SAME single-chip program
+    (:func:`quadrs_tpu.ops.correlate.make_xcorr_post`'s compute) —
+    windows start at multiples of ``n_out = c - l + 1`` from the chunk
+    origin, identical partitioning to the single-device executor, so
+    sharded scores match to f32 accumulation order (XLA tiles the DFT
+    matmuls differently per batch shape; offsets/which are exact).
+
+    Returns a jitted step taking ``planes`` (2, n_total) native planes
+    sharded ``P(None, 'time')`` and ``tail`` (2, l-1) replicated;
+    yields ``(score, scale, ridx)`` each (n_total,) sharded
+    ``P('time')`` — entry ``t`` is lag ``chunk_origin + t``.
+    ``n_total / n_time`` must be a whole number of ``n_out`` lag cells.
+    """
+    from quadrs_tpu.formats import decode_plane, pack_complex
+    from quadrs_tpu.ops.correlate import make_xcorr_post
+    from quadrs_tpu.ops.fir import _overlapped_frames
+
+    pats = (
+        [np.asarray(p) for p in pattern]
+        if isinstance(pattern, (list, tuple))
+        else [np.asarray(pattern)]
+    )
+    l = max(len(p) for p in pats)
+    n_out = c - l + 1
+    compute = make_xcorr_post(pats, c, freqs, fft_impl=fft_impl)
+    n_time = mesh.shape["time"]
+    if mesh.shape.get("stream", 1) != 1:
+        raise ValueError(
+            "the matched filter shards one capture over 'time'; use a "
+            "Tx1 mesh"
+        )
+
+    def local(planes_local, tail_local):
+        n_loc = planes_local.shape[1]
+        if n_loc % n_out:
+            raise ValueError(
+                f"per-shard slice of {n_loc} samples is not a whole "
+                f"number of {n_out}-lag cells"
+            )
+        b = n_loc // n_out
+        perm = [(i, (i - 1) % n_time) for i in range(n_time)]
+        head = planes_local[:, : l - 1]
+        halo = jax.lax.ppermute(head, "time", perm)
+        tail_local = jax.lax.pcast(tail_local, ("time",), to="varying")
+        is_last = jax.lax.axis_index("time") == n_time - 1
+        halo = jnp.where(is_last, tail_local, halo)
+        block = jnp.concatenate([planes_local, halo], axis=1)
+        re = decode_plane(block[0], fmt, xp=jnp)
+        im = decode_plane(block[1], fmt, xp=jnp)
+        xc = pack_complex(re, im, xp=jnp)
+        frames = _overlapped_frames(xc[None, :], n_out, c, b)[0]  # (b, c)
+        score, scale, ridx = compute(frames)
+        return score.reshape(-1), scale.reshape(-1), ridx.reshape(-1)
+
+    step = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, "time"), P(None, None)),
+        out_specs=(P("time"), P("time"), P("time")),
+        # the bank/grid path scans rows with an unvarying zeros init
+        # (shared single-chip code); vma checking would demand pcast
+        # annotations inside it
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 def plan_shard_phases(model: PipelineModel, n_local: int, n_time: int, n_stream: int = 1):
     """Host-side exact phases for each (stream, time-shard) start offset."""
     offs = np.arange(n_time, dtype=np.int64) * n_local

@@ -132,6 +132,9 @@ class FindOp(Operation):
     pre: int = 0
     post: int = 0
     overwrite: bool = False
+    # -mesh T (or Tx1): time-shard the capture's sample axis across the
+    # device mesh with an l-1 halo (sinks.find_pattern's mesh path)
+    mesh: tuple[int, int] | None = None
 
 
 @dataclass
@@ -228,6 +231,12 @@ def exec_operation(
             if valid != psrc.length:
                 raise RuntimeError("short read loading the pattern capture")
             pats.append(pat)
+        if op.mesh is not None:
+            from quadrs_tpu.parallel.sharding import make_mesh
+
+            mesh = make_mesh(n_time=op.mesh[0], n_stream=op.mesh[1])
+        else:
+            mesh = None
         res = sinks.find_pattern(
             stream,
             pats if len(pats) > 1 else pats[0],
@@ -236,6 +245,7 @@ def exec_operation(
             min_distance=op.distance,
             freq_tol=op.freq_tol,
             freq_step=op.freq_step,
+            mesh=mesh,
         )
         bank = len(pats) > 1
         for o, s, a, f, w in zip(

@@ -1127,22 +1127,44 @@ def _serve_connection(
 
 
 def _find_connection(
-    conn, patterns, cmd: argmod.ServeCmd, fmt, sample_rate: int
+    conn, patterns, cmd: argmod.ServeCmd, fmt, sample_rate: int, mesh=None
 ) -> RunStats:
     """One matched-filter session: the connection's byte stream runs
     through :func:`quadrs_tpu.sinks.find_pattern` as a live pipe
     (O(chunk) memory — no whole-burst buffering), and the matches come
-    back at EOF as exactly the lines ``find -stdin`` prints."""
+    back at EOF as exactly the lines ``find -stdin`` prints.
+
+    With ``-mesh Tx1`` the burst is buffered whole instead (the demod
+    modes' 1 GiB cap) and the correlation time-shards across the device
+    mesh with the ``l-1`` halo over ICI (``find_pattern(mesh=...)``)."""
     import time
 
     from quadrs_tpu import sinks
-    from quadrs_tpu.sources import LivePipeStream, PipeSource
+    from quadrs_tpu.sources import LivePipeStream, PipeSource, SampleSource
 
     rf = conn.makefile("rb")
     wf = conn.makefile("wb")
     t0 = time.perf_counter()
     try:
-        stream = LivePipeStream(PipeSource(rf, fmt, sample_rate))
+        if mesh is not None:
+            data = rf.read(_STDIN_BUFFER_CAP + 1)
+            if len(data) > _STDIN_BUFFER_CAP:
+                msg = (
+                    "connection burst exceeds the buffer cap (1 GiB); "
+                    "find -mesh buffers the whole burst — drop -mesh "
+                    "for unbounded streams"
+                )
+                try:
+                    wf.write(f"# error: {msg}\n".encode())
+                    wf.flush()
+                except OSError:
+                    pass
+                raise ValueError(msg)
+            stream = SampleSource(
+                np.frombuffer(data, dtype=np.uint8), fmt, sample_rate
+            )
+        else:
+            stream = LivePipeStream(PipeSource(rf, fmt, sample_rate))
         try:
             res = sinks.find_pattern(
                 stream,
@@ -1153,6 +1175,7 @@ def _find_connection(
                 min_distance=cmd.distance,
                 freq_tol=cmd.freq_tol,
                 freq_step=cmd.freq_step,
+                mesh=mesh,
             )
         except ValueError as e:
             # a bad burst (shorter than the template, degenerate
@@ -1287,7 +1310,8 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
                 )
             elif cmd.mode == "find":
                 stats = _find_connection(
-                    conn, model, cmd, details.format, details.sample_rate
+                    conn, model, cmd, details.format, details.sample_rate,
+                    mesh,
                 )
             else:
                 stats = _serve_connection(

@@ -337,6 +337,7 @@ def find_pattern(
     freq_tol: float = 0.0,
     freq_step: float | None = None,
     fft_impl: str = "auto",
+    mesh=None,
 ) -> FindResult:
     """Find every occurrence of a complex ``pattern`` in ``stream`` by
     gain/phase-invariant normalized cross-correlation (TPU-native
@@ -361,6 +362,16 @@ def find_pattern(
     wins); spacing defaults to ``0.4 * rate / l`` (worst-case residual
     loss ~7%) and each match reports its grid frequency in ``freqs``
     (resolution = the step; no interpolation).
+
+    ``mesh``: an optional Tx1 :func:`quadrs_tpu.parallel.sharding.make_mesh`
+    — the capture's sample axis time-shards across the chips, each
+    exchanging the ``l-1``-sample halo with its right neighbor over ICI
+    (:func:`~quadrs_tpu.parallel.sharding.make_sharded_find_step`).
+    Sharded scores match the single-device program to f32 accumulation
+    order (same window partitioning; offsets/which exact); the
+    unaligned tail of the capture runs through the single-device path
+    and the candidate scan stitches the two exactly.  Requires a raw capture stream (the chained-stage case
+    is the flagship chain's sharding domain).
     """
     from quadrs_tpu.ops.correlate import PeakScan, make_xcorr_post, suppress
     from quadrs_tpu.runtime import _round_up_pow2
@@ -466,7 +477,60 @@ def find_pattern(
             o += b * n_out
     else:
         n_lags = stream.length - l + 1
-        offsets = np.arange(0, n_lags, n_out, dtype=np.int64)
+        lag0 = 0
+        if mesh is not None:
+            # time-shard the aligned prefix across the mesh; the
+            # remainder continues through the single-device path below
+            # (the candidate scan's pending element bridges exactly)
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from quadrs_tpu.parallel.sharding import make_sharded_find_step
+
+            if stream.root() is not stream or not getattr(
+                stream, "has_staging", False
+            ):
+                raise ValueError(
+                    "find -mesh shards a raw capture's sample axis; "
+                    "shift/lowpass the result instead, or drop -mesh "
+                    "(chained stages shard via the stream runner)"
+                )
+            n_time = int(mesh.shape["time"])
+            # per-shard windows: the fat-dispatch budget, clamped to
+            # what the capture can actually supply (so short captures
+            # still exercise the mesh rather than skipping to the
+            # single-device tail)
+            avail = (stream.length - (l - 1)) // (n_time * n_out)
+            b_shard = max(1, min(FIND_DISPATCH_BUDGET // (n_time * c), avail))
+            step_lags = n_time * b_shard * n_out
+            step_fn = make_sharded_find_step(
+                pats, c, stream.format, mesh, grid, fft_impl=fft_impl
+            )
+            plane_sh = NamedSharding(mesh, P(None, "time"))
+            tail_sh = NamedSharding(mesh, P(None, None))
+            o = 0
+            while o + step_lags + l - 1 <= stream.length:
+                planes = stream.stage(o, o + step_lags)
+                tail = stream.stage(o + step_lags, o + step_lags + l - 1)
+                score, scale, ridx = step_fn(
+                    jax.device_put(np.ascontiguousarray(planes), plane_sh),
+                    jax.device_put(np.ascontiguousarray(tail), tail_sh),
+                )
+                aux = np.stack(
+                    [np.asarray(scale), np.asarray(ridx)], axis=-1
+                )
+                scan.feed(o, np.asarray(score), aux)
+                if len(scan.offsets) > cand_cap:
+                    raise ValueError(
+                        f"more than {cand_cap} candidate peaks above "
+                        f"threshold {threshold:g} in the first "
+                        f"{o + step_lags} samples: the pattern matches "
+                        "nearly everywhere — raise the threshold or use "
+                        "a more distinctive template"
+                    )
+                o += step_lags
+            lag0 = o
+        offsets = np.arange(lag0, n_lags, n_out, dtype=np.int64)
         batch, batches = window_batches(
             offsets, c, budget=budget, root_step=root_step_of(stream)
         )

@@ -220,6 +220,109 @@ def test_device_extract_bank_and_grid(monkeypatch):
     np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)
 
 
+def test_sharded_find_matches_single_device(monkeypatch):
+    """find_pattern(mesh=4x1) time-shards the capture with an l-1 ICI
+    halo; matches equal the single-device run (offsets/which exact,
+    scores to f32 accumulation order), including candidates straddling
+    shard boundaries and the unaligned capture tail that runs
+    single-device."""
+    import jax
+
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    rng = np.random.default_rng(31)
+    l = 512
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    c = 4096
+    n_out = c - l + 1
+    # small shard budget -> several mesh chunks of 4 shards x 1 window,
+    # plus an unaligned remainder handled by the single-device path
+    monkeypatch.setattr(sinks, "FIND_DISPATCH_BUDGET", 4 * c)
+    step_lags = 4 * n_out
+    n = 3 * step_lags + 2 * n_out + 777
+    x = 0.03 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    plants = [
+        5,
+        n_out - 30,  # straddles the shard-0/shard-1 lag boundary
+        2 * n_out,  # exactly at a shard boundary
+        step_lags - 100,  # straddles a mesh-chunk boundary
+        3 * step_lags + 50,  # inside the single-device tail
+        n - l,  # the final lag
+    ]
+    for i, o in enumerate(plants):
+        x[o : o + l] += np.complex64(0.8 * np.exp(0.7j * i)) * p
+    src = cf32_source(x)
+    want = sinks.find_pattern(src, p, threshold=0.5, chunk=c)
+    got = sinks.find_pattern(
+        src, p, threshold=0.5, chunk=c, mesh=make_mesh(4, 1)
+    )
+    assert list(want.offsets) == sorted(plants)
+    assert np.array_equal(want.offsets, got.offsets)
+    # same window partitioning; scores agree to f32 accumulation order
+    # (XLA tiles the DFT matmuls differently per batch shape)
+    np.testing.assert_allclose(want.scores, got.scores, rtol=0, atol=4e-6)
+    np.testing.assert_allclose(want.scales, got.scales, rtol=1e-5, atol=0)
+    assert np.array_equal(want.which, got.which)
+
+
+def test_sharded_find_bank_grid(monkeypatch):
+    """Sharded template bank + frequency grid: which/freqs parity."""
+    import jax
+
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    rng = np.random.default_rng(32)
+    sr = 48_000
+    l = 256
+    pa = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    pb = (rng.standard_normal(l // 2) + 1j * rng.standard_normal(l // 2)).astype(
+        np.complex64
+    )
+    c = 2048
+    monkeypatch.setattr(sinks, "FIND_DISPATCH_BUDGET", 2 * c)
+    n = 6 * 2 * (c - l + 1) + 123
+    x = 0.03 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    m = np.arange(l)
+    x[4_000 : 4_000 + l] += 0.7 * pa * np.exp(
+        2j * np.pi * 120.0 * m / sr
+    ).astype(np.complex64)
+    x[15_000 : 15_000 + l // 2] += 0.9 * pb
+    src = cf32_source(x, sr=sr)
+    kw = dict(threshold=0.4, chunk=c, freq_tol=300.0)
+    want = sinks.find_pattern(src, [pa, pb], **kw)
+    got = sinks.find_pattern(src, [pa, pb], mesh=make_mesh(2, 1), **kw)
+    assert np.array_equal(want.offsets, got.offsets)
+    np.testing.assert_allclose(want.scores, got.scores, rtol=0, atol=4e-6)
+    assert np.array_equal(want.which, got.which)
+    assert np.array_equal(want.freqs, got.freqs)
+
+
+def test_sharded_find_rejects_chained_stream():
+    import jax
+
+    from quadrs_tpu.parallel.sharding import make_mesh
+    from quadrs_tpu.stream import Shift
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    rng = np.random.default_rng(33)
+    x = (rng.standard_normal(9000) + 1j * rng.standard_normal(9000)).astype(
+        np.complex64
+    )
+    p = x[100:356].copy()
+    chain = Shift(cf32_source(x), 1000, 48_000)
+    with pytest.raises(ValueError, match="raw capture"):
+        sinks.find_pattern(chain, p, mesh=make_mesh(2, 1))
+
+
 def test_nms_collapses_sidelobes():
     """A repeated pattern (period < distance) yields one match per
     plant; near-duplicate candidates within min_distance collapse to
@@ -510,6 +613,31 @@ class TestCli:
         assert float(score) > 0.95
         assert abs(float(scale) - 0.5) < 0.05
         assert float(freq) == 0.0
+
+    def test_find_mesh_cli_matches_single_device(self, tmp_path, capsys):
+        import jax
+
+        from quadrs_tpu.cli import main
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 devices")
+        cap, pat = self._files(tmp_path)
+        rc = main(["from", str(cap), "find", "-pattern", str(pat),
+                   "-threshold", "0.8"])
+        assert rc == 0
+        want = capsys.readouterr().out
+        rc = main(["from", str(cap), "find", "-pattern", str(pat),
+                   "-threshold", "0.8", "-mesh", "4"])
+        assert rc == 0
+        assert capsys.readouterr().out == want
+
+    def test_find_mesh_rejects_stream_axis(self, capsys):
+        from quadrs_tpu.cli import main
+
+        rc = main(["from", "x.sr1k.cf32", "find", "-pattern", "p.sr1k.cf32",
+                   "-mesh", "2x2"])
+        assert rc != 0
+        assert "Tx1" in capsys.readouterr().err
 
     def test_find_rate_mismatch_errors(self, tmp_path, capsys):
         from quadrs_tpu.cli import main

@@ -444,6 +444,47 @@ def test_serve_find_mode(capsys, tmp_path, monkeypatch):
     assert [int(ln.split(",")[0]) for ln in got[:-1]] == [3_000, 30_000]
 
 
+def test_serve_find_mesh(capsys, tmp_path):
+    """``serve -mode find -mesh Tx1`` buffers each burst and time-shards
+    the correlation; the reply lines equal the unsharded session's."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    rng = np.random.default_rng(62)
+    n, l = 50_000, 300
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    for o in (3_000, 30_000):
+        x[o : o + l] += 0.5 * p
+    raw = np.empty(2 * n, dtype=np.float32)
+    raw[0::2] = x.real
+    raw[1::2] = x.imag
+    payload = raw.tobytes()
+    pat_path = tmp_path / "sync.sr48k.cf32"
+    praw = np.empty(2 * l, dtype=np.float32)
+    praw[0::2] = p.real
+    praw[1::2] = p.imag
+    pat_path.write_bytes(praw.tobytes())
+
+    replies = []
+    for mesh in (None, (4, 1)):
+        cmd = _serve_cmd(
+            mode="find", patterns=(str(pat_path),), threshold=0.8,
+            chunk=1 << 13, sample_rate="48k", format="cf32", mesh=mesh,
+        )
+        th, port = _start_server(cmd)
+        replies.append(_session(port, payload).decode())
+        th.join(timeout=60)
+        assert not th.is_alive()
+    want, got = (r.strip().splitlines() for r in replies)
+    assert [ln.split(",")[0] for ln in got[:-1]] == ["3000", "30000"]
+    assert got == want
+    capsys.readouterr()
+
+
 def test_serve_find_mode_gating(capsys):
     from quadrs_tpu.cli import main
 
