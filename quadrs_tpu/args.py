@@ -399,6 +399,13 @@ class ServeCmd(Command):
     # handle up to N connections concurrently (device compute
     # interleaves; the compiled chain is shared)
     parallel: int = 1
+    # per-socket-operation idle timeout in seconds (0 = none): a client
+    # that neither sends nor drains for this long gets its session
+    # dropped (logged, connection closed) so a stalled peer cannot hold
+    # a -parallel slot — or the sequential accept loop — forever.  An
+    # actively trickling client is never killed: the clock resets on
+    # every completed read/write.
+    timeout: float = 0.0
     # demod-mode knobs (OokCmd/FskCmd counterparts)
     threshold: float = 0.001  # ook pulse threshold
     bit: float | None = None  # ook: windows/bit (default 8); fsk: windows/symbol
@@ -1367,6 +1374,9 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     parallel = int(parse_si_uint(map_.pop("parallel", "1")))
     if parallel < 1:
         raise ValueError("-parallel must be >= 1")
+    timeout = parse_si_float(map_.pop("timeout", "0"))
+    if timeout < 0:
+        raise ValueError("-timeout must be >= 0 seconds (0 = none)")
     _ensure_empty(map_, "serve")
     if sr is None or fmt is None:
         raise ValueError("'serve' requires -sr and -format (a socket has no "
@@ -1376,7 +1386,8 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         shift=shift, lowpass=lowpass, size=size, decimate=decimate,
         fft_width=fft_width, stride=stride, chunk=chunk, sample_rate=sr,
         format=fmt, mesh=None if mesh is None else _parse_mesh(mesh),
-        parallel=parallel, threshold=threshold, bit=bit, raw=raw_bits,
+        parallel=parallel, timeout=timeout, threshold=threshold, bit=bit,
+        raw=raw_bits,
         deviation=deviation, audio_lowpass=audio_lowpass,
         audio_decimate=audio_decimate, audio_size=audio_size,
         audio_rate=audio_rate, sideband=sideband, bandwidth=bandwidth,

@@ -76,8 +76,9 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
           fm/am: a "# MODE N RATE" header + N f32 audio samples); -threshold/-bit/-raw/ \\
           -deviation/-audio-*/-sideband/-bandwidth/-symbol-rate/-order as in the matching \\
           demod commands] \\
-         [-mesh TxS] [-parallel 1] [mesh: shard each connection across chips; \\
-          parallel: serve N connections concurrently on the shared compiled chain] \\
+         [-mesh TxS] [-parallel 1] [-timeout 0 (seconds; drop a connection idle \\
+          that long — stalled peers can't hold a slot)] [mesh: shard each connection \\
+          across chips; parallel: serve N connections concurrently on the shared chain] \\
          [TCP service: compile once, then each connection streams IQ in, results out] \\
      ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] [-stdin no] FILENAME \\
      fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] FILENAME \\

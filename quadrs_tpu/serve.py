@@ -1222,6 +1222,11 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
     ook|fsk`` serves the demodulators instead: each connection's burst
     is buffered whole (1 GiB cap) and answered with the bits text the
     ``ook``/``fsk`` commands print.
+    ``-timeout S`` arms a per-socket-operation idle timeout on every
+    accepted connection: a peer that stalls (stops sending before its
+    half-close, or stops draining results) for S seconds gets its
+    session dropped and logged like any other failed connection, so it
+    cannot starve a ``-parallel`` slot or the sequential loop.
     ``ready(port)`` is called with the bound port once listening —
     tests bind port 0 and read it back.  A failing connection (client
     gone, bad bytes) is logged and the accept loop continues;
@@ -1294,6 +1299,7 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
            else "search" if cmd.search else "norms")
         + (f", mesh {cmd.mesh[0]}x{cmd.mesh[1]}" if cmd.mesh else "")
         + (f", parallel {cmd.parallel}" if cmd.parallel > 1 else "")
+        + (f", timeout {cmd.timeout:g}s" if cmd.timeout > 0 else "")
         + ")",
         flush=True,
     )
@@ -1304,6 +1310,16 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
 
     def handle(n_conn: int, conn, peer) -> None:
         try:
+            if cmd.timeout > 0:
+                # idle timeout: any single blocked recv/send past this
+                # raises TimeoutError, which the catch-all below turns
+                # into a logged failure + close — a stalled client
+                # (sends nothing, or stops draining its results) frees
+                # its -parallel slot (or the sequential accept loop)
+                # instead of holding it forever.  The clock is per
+                # socket operation, so a slow-but-flowing client is
+                # never killed.
+                conn.settimeout(cmd.timeout)
             if demod:
                 stats = _demod_connection(
                     conn, model, cmd, details.format, details.sample_rate

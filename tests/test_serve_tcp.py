@@ -275,6 +275,149 @@ def test_serve_parallel_concurrent_sessions(capsys):
     assert "serve: conn 1 " in out and "serve: conn 2 " in out
 
 
+def test_serve_timeout_drops_stalled_client(capsys):
+    """``-timeout S``: a client that connects and then sends nothing is
+    dropped after ~S seconds — the sequential accept loop recovers and
+    the next (well-behaved) connection is served normally."""
+    import time
+
+    cmd = _serve_cmd(once=False, timeout=0.5)
+    th, port = _start_server(cmd, max_connections=2)
+
+    stalled = socket.create_connection(("127.0.0.1", port), timeout=30)
+    try:
+        # no bytes, no half-close: the server's first read must block
+        # until the idle timeout fires, then the session is dropped —
+        # observed here as EOF (or reset) on the stalled socket
+        stalled.settimeout(10)
+        t0 = time.perf_counter()
+        try:
+            got = stalled.recv(1024)
+        except OSError:
+            got = b""
+        waited = time.perf_counter() - t0
+        assert got == b"", "expected the server to close the stalled session"
+        assert waited < 8, f"stalled session held for {waited:.1f}s"
+    finally:
+        stalled.close()
+
+    data = _capture(20_000, seed=71)
+    good = _session(port, data)
+    th.join(timeout=60)
+    assert not th.is_alive()
+    want = np.concatenate([n for _, n in _direct_rows(data, cmd)])
+    np.testing.assert_array_equal(
+        np.frombuffer(good, dtype=np.float32).reshape(-1, cmd.fft_width), want
+    )
+    out = capsys.readouterr().out
+    assert "timeout 0.5s" in out
+    assert "serve: conn 1 failed: TimeoutError" in out
+    assert "serve: conn 2 " in out and "done" in out
+
+
+def test_serve_timeout_frees_parallel_slots(capsys):
+    """Two stalled clients fill both ``-parallel 2`` slots; the idle
+    timeout frees them, so a third (real) session still completes
+    instead of starving in the pool queue."""
+    cmd = _serve_cmd(once=False, parallel=2, timeout=0.5)
+    th, port = _start_server(cmd, max_connections=3)
+
+    stalled = [
+        socket.create_connection(("127.0.0.1", port), timeout=30)
+        for _ in range(2)
+    ]
+    try:
+        data = _capture(20_000, seed=72)
+        good = _session(port, data)  # queued behind the stalled pair
+        want = np.concatenate([n for _, n in _direct_rows(data, cmd)])
+        np.testing.assert_array_equal(
+            np.frombuffer(good, dtype=np.float32).reshape(-1, cmd.fft_width),
+            want,
+        )
+    finally:
+        for s in stalled:
+            s.close()
+    th.join(timeout=60)
+    assert not th.is_alive()
+    out = capsys.readouterr().out
+    assert out.count("failed: TimeoutError") == 2
+
+
+def test_serve_parallel_soak_interleaved_slow_fast(capsys):
+    """``-parallel 4`` soak: eight concurrent sessions, half trickling
+    their capture in small timed pieces, half sending at once.  Every
+    response matches its own direct run; no trickler is killed by the
+    idle timeout (the clock resets per completed socket op)."""
+    import time
+
+    cmd = _serve_cmd(search=True, once=False, parallel=4, timeout=5.0)
+    th, port = _start_server(cmd, max_connections=8)
+
+    payloads = [_capture(15_000, seed=80 + i) for i in range(8)]
+    results: list[bytes | None] = [None] * 8
+
+    def fast(i):
+        results[i] = _session(port, payloads[i])
+
+    def slow(i):
+        out: list[bytes] = []
+        with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+            def drain():
+                while True:
+                    b = s.recv(1 << 16)
+                    if not b:
+                        return
+                    out.append(b)
+            rd = threading.Thread(target=drain)
+            rd.start()
+            step = max(1, len(payloads[i]) // 6)
+            for off in range(0, len(payloads[i]), step):
+                s.sendall(payloads[i][off : off + step])
+                time.sleep(0.05)
+            s.shutdown(socket.SHUT_WR)
+            rd.join(timeout=120)
+            assert not rd.is_alive()
+        results[i] = b"".join(out)
+
+    clients = [
+        threading.Thread(target=(slow if i % 2 else fast), args=(i,))
+        for i in range(8)
+    ]
+    for c in clients:
+        c.start()
+    for c in clients:
+        c.join(timeout=300)
+        assert not c.is_alive()
+    th.join(timeout=60)
+    assert not th.is_alive()
+
+    for i in range(8):
+        lines = results[i].decode().strip().splitlines()
+        assert lines[0] == "window,bin,mag"
+        assert lines[-1].startswith("# stream: ")
+        got = [tuple(l.split(",")) for l in lines[1:-1]]
+        want = []
+        for w0, (idx, val) in _direct_rows(payloads[i], cmd, search=True):
+            for j in range(len(idx)):
+                want.append((str(w0 + j), str(int(idx[j])),
+                             f"{float(val[j]):.9g}"))
+        assert got == want, f"session {i} mismatch"
+    out = capsys.readouterr().out
+    assert out.count("done") == 8 and "failed" not in out
+
+
+def test_serve_timeout_parse_and_banner(capsys):
+    (cmd,) = argmod.parse(
+        "serve -timeout 2.5 -sr 48k -format cs8".split()
+    )
+    assert cmd.timeout == 2.5
+    from quadrs_tpu.cli import main
+
+    rc = main(["serve", "-timeout", "-1", "-sr", "48k", "-format", "cs8"])
+    assert rc == 1
+    assert "-timeout must be >= 0" in capsys.readouterr().err
+
+
 def test_serve_ook_demod_mode(capsys):
     """``serve -mode ook`` buffers the connection's burst and answers
     with exactly the lines ``quadjax ook`` prints for the same bytes."""
