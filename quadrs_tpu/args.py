@@ -260,6 +260,9 @@ class PskCmd(Command):
     symbol_rate: float = 0.0  # required: symbols per second
     order: int = 2  # 2 = BPSK, 4 = QPSK (Gray 00 01 11 10)
     differential: bool = True
+    # re-estimate the carrier every N baseband samples and detrend the
+    # drift (0 = one whole-burst estimate; see PskDemod.block)
+    block: int = 0
     plot: str | None = None  # render the constellation PNG here
     overwrite: bool = False
     sample_rate: str | None = None
@@ -422,6 +425,7 @@ class ServeCmd(Command):
     symbol_rate: float = 0.0  # psk: symbols per second (required)
     order: int = 2  # psk: 2 = BPSK, 4 = QPSK
     differential: bool = True  # psk: decode phase transitions
+    block: int = 0  # psk: carrier re-estimate every N baseband samples
     # find-mode knobs (FindOp counterparts; -pattern repeatable)
     patterns: tuple[str, ...] = ()
     top: int = 0
@@ -1082,6 +1086,7 @@ def _parse_psk(args: _Args, raw_map) -> Command:
     symbol_rate = map_.pop("symbol-rate", None)
     order = int(parse_si_uint(map_.pop("order", "2")))
     differential = parse_bool(map_.pop("differential", "yes"))
+    block = int(parse_si_uint(map_.pop("block", "0")))
     plot = map_.pop("plot", None)
     overwrite = parse_bool(map_.pop("overwrite", "no"))
     sr = map_.pop("sr", None)
@@ -1098,8 +1103,8 @@ def _parse_psk(args: _Args, raw_map) -> Command:
     return PskCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, symbol_rate=symbol_rate, order=order,
-        differential=differential, plot=plot, overwrite=overwrite,
-        sample_rate=sr, format=fmt, stdin=stdin,
+        differential=differential, block=block, plot=plot,
+        overwrite=overwrite, sample_rate=sr, format=fmt, stdin=stdin,
     )
 
 
@@ -1267,7 +1272,7 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     _fm_flags = {"deviation", "audio-lowpass", "audio-decimate", "audio-power",
                  "audio-rate"}
     _ssb_flags = {"sideband", "bandwidth"}
-    _psk_flags = {"symbol-rate", "order", "differential"}
+    _psk_flags = {"symbol-rate", "order", "differential", "block"}
     _find_flags = {"pattern", "top", "distance", "freq-tol", "freq-step"}
     _inapplicable = {
         "stream": {"stride", "threshold", "bit", "raw"}
@@ -1345,6 +1350,7 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     if order not in (2, 4):
         raise ValueError("-order must be 2 (BPSK) or 4 (QPSK)")
     differential = parse_bool(map_.pop("differential", "yes"))
+    block = int(parse_si_uint(map_.pop("block", "0")))
     stride = map_.pop("stride", "2" if mode == "ook" else None)
     stride = None if stride is None else int(parse_si_uint(stride))
     if mode == "find" and not patterns:
@@ -1392,6 +1398,7 @@ def _parse_serve(args: _Args, raw_map) -> Command:
         audio_decimate=audio_decimate, audio_size=audio_size,
         audio_rate=audio_rate, sideband=sideband, bandwidth=bandwidth,
         symbol_rate=symbol_rate, order=order, differential=differential,
+        block=block,
         patterns=patterns, top=top, distance=distance, freq_tol=freq_tol,
         freq_step=freq_step,
     )

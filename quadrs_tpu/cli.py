@@ -84,6 +84,8 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
      fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] FILENAME \\
      psk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] -symbol-rate HZ \\
          [-order 2 (BPSK; 4 = QPSK, Gray 00 01 11 10)] [-differential yes] \\
+         [-block 0 (re-estimate the carrier every N baseband samples: \\
+          tracks drifting crystals; 0 = one whole-burst estimate)] \\
          [-plot FILE.png (render the synchronized constellation)] [-overwrite no] \\
          [-stdin no] FILENAME [block-coherent: per-burst carrier + timing, no PLL] \\
       fm [-shift 0] [-lowpass 100k] [-power 200] [-decimate 8] [-deviation 75k] \\

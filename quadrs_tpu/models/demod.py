@@ -561,7 +561,20 @@ class PskDemod:
     Validity: the residual carrier must satisfy
     ``|freq| < rate / (2 * order)`` (the order-th-power line must not
     alias) and sit well inside the channel filter.
-    """
+
+    **Carrier drift** (``block``): the single block estimate leaves a
+    time-varying residual when the carrier DRIFTS across the burst (any
+    real crystal warms up); differential decode flips bits once the
+    residual reaches ``symbol_rate / (2 * order)`` Hz — the drift
+    budget of ``block=0``.  ``block=N`` re-estimates the carrier every
+    ``N`` baseband samples (same order-th-power peak, one small device
+    program per block), integrates the piecewise-linear frequency
+    track into a CONTINUOUS host-f64 phase ramp (no per-block phase
+    stitching — frequency integration keeps phase continuous by
+    construction), derotates, and runs the normal estimator on the
+    detrended burst, which then sees only the per-block residual
+    (drift * block / n).  Each block must hold >= ~4 symbols; 10-50
+    symbols per block is a good range."""
 
     center: int = 0
     bandwidth: int = 200_000
@@ -571,6 +584,7 @@ class PskDemod:
     order: int = 2
     differential: bool = True
     chunk: int = 1 << 16  # baseband samples per executor pull
+    block: int = 0  # baseband samples per carrier estimate (0 = whole burst)
 
     def _check(self) -> None:
         if self.order not in (2, 4):
@@ -610,15 +624,72 @@ class PskDemod:
                     return rate, out[: o + v]
         return rate, out
 
+    def _block_freq(self, rate: int, xb: np.ndarray) -> float:
+        """Order-th-power FFT peak of one baseband slice, parabolically
+        refined — the same estimator :meth:`analyze` runs on the whole
+        burst, reused per block for the drift track."""
+        from quadrs_tpu.runtime import _round_up_pow2
+
+        nb = len(xb)
+        npad = max(256, _round_up_pow2(nb))
+        planes = np.zeros((2, npad), dtype=np.float32)
+        planes[0, :nb] = np.real(xb)
+        planes[1, :nb] = np.imag(xb)
+        return self._peak_khat(planes, nb, npad) / (self.order * npad) * rate
+
+    def _peak_khat(self, planes: np.ndarray, n: int, npad: int) -> float:
+        """Refined order-th-power spectral peak, in bins of ``npad``
+        (divide by ``order * npad`` for cycles/sample)."""
+        k0, pm, p0, pp = _psk_peak_fn(npad, self.order)(planes, np.int32(n))
+        k0, pm, p0, pp = int(k0), float(pm), float(p0), float(pp)
+        denom = pm - 2.0 * p0 + pp
+        delta = 0.0 if denom == 0.0 else 0.5 * (pm - pp) / denom
+        khat = k0 + min(0.5, max(-0.5, delta))
+        if khat > npad / 2:
+            khat -= npad
+        return khat
+
+    def _carrier_detrend(self, rate: int, x: np.ndarray) -> tuple[np.ndarray, float]:
+        """Blockwise carrier tracking: estimate the offset every
+        ``block`` samples, linearly interpolate the frequency between
+        block midpoints (constant beyond the ends), integrate to an f64
+        phase ramp, and derotate.  Returns the detrended burst and the
+        burst-mean removed frequency (added back into the reported
+        estimate)."""
+        n, b = len(x), int(self.block)
+        sps = rate / self.symbol_rate
+        min_blk = max(1, int(round(sps))) + int(math.ceil(3 * sps))
+        if b < min_blk:
+            raise ValueError(
+                f"block={b} baseband samples holds under ~4 symbols at "
+                f"sps={sps:.1f}: raise -block (>= {min_blk})"
+            )
+        n_blocks = max(1, n // b)  # the ragged tail merges into the last
+        bounds = [i * b for i in range(n_blocks)] + [n]
+        mids = np.empty(n_blocks, dtype=np.float64)
+        freqs = np.empty(n_blocks, dtype=np.float64)
+        for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+            mids[i] = 0.5 * (s + e - 1)
+            freqs[i] = self._block_freq(rate, x[s:e])
+        f_t = np.interp(np.arange(n, dtype=np.float64), mids, freqs)
+        phi = _TAU * np.cumsum(f_t) / rate  # continuous by construction
+        y = (x * np.exp(-1j * phi)).astype(np.complex64)
+        return y, float(np.mean(f_t))
+
     def analyze(self, rate: int, x: np.ndarray) -> tuple[PskEstimate, np.ndarray]:
         """Synchronize and sample one baseband burst.
 
         Returns ``(estimate, symbols)`` where ``symbols`` are the
         matched-filtered complex decisions, derotated so the ideal
         constellation is the ``order``-th roots of unity (up to the
-        power-law ambiguity).
+        power-law ambiguity).  With ``block > 0`` the carrier is first
+        detrended blockwise (see the class docstring); the reported
+        ``freq_hz`` is then the burst-mean track plus the residual.
         """
         self._check()
+        f_track = 0.0
+        if self.block:
+            x, f_track = self._carrier_detrend(rate, x)
         m_ord = self.order
         sps = rate / self.symbol_rate
         if sps < 2.0:
@@ -637,15 +708,7 @@ class PskDemod:
         planes[0, :n] = np.real(x)
         planes[1, :n] = np.imag(x)
 
-        k0, pm, p0, pp = _psk_peak_fn(npad, m_ord)(planes, np.int32(n))
-        k0 = int(k0)
-        pm, p0, pp = float(pm), float(p0), float(pp)
-        denom = pm - 2.0 * p0 + pp
-        delta = 0.0 if denom == 0.0 else 0.5 * (pm - pp) / denom
-        delta = min(0.5, max(-0.5, delta))
-        khat = k0 + delta
-        if khat > npad / 2:
-            khat -= npad
+        khat = self._peak_khat(planes, n, npad)
 
         # host-exact derotation / timing tables (f64 reductions mod one
         # cycle, then one f32 cos/sin — the ExactNCO discipline)
@@ -666,7 +729,7 @@ class PskDemod:
         tau = (-math.atan2(e.imag, e.real) / _TAU) % 1.0 * sps
 
         est = PskEstimate(
-            freq_hz=khat / (m_ord * npad) * rate,
+            freq_hz=f_track + khat / (m_ord * npad) * rate,
             phase=phase,
             tau=tau,
             sps=sps,

@@ -519,6 +519,7 @@ def run_psk(cmd: argmod.PskCmd) -> int:
         symbol_rate=cmd.symbol_rate,
         order=cmd.order,
         differential=cmd.differential,
+        block=cmd.block,
     )
     est, sym = demod.symbols(src)
     bits = demod.slice(sym)
@@ -910,6 +911,7 @@ def _make_serve_demod(cmd: argmod.ServeCmd):
             symbol_rate=cmd.symbol_rate,
             order=cmd.order,
             differential=cmd.differential,
+            block=cmd.block,
         )
     from quadrs_tpu.models.demod import FskDemod
 

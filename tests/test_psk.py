@@ -36,17 +36,22 @@ def psk_iq(
     phase0: float = 0.0,
     noise: float = 0.0,
     seed: int = 0,
+    drift: float = 0.0,
 ) -> np.ndarray:
     """Differentially-encoded PSK at the raw rate: symbol k holds phase
     ``2 pi a_k / order + offset`` with ``a_k = a_{k-1} + incr_k`` (rect
     pulses, symbol k spanning raw samples [k*sps_raw, (k+1)*sps_raw)),
     carried at ``f_off`` Hz with a common phase.  QPSK uses the usual
-    pi/4 constellation offset — the receiver must absorb it."""
+    pi/4 constellation offset — the receiver must absorb it.  ``drift``
+    ramps the carrier linearly (Hz per second) across the burst — a
+    warming crystal."""
     a = np.cumsum(np.asarray(incr, dtype=np.int64)) % order
     offset = np.pi / 4 if order == 4 else 0.0
     n = int(round(len(a) * sps_raw))
     k = np.minimum((np.arange(n) / sps_raw).astype(np.int64), len(a) - 1)
-    ph = TAU * a[k] / order + offset + phase0 + TAU * f_off * np.arange(n) / sr
+    t = np.arange(n) / sr
+    ph = (TAU * a[k] / order + offset + phase0
+          + TAU * (f_off * t + 0.5 * drift * t * t))
     x = np.cos(ph) + 1j * np.sin(ph)
     if noise:
         rng = np.random.default_rng(seed)
@@ -220,6 +225,61 @@ def test_chunk_size_does_not_change_decisions():
     assert bits_a == bits_b
 
 
+def test_blockwise_recovers_carrier_drift():
+    """A burst whose carrier drifts linearly across it (warming
+    crystal): the single whole-burst estimate leaves a residual ramp
+    that exceeds the differential drift budget ``symbol_rate / (2 *
+    order)`` at the ends — bit errors — while ``block=512`` tracks the
+    drift and recovers the payload exactly."""
+    rng = np.random.default_rng(77)
+    incr = rng.integers(0, 2, 256)
+    # 256 symbols at 8k sym/s = 32 ms; 187.5 kHz/s drift sweeps the
+    # carrier 6 kHz end-to-end, so the best single estimate (the mean)
+    # still leaves ~±3 kHz at the edges > the 2 kHz BPSK budget
+    x = psk_iq(incr, 2, SR / 8_000.0, SR, f_off=400.0, phase0=0.7,
+               drift=187_500.0)
+    src = cf32_source(x, SR)
+    want = want_bits(incr, 2)
+
+    _, bits_single = demod_for(2, block=0).demodulate(src)
+    got_single = "".join(map(str, bits_single))
+    errs = sum(a != b for a, b in zip(got_single, want))
+    assert got_single not in want and errs > 5, (
+        f"drift burst decoded clean ({errs} errors) — budget test is vacuous"
+    )
+
+    est, bits = demod_for(2, block=512).demodulate(src)
+    got = "".join(map(str, bits))
+    assert got in want
+    assert len(got) >= len(want) - 4
+    # the reported frequency is the burst-mean of the track: the sweep
+    # midpoint (f_off + 3 kHz), not the meaningless single-line fit
+    assert abs(est.freq_hz - (400.0 + 3_000.0)) < 150.0
+
+
+def test_blockwise_matches_single_estimate_without_drift():
+    """On a drift-free burst the blockwise path is a no-op detrend: the
+    recovered payload is identical and the estimate agrees."""
+    rng = np.random.default_rng(78)
+    incr = rng.integers(0, 4, 200)
+    x = psk_iq(incr, 4, SR / 8_000.0, SR, f_off=-900.0, phase0=1.3,
+               noise=0.02, seed=11)
+    src = cf32_source(x, SR)
+    est0, bits0 = demod_for(4, block=0).demodulate(src)
+    est1, bits1 = demod_for(4, block=512).demodulate(src)
+    assert bits0 == bits1
+    # per-block FFTs are shorter than the whole-burst one, so the
+    # blockwise track is a few Hz coarser — irrelevant at 8k sym/s
+    assert abs(est0.freq_hz - est1.freq_hz) < 10.0
+    assert abs(est0.tau - est1.tau) < 0.05
+
+
+def test_blockwise_block_too_small_raises():
+    x = psk_iq(np.ones(64, np.int64), 2, SR / 8_000.0, SR)
+    with pytest.raises(ValueError, match="raise -block"):
+        demod_for(2, block=32).demodulate(cf32_source(x, SR))
+
+
 def test_coherent_slice_positions():
     """differential=False slices absolute constellation positions: ideal
     root-of-unity symbols map straight through (BPSK) and through the
@@ -280,6 +340,43 @@ class TestCli:
         assert out[0] in want_bits(incr, order)
         assert f"psk: {len(out[0])} bits" in out[1]
         assert "freq" in out[1] and "sps 16" in out[1]
+
+    def test_psk_block_flag_tracks_drift(self, tmp_path, capsys):
+        """``-block`` from the shell: the drifting burst that defeats
+        the single estimate decodes exactly with -block 512, and serve
+        gates the flag to -mode psk."""
+        from quadrs_tpu import args as argmod
+        from quadrs_tpu.cli import main
+
+        rng = np.random.default_rng(79)
+        incr = rng.integers(0, 2, 256)
+        x = psk_iq(incr, 2, SR / 8_000.0, SR, f_off=400.0, phase0=0.7,
+                   drift=187_500.0)
+        raw = np.empty(2 * len(x), dtype=np.float32)
+        raw[0::2], raw[1::2] = x.real, x.imag
+        path = tmp_path / f"psk-drift.sr{SR}.cf32"
+        path.write_bytes(raw.tobytes())
+
+        base = ["psk", "-lowpass", "20k", "-power", "64", "-decimate", "8",
+                "-symbol-rate", "8k"]
+        assert main(base + [str(path)]) == 0
+        single = capsys.readouterr().out.splitlines()[0]
+        assert main(base + ["-block", "512", str(path)]) == 0
+        blocked = capsys.readouterr().out.splitlines()[0]
+        want = want_bits(incr, 2)
+        assert single not in want and blocked in want
+
+        (cmd,) = argmod.parse(
+            ["serve", "-mode", "psk", "-symbol-rate", "8k", "-block", "512",
+             "-sr", "1M", "-format", "cf32"]
+        )
+        assert cmd.block == 512
+        rc = main(["serve", "-mode", "stream", "-block", "512",
+                   "-sr", "1M", "-format", "cf32"])
+        assert rc == 1
+        assert "-block does not apply to -mode stream" in (
+            capsys.readouterr().err
+        )
 
     def test_psk_matches_library(self, tmp_path, capsys):
         from quadrs_tpu.cli import main
