@@ -657,6 +657,36 @@ def bench_find(on_accel: bool) -> dict:
         step_of(make_xcorr_post(pat, c, fft_impl="xla")),
         b * n_out, secs, min_iters=2,
     )
+    # the PRODUCT dispatch: find_pattern's fat batches (FIND_DISPATCH_
+    # BUDGET lags/dispatch) through the device-side candidate scan —
+    # top-k + boundary scalars to the host instead of 12 bytes/lag.
+    # Threshold 0.5 on noise windows == the realistic zero-candidate
+    # scan regime (noise scores ~ l^-1/2 ~ 0.03).
+    from quadrs_tpu.sinks import FIND_DISPATCH_BUDGET, FIND_TOPK
+
+    bf = max(4, FIND_DISPATCH_BUDGET // n_out) if on_accel else 8
+    xrf = jnp.asarray(rng.standard_normal((bf, c)).astype(np.float32))
+    xif = jnp.asarray(rng.standard_normal((bf, c)).astype(np.float32))
+
+    def step_of_fat(post):
+        @jax.jit
+        def _run(g, acc):
+            x = jax.lax.complex(xrf, xif) * g
+            res = post(x, jnp.float32(-np.inf))
+            for leaf in res:
+                acc = acc + jnp.sum(leaf.astype(jnp.float32))
+            return acc
+
+        return lambda i, acc: _run(jnp.float32(gains[i % 16]), acc)
+
+    fat_msps = measure_msps_acc(
+        step_of_fat(make_xcorr_post(pat, c, extract=(0.5, FIND_TOPK))),
+        bf * n_out, secs, min_iters=2,
+    )
+    fat_grid_msps = measure_msps_acc(
+        step_of_fat(make_xcorr_post(pat, c, grid, extract=(0.5, FIND_TOPK))),
+        bf * n_out, secs, min_iters=2,
+    )
     entry = {
         "metric": f"pattern search (l={l}, FFT block {c}; input rate)",
         "value": round(msps, 1),
@@ -665,6 +695,9 @@ def bench_find(on_accel: bool) -> dict:
         "freq_grid9_msps": round(grid_msps, 1),
         "four_step_msps": round(fs_msps, 1),
         "xla_fft_msps": round(xla_msps, 1),
+        "fat_msps": round(fat_msps, 1),
+        "fat_grid9_msps": round(fat_grid_msps, 1),
+        "fat_windows_per_dispatch": bf,
         **tstats,
     }
     # per NEW input sample: one forward + one inverse FFT of c amortized
@@ -1204,6 +1237,57 @@ def bench_disk_staging(on_accel: bool) -> dict:
     }
 
 
+class _PreStagedPlanes:
+    """In-RAM deinterleaved native-dtype planes with a free ``stage()``
+    (a view slice): the compute+transfer-only comparator behind the
+    sustained entries' ``overlap_efficiency`` — the same StreamRunner
+    loop with ALL disk->host staging work (pread + deinterleave +
+    overlap stitching) removed.  e2e_rate / prestaged_rate == 1 means
+    staging is fully hidden behind the device side of the pipe."""
+
+    is_pipe = False
+    native = None
+
+    def __init__(self, planes: np.ndarray, fmt, sample_rate: int):
+        self._planes = planes
+        self.format = fmt
+        self.sample_rate = sample_rate
+        self.length = planes.shape[1]
+
+    def stage(self, lo: int, hi: int) -> np.ndarray:
+        lo = max(0, min(lo, self.length))
+        hi = max(lo, min(hi, self.length))
+        return self._planes[:, lo:hi]
+
+
+def _overlap_fields(model, src, chunk: int, cap: int, e2e_msps: float,
+                    staging_msps: float | None = None) -> dict:
+    """Same-session compute+transfer-only pass over pre-staged planes
+    (identical chunk shapes -> warm compile cache) and the derived
+    overlap numbers.  ``serial_msps`` is the rate a NON-overlapped
+    pipeline would predict (1/(1/prestaged + 1/staging)); where e2e
+    lands between serial and prestaged says how much of the staging
+    cost overlap actually hid."""
+    from quadrs_tpu.stream_runner import StreamRunner
+
+    runner0 = StreamRunner(src, model, chunk_samples=chunk)
+    pre = _PreStagedPlanes(
+        src.stage(0, cap * chunk + runner0._lookahead),
+        model.cfg.fmt,
+        model.cfg.sample_rate,
+    )
+    stats = StreamRunner(pre, model, chunk_samples=chunk).run(max_chunks=cap)
+    fields = {
+        "prestaged_msps": round(stats.msps, 1),
+        "overlap_efficiency": round(e2e_msps / stats.msps, 3) if stats.msps else None,
+    }
+    if staging_msps:
+        fields["serial_msps"] = round(
+            1.0 / (1.0 / stats.msps + 1.0 / staging_msps), 1
+        )
+    return fields
+
+
 def bench_disk_sustained(on_accel: bool) -> dict:
     """End-to-end disk->chip: file -> C++ ring prefetch -> host staging
     -> device decode+mix+FIR+STFT, the reference's execution model (pull
@@ -1231,7 +1315,7 @@ def bench_disk_sustained(on_accel: bool) -> dict:
     ).run()
     cap = 12 if on_accel else None  # ~50M samples; rate == steady state
     stats = StreamRunner(src, model, chunk_samples=chunk).run(max_chunks=cap)
-    return {
+    entry = {
         "metric": "sustained disk->chip cs8 stream (1G-sample file; transfer-bound "
         "by the tunneled runtime on this rig)"
         if on_accel
@@ -1240,6 +1324,10 @@ def bench_disk_sustained(on_accel: bool) -> dict:
         "unit": "Msamples/sec/chip",
         "vs_baseline": round(stats.msps / 100.0, 2),
     }
+    entry.update(
+        _overlap_fields(model, src, chunk, cap if cap else 4, stats.msps)
+    )
+    return entry
 
 
 def bench_long_fir_sustained(on_accel: bool) -> dict:
@@ -1299,6 +1387,9 @@ def bench_long_fir_sustained(on_accel: bool) -> dict:
     # demonstrated on hardware; see STATUS.md)
     e2e_cap = 8 if on_accel else 2
     stats = StreamRunner(src, model, chunk_samples=chunk).run(max_chunks=e2e_cap)
+    overlap = _overlap_fields(
+        model, src, chunk, e2e_cap, stats.msps, staging_msps=staging_msps
+    )
     return {
         "metric": "sustained power=2000 chain over the 1G-sample capture "
         "(disk->chip; transfer-bound by the tunneled runtime on this rig)"
@@ -1309,6 +1400,7 @@ def bench_long_fir_sustained(on_accel: bool) -> dict:
         "vs_baseline": round(stats.msps / 100.0, 2),
         "staging_msps": round(staging_msps, 1),
         "samples_total": n,
+        **overlap,
     }
 
 
