@@ -768,20 +768,24 @@ def _staged_chain_step(chain, n: int, offs: np.ndarray, post):
 
 
 def _audio_tail_step(demod, rate: int, n_a: int):
-    """Product-true audio stage step: calls demod._audio_stage (cached
-    jitted FIR + rational-resample cores, full np fetches between) on a
-    4-buffer input cycle; the fetches synchronize, so wall differencing
-    is honest."""
+    """Product-true audio stage step: calls demod._audio_stage (the
+    fused single-program FIR + rational-resample tail) on a 4-buffer
+    DEVICE-resident input cycle — exactly how demodulate feeds it (the
+    chain output never visits the host) — with the final audio fetched
+    each iteration as the product does; the fetch synchronizes, so wall
+    differencing is honest."""
     from quadrs_tpu.models.demod import _audio_stage
 
     rng = np.random.default_rng(7)
     bufs = [
-        (0.5 + 0.1 * k) * rng.standard_normal(n_a).astype(np.float32)
+        jax.device_put(
+            (0.5 + 0.1 * k) * rng.standard_normal(n_a).astype(np.float32)
+        )
         for k in range(4)
     ]
 
     def step(i, acc):
-        _, y = _audio_stage(demod, rate, bufs[i % 4])
+        _, y = _audio_stage(demod, rate, bufs[i % 4], div=1.0 + 0.01 * (i % 16))
         return acc + float(np.float64(y.sum()))
 
     return step

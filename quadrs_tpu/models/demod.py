@@ -166,58 +166,44 @@ class FmDemod:
             chain = Shift(chain, self.center, chain.sample_rate)
         return LowPass(chain, self.bandwidth, self.decimate, self.taps)
 
-    def discriminate(self, stream: Stream) -> tuple[int, np.ndarray]:
-        """Instantaneous frequency of the filtered channel.
-
-        Returns ``(channel_rate_hz, f32[channel_len - 1])`` in Hz.
-        """
+    def _discriminate_dev(self, stream: Stream):
+        """``(channel_rate_hz, device f32[channel_len - 1])`` in Hz —
+        the discriminator output assembled on device (window at offset
+        o reads chan[o .. o+c] and emits d for samples o+1 .. o+c, so
+        offsets stepping c produce every channel sample >= 1 once)."""
         import jax.numpy as jnp
-
-        from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 
         chan = self.channel(stream)
         if chan.length < 2:
             raise ValueError("input too short for the FM discriminator")
         rate = chan.sample_rate
         c = min(self.chunk, chan.length - 1)
-        # window at offset o reads chan[o .. o+c]; emits d for samples
-        # o+1 .. o+c (c outputs).  Offsets step by c, so every channel
-        # sample >= 1 is produced exactly once.
-        offsets = np.arange(0, chan.length - 1, c, dtype=np.int64)
         scale = np.float32(rate / (2.0 * np.pi))
 
         def post(x):  # (B, c+1) complex -> (B, c) f32 Hz
             d = x[:, 1:] * jnp.conj(x[:, :-1])
             return jnp.arctan2(jnp.imag(d), jnp.real(d)) * scale
 
-        batch, batches = window_batches(
-            offsets, c + 1, root_step=root_step_of(chan)
-        )
-        ex = Executor(chan, c + 1, batch=batch, post=post)
-        out = np.empty(chan.length - 1, dtype=np.float32)
-        for offs in batches:
-            freqs, valid = ex.run(offs)
-            for i in range(len(offs)):
-                o, v = int(offs[i]), int(valid[i])
-                if v >= 2:
-                    out[o : o + v - 1] = freqs[i][: v - 1]
-                if v < c + 1:
-                    # short read: only possible at EOF (a decimated
-                    # stage's claimed final sample may be unreadable,
-                    # as in sinks.do_write) — the stream ends here
-                    return rate, out[: o + max(v - 1, 0)]
-        return rate, out
+        return rate, _chunked_signal_dev(chan, c, 1, post)
+
+    def discriminate(self, stream: Stream) -> tuple[int, np.ndarray]:
+        """Instantaneous frequency of the filtered channel.
+
+        Returns ``(channel_rate_hz, f32[channel_len - 1])`` in Hz.
+        """
+        rate, freq = self._discriminate_dev(stream)
+        return rate, np.asarray(freq)
 
     def demodulate(self, stream: Stream) -> tuple[int, np.ndarray]:
         """Full receive chain to normalized audio.
 
         Returns ``(audio_rate_hz, f32 audio)`` with ``inst_freq /
         deviation`` scaling (and the audio FIR applied when
-        configured).
+        configured).  The discriminator output stays on device through
+        the fused audio tail — only the final audio is fetched.
         """
-        rate, freq = self.discriminate(stream)
-        audio = freq / np.float32(self.deviation)
-        return _audio_stage(self, rate, audio)
+        rate, freq = self._discriminate_dev(stream)
+        return _audio_stage(self, rate, freq, div=float(self.deviation))
 
 
 def _audio_fir(
@@ -268,20 +254,150 @@ def _audio_fir_fn(cutoff_ratio: float, n_taps: int, d: int, n_out: int):
     return run
 
 
-def _audio_stage(demod, rate: int, audio: np.ndarray) -> tuple[int, np.ndarray]:
-    """The shared audio tail of every analog demod (FM/AM/SSB):
-    optional real decimating FIR, then optional rational resample to an
-    exact device rate — driven by the model's ``audio_*`` fields."""
-    if demod.audio_bandwidth is not None or demod.audio_decimate != 1:
-        rate, audio = _audio_fir(
-            rate, audio, demod.audio_bandwidth, demod.audio_decimate,
-            demod.audio_taps,
-        )
-    if demod.audio_rate is not None and demod.audio_rate != rate:
-        from quadrs_tpu.ops.resample import resample_real
+@functools.lru_cache(maxsize=64)
+def _audio_stage_fused(
+    n: int,
+    rate: int,
+    bandwidth: int | None,
+    decimate: int,
+    n_taps: int,
+    target: int | None,
+) -> tuple:
+    """One jitted program for the whole analog audio tail: elementwise
+    prologue (``x / div + bias`` — FM's deviation scaling, AM's
+    modulation-depth normalization) -> optional real decimating FIR ->
+    optional rational resample, with NO intermediate host transfer.
+    The per-stage size math is :func:`_audio_fir`'s and
+    :func:`~quadrs_tpu.ops.resample.resample_real`'s, computed at trace
+    build; the device only ever ships the final audio to the host.
+    Cached by geometry — many bursts, one compile.
 
-        rate, audio = resample_real(audio, rate, demod.audio_rate)
-    return rate, audio
+    Returns ``(jitted fn(x, div, bias) -> f32 audio, out_rate)``."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadrs_tpu.ops.fir import _overlapped_frames, fir_decimate, lowpass_taps
+    from quadrs_tpu.ops.resample import resample_tables
+
+    cur_rate, cur_n = int(rate), int(n)
+    fir_cfg = None
+    if bandwidth is not None or decimate != 1:
+        d = decimate
+        cutoff_hz = bandwidth if bandwidth is not None else cur_rate // (2 * d)
+        f_out = 1 + (cur_n - n_taps) // d
+        if f_out < 1:
+            raise ValueError("audio shorter than the audio filter")
+        f_in = f_out * d + n_taps
+        fir_cfg = (lowpass_taps(cutoff_hz / cur_rate, n_taps), d, f_out, f_in)
+        cur_rate //= d
+        cur_n = f_out
+    rs_cfg = None
+    if target is not None and int(target) != cur_rate:
+        tgt = int(target)
+        if tgt <= 0:
+            raise ValueError("rates must be positive")
+        g = math.gcd(cur_rate, tgt)
+        l, m_ = tgt // g, cur_rate // g
+        size = 2 * 8 * max(l, m_)  # resample_real's power=8 default
+        weights, gamma_min, frame_len, dvec = resample_tables(size, l, m_)
+        jmax = (cur_n - gamma_min - 1 - dvec[0]) // m_
+        r_out = int(np.min((jmax + 1) * l + np.arange(l)))
+        if r_out < 1:
+            raise ValueError("audio shorter than the resampling filter")
+        nb = -(-r_out // l)
+        r_in = (nb - 1) * m_ + frame_len
+        rs_cfg = (
+            jnp.asarray(weights[0]), gamma_min, m_, frame_len, nb, r_out, r_in,
+        )
+        cur_rate = tgt
+
+    @jax.jit
+    def run(x: jnp.ndarray, div: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+        y = x / div + bias
+        if fir_cfg is not None:
+            taps, d, f_out, f_in = fir_cfg
+            take = min(f_in, y.shape[0])
+            z = y[:take] if take == f_in else jnp.pad(y, (0, f_in - take))
+            yc = jax.lax.complex(z, jnp.zeros_like(z))
+            y = jnp.real(fir_decimate(yc[None, :], taps, d, f_out)[0])
+        if rs_cfg is not None:
+            w0, gamma_min, m_, frame_len, nb, r_out, r_in = rs_cfg
+            take = min(r_in, max(0, y.shape[0] - gamma_min))
+            z = y[gamma_min : gamma_min + take]
+            if take < r_in:
+                z = jnp.pad(z, (0, r_in - take))
+            frames = _overlapped_frames(z[None, :], m_, frame_len, nb)
+            y = jnp.einsum(
+                "bfm,ml->bfl", frames, w0,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(-1)[:r_out]
+        return y
+
+    return run, cur_rate
+
+
+def _audio_stage(
+    demod, rate: int, audio, div: float = 1.0, bias: float = 0.0
+) -> tuple[int, np.ndarray]:
+    """The shared audio tail of every analog demod (FM/AM/SSB):
+    elementwise ``audio / div + bias`` prologue, optional real
+    decimating FIR, optional rational resample to an exact device rate
+    — driven by the model's ``audio_*`` fields and fused into ONE
+    device program (:func:`_audio_stage_fused`).  ``audio`` may be a
+    host f32 array or a device array left by the chunked chain
+    programs — either way only the FINAL audio crosses back to the
+    host."""
+    import jax.numpy as jnp
+
+    if (
+        isinstance(audio, np.ndarray)
+        and div == 1.0
+        and bias == 0.0
+        and demod.audio_bandwidth is None
+        and demod.audio_decimate == 1
+        and (demod.audio_rate is None or demod.audio_rate == rate)
+    ):
+        return rate, audio  # nothing to do; skip the device round-trip
+    fn, out_rate = _audio_stage_fused(
+        len(audio), rate, demod.audio_bandwidth, demod.audio_decimate,
+        demod.audio_taps, demod.audio_rate,
+    )
+    y = fn(jnp.asarray(audio), jnp.float32(div), jnp.float32(bias))
+    return out_rate, np.asarray(y)
+
+
+def _chunked_signal_dev(chan: Stream, c: int, lead: int, post) -> "object":
+    """Run ``post`` over the channel in ``c``-sample device chunks
+    (windows of ``c + lead`` samples at offsets stepping ``c``, each
+    emitting ``c`` f32 outputs) and assemble the flat result ON DEVICE
+    — the analog demods' shared chunk loop, with no per-chunk host
+    fetch.  A short read (EOF only — see FmDemod.discriminate) truncates
+    and ends the stream, exactly as the host assembly did."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.runtime import Executor, root_step_of, window_batches
+
+    offsets = np.arange(0, chan.length - lead, c, dtype=np.int64)
+    batch, batches = window_batches(
+        offsets, c + lead, root_step=root_step_of(chan)
+    )
+    ex = Executor(chan, c + lead, batch=batch, post=post)
+    parts = []
+    for offs in batches:
+        vals, valid = ex.run(offs)  # (B', c) f32, device-resident
+        m = vals.shape[0] * c
+        stop = False
+        for i in range(len(offs)):
+            v = int(valid[i])
+            if v < c + lead:
+                m = i * c + max(v - lead, 0)
+                stop = True
+                break
+        flat = vals.reshape(-1)
+        parts.append(flat if m == flat.shape[0] else flat[:m])
+        if stop:
+            break
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 @dataclass
@@ -315,45 +431,37 @@ class AmDemod:
             chain = Shift(chain, self.center, chain.sample_rate)
         return LowPass(chain, self.bandwidth, self.decimate, self.taps)
 
-    def envelope(self, stream: Stream) -> tuple[int, np.ndarray]:
-        """``(channel_rate_hz, |x| f32[channel_len])`` of the filtered
-        channel (chunked on device; no window overlap needed)."""
+    def _envelope_dev(self, stream: Stream):
+        """``(channel_rate_hz, device |x| f32[channel_len])`` of the
+        filtered channel (chunked on device; no window overlap)."""
         import jax.numpy as jnp
-
-        from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 
         chan = self.channel(stream)
         if chan.length < 1:
             raise ValueError("input too short for the AM envelope")
-        rate = chan.sample_rate
         c = min(self.chunk, chan.length)
-        offsets = np.arange(0, chan.length, c, dtype=np.int64)
+        return chan.sample_rate, _chunked_signal_dev(chan, c, 0, jnp.abs)
 
-        def post(x):  # (B, c) complex -> (B, c) f32
-            return jnp.abs(x)
-
-        batch, batches = window_batches(offsets, c, root_step=root_step_of(chan))
-        ex = Executor(chan, c, batch=batch, post=post)
-        out = np.empty(chan.length, dtype=np.float32)
-        for offs in batches:
-            envs, valid = ex.run(offs)
-            for i in range(len(offs)):
-                o, v = int(offs[i]), int(valid[i])
-                out[o : o + v] = envs[i][:v]
-                if v < c:
-                    # short read: EOF only (see FmDemod.discriminate)
-                    return rate, out[: o + v]
-        return rate, out
+    def envelope(self, stream: Stream) -> tuple[int, np.ndarray]:
+        """``(channel_rate_hz, |x| f32[channel_len])`` of the filtered
+        channel (chunked on device; no window overlap needed)."""
+        rate, env = self._envelope_dev(stream)
+        return rate, np.asarray(env)
 
     def demodulate(self, stream: Stream) -> tuple[int, np.ndarray]:
         """Full receive chain to audio in modulation-depth units
-        (``envelope / carrier - 1``)."""
-        rate, env = self.envelope(stream)
-        carrier = float(np.mean(env, dtype=np.float64))
+        (``envelope / carrier - 1``).  The envelope stays on device
+        through the fused audio tail; only the carrier estimate (one
+        scalar — the sanity gate below needs it on host anyway) and the
+        final audio are fetched."""
+        import jax
+        import jax.numpy as jnp
+
+        rate, env = self._envelope_dev(stream)
+        carrier = float(jax.jit(jnp.mean)(env))
         if carrier <= 0.0:
             raise ValueError("no carrier: the channel envelope is all zero")
-        audio = (env / np.float32(carrier)) - np.float32(1.0)
-        return _audio_stage(self, rate, audio)
+        return _audio_stage(self, rate, env, div=carrier, bias=-1.0)
 
 
 @dataclass
@@ -416,41 +524,29 @@ class SsbDemod:
             chain = Shift(chain, sign * half, chain.sample_rate)
         return chain
 
-    def baseband(self, stream: Stream) -> tuple[int, np.ndarray]:
-        """``(channel_rate_hz, real(x) f32[channel_len])`` of the
+    def _baseband_dev(self, stream: Stream):
+        """``(channel_rate_hz, device real(x) f32[channel_len])`` of the
         re-centered sideband (chunked on device, no overlap needed)."""
         import jax.numpy as jnp
-
-        from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 
         chan = self.channel(stream)
         if chan.length < 1:
             raise ValueError("input too short for the SSB demodulator")
-        rate = chan.sample_rate
         c = min(self.chunk, chan.length)
-        offsets = np.arange(0, chan.length, c, dtype=np.int64)
+        return chan.sample_rate, _chunked_signal_dev(chan, c, 0, jnp.real)
 
-        def post(x):  # (B, c) complex -> (B, c) f32
-            return jnp.real(x)
-
-        batch, batches = window_batches(offsets, c, root_step=root_step_of(chan))
-        ex = Executor(chan, c, batch=batch, post=post)
-        out = np.empty(chan.length, dtype=np.float32)
-        for offs in batches:
-            vals, valid = ex.run(offs)
-            for i in range(len(offs)):
-                o, v = int(offs[i]), int(valid[i])
-                out[o : o + v] = vals[i][:v]
-                if v < c:
-                    # short read: EOF only (see FmDemod.discriminate)
-                    return rate, out[: o + v]
-        return rate, out
+    def baseband(self, stream: Stream) -> tuple[int, np.ndarray]:
+        """``(channel_rate_hz, real(x) f32[channel_len])`` of the
+        re-centered sideband (chunked on device, no overlap needed)."""
+        rate, bb = self._baseband_dev(stream)
+        return rate, np.asarray(bb)
 
     def demodulate(self, stream: Stream) -> tuple[int, np.ndarray]:
         """Full receive chain to audio (``real`` of the re-centered
-        sideband, optional audio FIR / rational resample)."""
-        rate, audio = self.baseband(stream)
-        return _audio_stage(self, rate, audio)
+        sideband, optional audio FIR / rational resample) — device-
+        resident end to end; only the final audio is fetched."""
+        rate, bb = self._baseband_dev(stream)
+        return _audio_stage(self, rate, bb)
 
 
 # --------------------------------------------------------------- PSK
