@@ -364,6 +364,9 @@ class ChannelizeCmd(Command):
     sample_rate: str | None = None
     format: str | None = None
     stdin: bool = False  # buffer the capture from a pipe
+    # -mesh Tx1 time-shards the capture's sample axis over the chips,
+    # each exchanging the prototype-length FIR halo over ICI
+    mesh: tuple[int, int] | None = None
 
 
 @dataclass
@@ -1239,12 +1242,18 @@ def _parse_channelize(args: _Args, raw_map) -> Command:
     overwrite = parse_bool(map_.pop("overwrite", "no"))
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
+    mesh = map_.pop("mesh", None)
+    mesh = None if mesh is None else _parse_mesh(mesh)
+    if mesh is not None and mesh[1] != 1:
+        raise ValueError("channelize -mesh shards one capture: use T or Tx1")
     filename, stdin = _take_capture_arg(args, map_, "channelize", sr, fmt)
+    if mesh is not None and stdin:
+        raise ValueError("channelize -mesh needs a capture file, not -stdin")
     _ensure_empty(map_, "channelize")
     return ChannelizeCmd(
         filename=filename, channels=channels, size=size, frequency=freq,
         chunk=chunk, select=select, out=out, overwrite=overwrite,
-        sample_rate=sr, format=fmt, stdin=stdin,
+        sample_rate=sr, format=fmt, stdin=stdin, mesh=mesh,
     )
 
 

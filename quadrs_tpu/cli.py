@@ -102,8 +102,8 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
          [single-sideband to audio; -shift -CARRIER_OFFSET brings the carrier to DC] \\
 channelize [-channels 8] [-power 20] [-freq =sr/2K] [-chunk 256k] [-select 0,3,..] \\
          [-out PREFIX (writes PREFIX.chK.srR.cf32 per channel)] [-overwrite no] \\
-         [-stdin no] FILENAME [polyphase filter bank: every channel in one pass; \\
-          channel k = shift -k*sr/K + lowpass -decimate K] \\
+         [-stdin no] [-mesh T] FILENAME [polyphase filter bank: every channel in \\
+          one pass; channel k = shift -k*sr/K + lowpass -decimate K] \\
 
 
 Formats:

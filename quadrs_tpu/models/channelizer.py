@@ -101,6 +101,7 @@ def run_channelize(
     chunk: int = 1 << 18,
     max_out: int | None = None,
     progress: Callable[[int], None] | None = None,
+    mesh=None,
 ) -> Iterator[ChannelChunk]:
     """Stream the whole capture through the bank in executor chunks.
 
@@ -108,16 +109,74 @@ def run_channelize(
     truncation matches a reference chain pulled at the same size (only
     the capture tail differs from a single-shot run, exactly like
     LowPass's per-read truncation).
+
+    ``mesh``: an optional Tx1
+    :func:`quadrs_tpu.parallel.sharding.make_mesh` — the capture's
+    sample axis time-shards across the chips, each exchanging the
+    ``size``-sample FIR halo with its right neighbor over ICI
+    (:func:`~quadrs_tpu.parallel.sharding.make_sharded_channelize_step`).
+    Requires the bank to sit directly on a raw capture (the chained
+    case shards via the stream runner); the unaligned capture tail runs
+    through the single-device path.  The per-shard slice is the "read"
+    for the per-read truncation semantics above, so when the capture is
+    long enough that each shard pulls a full ``chunk`` the output is
+    bit-equal to the single-device run at the same ``chunk`` (pinned by
+    tests); on short captures the shard pull shrinks to fit and the
+    boundary truncation falls at those (reported) pull edges instead.
     """
     from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 
     total = chan.length if max_out is None else min(chan.length, max_out)
     if total <= 0:
         return
-    offsets = np.arange(0, total, chunk, dtype=np.int64)
+    done = 0
+    lag0 = 0
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from quadrs_tpu.parallel.sharding import make_sharded_channelize_step
+
+        src = chan.inner
+        if src.root() is not src or not getattr(src, "has_staging", False):
+            raise ValueError(
+                "channelize -mesh shards a raw capture's sample axis; "
+                "drop the intermediate stages or drop -mesh"
+            )
+        k, size = chan.channels, chan.size
+        n_time = int(mesh.shape["time"])
+        # per-shard outputs per dispatch: the executor chunk, clamped so
+        # short captures still exercise the mesh (halo needs >= size
+        # input samples per shard)
+        avail = (src.length - size) // (n_time * k)
+        per_shard = max(-(-size // k), min(chunk, avail))
+        step_out = n_time * per_shard
+        step_fn = make_sharded_channelize_step(chan.taps, k, src.format, mesh)
+        plane_sh = NamedSharding(mesh, P(None, "time"))
+        tail_sh = NamedSharding(mesh, P(None, None))
+        o = 0
+        while o + step_out <= total and (o + step_out) * k + size <= src.length:
+            planes = src.stage(o * k, (o + step_out) * k)
+            tail = src.stage((o + step_out) * k, (o + step_out) * k + size)
+            re, im = step_fn(
+                jax.device_put(np.ascontiguousarray(planes), plane_sh),
+                jax.device_put(np.ascontiguousarray(tail), tail_sh),
+            )
+            data = (
+                np.asarray(re).astype(np.complex64)
+                + 1j * np.asarray(im).astype(np.complex64)
+            )
+            yield ChannelChunk(start=o, data=np.ascontiguousarray(data.T))
+            done += step_out
+            if progress is not None:
+                progress(done)
+            o += step_out
+        lag0 = o
+    if lag0 >= total:
+        return
+    offsets = np.arange(lag0, total, chunk, dtype=np.int64)
     batch, batches = window_batches(offsets, chunk, root_step=root_step_of(chan))
     ex = Executor(chan, chunk, batch=batch)
-    done = 0
     for offs in batches:
         out, valid = ex.run(offs)  # (b, chunk, K)
         for row, off, v in zip(out, offs, valid):

@@ -331,6 +331,86 @@ def make_sharded_find_step(
     return jax.jit(step)
 
 
+def channelize_halo(size: int) -> int:
+    """Input samples a channelizer time-shard needs past its K-aligned
+    local slice: the bank's span arithmetic is LowPass-with-decimate-K
+    (reference ``src/filter.rs:68-71``: ``n*D + taps`` raw samples per
+    ``n`` outputs), so the last local output's window reads ``size``
+    samples into the right neighbor."""
+    return size
+
+
+def make_sharded_channelize_step(taps, k: int, fmt, mesh: Mesh):
+    """Multi-chip polyphase channelizer (the device program behind
+    ``run_channelize(mesh=...)``).
+
+    The capture's sample axis shards over the mesh's 'time' axis: each
+    chip holds a contiguous K-aligned slice of NATIVE capture planes,
+    pulls the ``size``-sample FIR halo from its right neighbor over ICI
+    (``ppermute``; the last shard takes the fed ``tail`` — the true
+    stream continuation), decodes on device and runs the SAME bank
+    program as the single-device path
+    (:func:`quadrs_tpu.ops.channelizer.channelize_block`) on its slice.
+    Sharded channels match single-device output to f32 accumulation
+    order (XLA tiles the branch FMAs / cross-branch DFT matmuls
+    differently per batch shape).
+
+    Returns a jitted step taking ``planes`` (2, n_total) native planes
+    sharded ``P(None, 'time')`` (``n_total / n_time`` a whole number of
+    ``k``-sample output cells, at least ``size`` samples per shard) and
+    ``tail`` (2, size) replicated; yields f32 planes ``(re, im)`` each
+    of shape (n_total//k, K) with the output-sample axis sharded
+    ``P('time')`` — complex64 never crosses the host boundary (CLAUDE.md
+    tunnel rule)."""
+    from quadrs_tpu.formats import decode_plane, pack_complex
+    from quadrs_tpu.ops.channelizer import channelize_block
+
+    taps = np.asarray(taps, dtype=np.float32)
+    size = len(taps)
+    n_time = mesh.shape["time"]
+    if mesh.shape.get("stream", 1) != 1:
+        raise ValueError(
+            "channelize shards one capture over 'time'; use a Tx1 mesh"
+        )
+
+    def local(planes_local, tail_local):
+        n_loc = planes_local.shape[1]
+        if n_loc % k:
+            raise ValueError(
+                f"per-shard slice of {n_loc} samples is not a whole "
+                f"number of {k}-sample output cells"
+            )
+        if n_loc < size:
+            raise ValueError(
+                f"per-shard slice of {n_loc} samples is shorter than the "
+                f"{size}-sample FIR halo; use larger chunks"
+            )
+        n_out = n_loc // k
+        perm = [(i, (i - 1) % n_time) for i in range(n_time)]
+        head = planes_local[:, :size]
+        halo = jax.lax.ppermute(head, "time", perm)
+        tail_local = jax.lax.pcast(tail_local, ("time",), to="varying")
+        is_last = jax.lax.axis_index("time") == n_time - 1
+        halo = jnp.where(is_last, tail_local, halo)
+        block = jnp.concatenate([planes_local, halo], axis=1)
+        re = decode_plane(block[0], fmt, xp=jnp)
+        im = decode_plane(block[1], fmt, xp=jnp)
+        x = pack_complex(re, im, xp=jnp)[None, :]
+        y = channelize_block(x, taps, k, n_out)[0]  # (n_out, K)
+        return jnp.real(y), jnp.imag(y)
+
+    step = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, "time"), P(None, None)),
+        out_specs=(P("time", None), P("time", None)),
+        # batched_fft's four-step path scans with unvarying inits
+        # (shared single-chip code), like the find step
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 def plan_shard_phases(model: PipelineModel, n_local: int, n_time: int, n_stream: int = 1):
     """Host-side exact phases for each (stream, time-shard) start offset."""
     offs = np.arange(n_time, dtype=np.int64) * n_local

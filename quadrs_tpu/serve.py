@@ -783,7 +783,7 @@ def run_channelize(cmd: argmod.ChannelizeCmd) -> int:
             for ch in select:
                 name = f"{cmd.out}.ch{ch}.sr{rate}.cf32"
                 files[ch] = open(name, "wb" if cmd.overwrite else "xb")
-        for piece in run_bank(chan, chunk=cmd.chunk):
+        for piece in run_bank(chan, chunk=cmd.chunk, mesh=_make_mesh(cmd.mesh)):
             n_out = piece.start + piece.data.shape[1]
             sumsq += np.sum(
                 np.square(piece.data.real, dtype=np.float64)

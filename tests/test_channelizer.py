@@ -245,3 +245,115 @@ def test_parse_errors():
         argmod.parse(["channelize"])  # no capture
     cmd, = argmod.parse("channelize -channels 16 -power 30 cap.sr8k.cf32".split())
     assert cmd.channels == 16 and cmd.size == 60 and cmd.select is None
+
+
+# ---------------------------------------------------------------- mesh
+
+
+def _mesh_or_skip(n: int):
+    import jax
+
+    from quadrs_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs >= {n} devices")
+    return make_mesh(n, 1)
+
+
+def test_sharded_channelize_matches_single_device():
+    """run_channelize(mesh=4x1) time-shards the capture with a
+    ``size``-sample ICI halo; with shards pulling the same ``chunk`` as
+    the single-device run the output is BIT-equal (the per-shard slice
+    is the "read" for the per-read truncation semantics), including the
+    unaligned capture tail that runs single-device."""
+    mesh = _mesh_or_skip(4)
+    x = _capture(40_000, seed=21)
+    k, size, chunk = 8, 64, 512
+
+    def run(m):
+        chan = Channelize(_cf32_source(x, 16_000), k, size=size)
+        return np.concatenate(
+            [c.data for c in run_channelize(chan, chunk=chunk, mesh=m)],
+            axis=1,
+        )
+
+    ref, got = run(None), run(mesh)
+    assert ref.shape == got.shape
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_sharded_channelize_cs8_odd_k():
+    """8-way mesh, integer wire format, K that doesn't divide the
+    prototype length (halo is not a whole number of output cells)."""
+    mesh = _mesh_or_skip(8)
+    rng = np.random.default_rng(22)
+    n = 40_000
+    raw = np.frombuffer(
+        (np.clip(rng.standard_normal(2 * n), -1, 1) * 100)
+        .astype(np.int8)
+        .tobytes(),
+        dtype=np.uint8,
+    )
+
+    def run(m):
+        src = SampleSource(raw, FileFormat("cs8"), 16_000)
+        chan = Channelize(src, 6, size=50)
+        return np.concatenate(
+            [c.data for c in run_channelize(chan, chunk=333, mesh=m)],
+            axis=1,
+        )
+
+    ref, got = run(None), run(mesh)
+    assert ref.shape == got.shape
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_sharded_channelize_rejects_chained_stream():
+    mesh = _mesh_or_skip(2)
+    x = _capture(9_000, seed=23)
+    chain = Shift(_cf32_source(x, 16_000), 1_000, 16_000)
+    chan = Channelize(chain, 4, size=40)
+    with pytest.raises(ValueError, match="raw capture"):
+        next(run_channelize(chan, mesh=mesh))
+
+
+def test_cli_channelize_mesh_matches_single_device(tmp_path, monkeypatch, capsys):
+    """``channelize -mesh 4`` writes byte-identical channel files and
+    prints the same meter lines as the single-device run (capture long
+    enough that every shard pulls a full -chunk)."""
+    import jax
+
+    from quadrs_tpu.cli import main
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    x = _capture(20_000, seed=24)
+    raw = np.empty(2 * len(x), dtype="<f4")
+    raw[0::2] = x.real
+    raw[1::2] = x.imag
+    cap = tmp_path / "band.sr48k.cf32"
+    cap.write_bytes(raw.tobytes())
+    monkeypatch.chdir(tmp_path)
+
+    base = "channelize -channels 4 -chunk 256 -select 0,3 -out {} {m}" + str(cap)
+    assert main(base.format("single", m="").split()) == 0
+    want = capsys.readouterr().out.replace("single", "{}")
+    assert main(base.format("meshed", m="-mesh 4 ").split()) == 0
+    got = capsys.readouterr().out.replace("meshed", "{}")
+    # identical meter lines up to the (timing-dependent) rate summary
+    assert got.splitlines()[:-1] == want.splitlines()[:-1]
+    for ch in (0, 3):
+        a = (tmp_path / f"single.ch{ch}.sr12000.cf32").read_bytes()
+        b = (tmp_path / f"meshed.ch{ch}.sr12000.cf32").read_bytes()
+        assert a == b
+
+
+def test_channelize_mesh_parse_errors():
+    from quadrs_tpu import args as argmod
+
+    with pytest.raises(ValueError, match="Tx1"):
+        argmod.parse("channelize -mesh 2x2 cap.sr8k.cf32".split())
+    with pytest.raises(ValueError, match="-stdin"):
+        argmod.parse("channelize -mesh 2 -stdin yes -sr 8k -format cf32".split())
+    cmd, = argmod.parse("channelize -mesh 4 cap.sr8k.cf32".split())
+    assert cmd.mesh == (4, 1)
