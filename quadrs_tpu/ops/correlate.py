@@ -312,10 +312,50 @@ def make_xcorr_post(
         mask = (v >= thr) & (v >= lefts) & (v >= s[1:])
         count = jnp.sum(mask.astype(jnp.int32))
         # non-candidates sink to -1 < any threshold in (0, 1], so a
-        # top-k over the masked row yields exactly the candidates
-        vals, idx = jax.lax.top_k(
-            jnp.where(mask, v, jnp.float32(-1.0)), min(k, m - 1)
-        )
+        # top-k over the masked row yields exactly the candidates.  A
+        # flat lax.top_k(k=1024) over the fat dispatch's ~4.2M lags is
+        # a full sort and out-costs the whole FFT correlation (v5e
+        # same-session ablation: score+mask+count runs 1349 Msps, the
+        # product program 436).  Candidates are SPARSE (local maxima
+        # over threshold), so extraction goes hierarchical: per-block
+        # max/argmax + per-block candidate counts (one cheap pass),
+        # then top-k over the ~8k block maxima.  A block's masked max
+        # is its only candidate or -1, so this is EXACT whenever no
+        # block holds two candidates; a lax.cond falls back to the
+        # flat sort for the (rare, clustered-hits) dispatch where one
+        # does.  Padding rows keep vals=-1 < any threshold in (0, 1].
+        kk = min(k, m - 1)
+        w = jnp.where(mask, v, jnp.float32(-1.0))
+        g = 512
+        while g > 8 and (m - 1 + g - 1) // g < kk:
+            g //= 2  # small dispatches: shrink blocks so nb >= kk
+        nb = (m - 1 + g - 1) // g
+        if nb >= kk and nb < m - 1:
+            pad = nb * g - (m - 1)
+            wb = jnp.concatenate(
+                [w, jnp.full((pad,), -1.0, jnp.float32)]
+            ).reshape(nb, g)
+            bmax = jnp.max(wb, axis=-1)
+            barg = jnp.argmax(wb, axis=-1).astype(jnp.int32)
+            per_block = jnp.sum(
+                jnp.concatenate(
+                    [mask, jnp.zeros((pad,), bool)]
+                ).reshape(nb, g),
+                axis=-1,
+                dtype=jnp.int32,
+            )
+
+            def hier(w):
+                bv, bi = jax.lax.top_k(bmax, kk)
+                return bv, (bi * g + jnp.take(barg, bi)).astype(jnp.int32)
+
+            def full(w):
+                fv, fi = jax.lax.top_k(w, kk)
+                return fv, fi.astype(jnp.int32)
+
+            vals, idx = jax.lax.cond(jnp.any(per_block > 1), full, hier, w)
+        else:
+            vals, idx = jax.lax.top_k(w, kk)
         scl = jnp.take(scale.reshape(-1), idx)
         rid = jnp.take(ridx.reshape(-1), idx)
         return (

@@ -166,6 +166,36 @@ def test_device_extract_matches_full_path(monkeypatch):
         assert np.array_equal(a.which, other.which)
 
 
+def test_device_extract_clustered_candidates(monkeypatch):
+    """Two candidates landing in ONE extraction block exercise the
+    hierarchical scan's flat-sort fallback branch (a block's masked max
+    carries only one candidate, so the program must detect the
+    collision and take the full lax.top_k path).  min_distance=1 keeps
+    both matches through NMS so a dropped candidate would be visible."""
+    rng = np.random.default_rng(24)
+    l = 256
+    p = (rng.standard_normal(l) + 1j * rng.standard_normal(l)).astype(np.complex64)
+    n = 40_000
+    x = 0.02 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    # 2048 is a multiple of every block width the program can pick, so
+    # lags 2048 and 2051 always share a block; the overlapping copies
+    # cross-talk only ~1/sqrt(l), leaving two distinct local maxima
+    x[2048 : 2048 + l] += np.complex64(0.9) * p
+    x[2051 : 2051 + l] += np.complex64(0.7 * np.exp(0.4j)) * p
+    src = cf32_source(x)
+    kw = dict(threshold=0.2, chunk=8192, min_distance=1)
+    monkeypatch.setattr(sinks, "FIND_DISPATCH_BUDGET", 1 << 15)
+    a = sinks.find_pattern(src, p, **kw)  # extract path, full-sort branch
+    monkeypatch.setattr(sinks, "FIND_TOPK", 1)  # overflow -> full-score rerun
+    b = sinks.find_pattern(src, p, **kw)
+    assert np.array_equal(a.offsets, b.offsets)
+    np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)
+    np.testing.assert_allclose(a.scales, b.scales, atol=1e-4)
+    assert {2048, 2051} <= set(a.offsets.tolist())
+
+
 def test_device_extract_aligned_tail(monkeypatch):
     """A stream whose last window is exactly full (no ragged tail)
     drives the PENDING element through finish() off the extract path;
