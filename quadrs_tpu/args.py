@@ -395,8 +395,9 @@ class ServeCmd(Command):
     fft_width: int = 64
     stride: int | None = None  # waterfall mode; defaults to width
     # stream: samples per chunk (default 4M); waterfall: windows per
-    # chunk (default 2k)
-    chunk: int = 4_000_000
+    # chunk (default 2k); find: None = find_pattern's measured auto
+    # block (max(4*l, 4096))
+    chunk: int | None = 4_000_000
     sample_rate: str | None = None
     format: str | None = None
     # shard each connection's chunks across a (time, stream) mesh —
@@ -1381,8 +1382,18 @@ def _parse_serve(args: _Args, raw_map) -> Command:
     bit = map_.pop("bit", "8" if mode == "ook" else None)
     bit = None if bit is None else parse_si_float(bit)
     raw_bits = parse_bool(map_.pop("raw", "no"))
-    _chunk_default = {"stream": "4M", "find": "64k"}
-    chunk = int(parse_si_uint(map_.pop("chunk", _chunk_default.get(mode, "2k"))))
+    _chunk_default = {"stream": "4M"}
+    raw_chunk = map_.pop("chunk", None)
+    if raw_chunk is None and mode == "find":
+        chunk = None  # find_pattern's measured auto block: max(4*l, 4096)
+    else:
+        chunk = int(
+            parse_si_uint(
+                raw_chunk
+                if raw_chunk is not None
+                else _chunk_default.get(mode, "2k")
+            )
+        )
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     mesh = map_.pop("mesh", None)
