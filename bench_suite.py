@@ -658,17 +658,26 @@ def bench_find(on_accel: bool) -> dict:
         b * n_out, secs, min_iters=2,
     )
     # the PRODUCT dispatch: find_pattern's fat batches (FIND_DISPATCH_
-    # BUDGET lags/dispatch) through the device-side candidate scan —
-    # top-k + boundary scalars to the host instead of 12 bytes/lag.
-    # Threshold 0.5 on noise windows == the realistic zero-candidate
-    # scan regime (noise scores ~ l^-1/2 ~ 0.03).
+    # BUDGET lags/dispatch) through the device-side hierarchical
+    # candidate scan (per-block max/count + small top-k — the flat
+    # lax.top_k sort it replaced out-cost the whole FFT correlation;
+    # boundary scalars to the host instead of 12 bytes/lag).  Threshold
+    # 0.5 on noise windows == the realistic zero-candidate scan regime
+    # (noise scores ~ l^-1/2 ~ 0.03).  c_auto = max(4*l, 4096) is the
+    # product default block (chunk=None): effective DFT MACs/sample
+    # shrink faster than the lag yield once extraction stopped
+    # dominating — measured single 1281 -> 2286 Msps, grid-9 247 -> 550
+    # vs c=65536 (same-session v5e).  The c=65536 columns keep the
+    # cross-round comparison alive.
     from quadrs_tpu.sinks import FIND_DISPATCH_BUDGET, FIND_TOPK
 
-    bf = max(4, FIND_DISPATCH_BUDGET // n_out) if on_accel else 8
-    xrf = jnp.asarray(rng.standard_normal((bf, c)).astype(np.float32))
-    xif = jnp.asarray(rng.standard_normal((bf, c)).astype(np.float32))
+    def fat_rate(cw: int, freqs) -> float:
+        n_o = cw - l + 1
+        bf = max(4, FIND_DISPATCH_BUDGET // n_o) if on_accel else 8
+        xrf = jnp.asarray(rng.standard_normal((bf, cw)).astype(np.float32))
+        xif = jnp.asarray(rng.standard_normal((bf, cw)).astype(np.float32))
+        post = make_xcorr_post(pat, cw, freqs, extract=(0.5, FIND_TOPK))
 
-    def step_of_fat(post):
         @jax.jit
         def _run(g, acc):
             x = jax.lax.complex(xrf, xif) * g
@@ -677,34 +686,44 @@ def bench_find(on_accel: bool) -> dict:
                 acc = acc + jnp.sum(leaf.astype(jnp.float32))
             return acc
 
-        return lambda i, acc: _run(jnp.float32(gains[i % 16]), acc)
+        return measure_msps_acc(
+            lambda i, acc: _run(jnp.float32(gains[i % 16]), acc),
+            bf * n_o, secs, min_iters=2,
+        )
 
-    fat_msps = measure_msps_acc(
-        step_of_fat(make_xcorr_post(pat, c, extract=(0.5, FIND_TOPK))),
-        bf * n_out, secs, min_iters=2,
-    )
-    fat_grid_msps = measure_msps_acc(
-        step_of_fat(make_xcorr_post(pat, c, grid, extract=(0.5, FIND_TOPK))),
-        bf * n_out, secs, min_iters=2,
-    )
+    c_auto = max(4 * l, 4096)
+    fat_auto = fat_rate(c_auto, None)
+    fat_auto_grid = fat_rate(c_auto, grid)
+    fat_msps = fat_rate(c, None)
+    fat_grid_msps = fat_rate(c, grid)
     entry = {
-        "metric": f"pattern search (l={l}, FFT block {c}; input rate)",
-        "value": round(msps, 1),
+        "metric": (
+            f"pattern search (l={l}, auto FFT block {c_auto}, product "
+            "dispatch; input rate)"
+        ),
+        "value": round(fat_auto, 1),
         "unit": "Msamples/sec/chip",
-        "vs_baseline": round(msps / 100.0, 2),
-        "freq_grid9_msps": round(grid_msps, 1),
+        "vs_baseline": round(fat_auto / 100.0, 2),
+        "freq_grid9_msps": round(fat_auto_grid, 1),
+        "thin_c65536_msps": round(msps, 1),
+        "thin_grid9_c65536_msps": round(grid_msps, 1),
         "four_step_msps": round(fs_msps, 1),
         "xla_fft_msps": round(xla_msps, 1),
-        "fat_msps": round(fat_msps, 1),
-        "fat_grid9_msps": round(fat_grid_msps, 1),
-        "fat_windows_per_dispatch": bf,
+        "fat_c65536_msps": round(fat_msps, 1),
+        "fat_grid9_c65536_msps": round(fat_grid_msps, 1),
         **tstats,
     }
-    # per NEW input sample: one forward + one inverse FFT of c amortized
-    # over n_out lags (~5*c*log2(c) flops each), 6-flop pointwise
-    # multiply, and the |.|^2 + cumsum + divide epilogue (~12)
+    # per NEW input sample: one forward + one inverse FFT of c_auto
+    # amortized over its lags (~5*c*log2(c) flops each), 6-flop
+    # pointwise multiply, and the |.|^2 + prefix + divide epilogue
     entry.update(
-        roofline(msps, (10.0 * c * np.log2(c) + 6.0 * c) / n_out + 12.0, 8.0)
+        roofline(
+            fat_auto,
+            (10.0 * c_auto * np.log2(c_auto) + 6.0 * c_auto)
+            / (c_auto - l + 1)
+            + 12.0,
+            8.0,
+        )
     )
     return entry
 
@@ -767,6 +786,34 @@ def _staged_chain_step(chain, n: int, offs: np.ndarray, post):
     return lambda i, acc: _acc(jnp.float32(gains[i % 16]), acc)
 
 
+def _streaming_chain_step(chan, c: int, lead: int, post):
+    """Product-true chain step for the analog/PSK receivers: the exact
+    jitted dispatch ``models.demod._channel_step`` builds (decode ->
+    table mix -> per-pull-truncated FIR -> post, k windows from one
+    contiguous staged chunk), re-run over the staged dispatch with a
+    16-value gain cycle on the planes (cf32 decode is linear).  Returns
+    ``(step, raw_samples_per_step)``."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.models.demod import _channel_step
+
+    built = _channel_step(chan, c, lead, post)
+    assert built is not None, "bench chain must match the streaming shape"
+    run, args_for, geom = built
+    planes, c0, s0, th_outer, valid_in, _v = args_for(0)
+    gains = np.linspace(0.5, 1.5, 16, dtype=np.float32)
+
+    @jax.jit
+    def _acc(g, acc):
+        out = run(planes * g, c0, s0, th_outer, valid_in)
+        for leaf in jax.tree_util.tree_leaves(out):
+            acc = acc + jnp.sum(leaf.astype(jnp.float32))
+        return acc
+
+    step = lambda i, acc: _acc(jnp.float32(gains[i % 16]), acc)
+    return step, geom["step"] * geom["decimate"]
+
+
 def _audio_tail_step(demod, rate: int, n_a: int):
     """Product-true audio stage step: calls demod._audio_stage (the
     fused single-program FIR + rational-resample tail) on a 4-buffer
@@ -823,13 +870,10 @@ def bench_fm(on_accel: bool) -> dict:
         d = x[:, 1:] * jnp.conj(x[:, :-1])
         return jnp.arctan2(jnp.imag(d), jnp.real(d)) * scale
 
-    offs = np.arange(b, dtype=np.int64) * c
-    step = _staged_chain_step(chan, c + 1, offs, post)
+    step, spp = _streaming_chain_step(chan, c, 1, post)
     secs = 1.5 if on_accel else 0.3
     tstats: dict = {}
-    chain_msps = measure_msps_acc(
-        step, b * c * fm.decimate, secs, min_iters=2, stats_out=tstats
-    )
+    chain_msps = measure_msps_acc(step, spp, secs, min_iters=2, stats_out=tstats)
     n_a = (1 << 20) if on_accel else (1 << 15)
     audio_msps = measure_msps_acc(
         _audio_tail_step(fm, rate, n_a), n_a, secs, min_iters=2
@@ -873,13 +917,10 @@ def bench_am(on_accel: bool) -> dict:
     b = 4 if on_accel else 2
     src = SampleSource.from_file(_demod_capture(b * c * am.decimate + 8192))
     chan = am.channel(src)
-    offs = np.arange(b, dtype=np.int64) * c
-    step = _staged_chain_step(chan, c, offs, lambda x: jnp.abs(x))
+    step, spp = _streaming_chain_step(chan, c, 0, lambda x: jnp.abs(x))
     secs = 1.5 if on_accel else 0.3
     tstats: dict = {}
-    chain_msps = measure_msps_acc(
-        step, b * c * am.decimate, secs, min_iters=2, stats_out=tstats
-    )
+    chain_msps = measure_msps_acc(step, spp, secs, min_iters=2, stats_out=tstats)
     n_a = (1 << 20) if on_accel else (1 << 15)
     audio_msps = measure_msps_acc(
         _audio_tail_step(am, chan.sample_rate, n_a), n_a, secs, min_iters=2
@@ -920,13 +961,10 @@ def bench_ssb(on_accel: bool) -> dict:
     b = 1
     src = SampleSource.from_file(_demod_capture(b * c * ssb.decimate + 16384))
     chan = ssb.channel(src)
-    offs = np.arange(b, dtype=np.int64) * c
-    step = _staged_chain_step(chan, c, offs, lambda x: jnp.real(x))
+    step, spp = _streaming_chain_step(chan, c, 0, lambda x: jnp.real(x))
     secs = 1.5 if on_accel else 0.3
     tstats: dict = {}
-    chain_msps = measure_msps_acc(
-        step, b * c * ssb.decimate, secs, min_iters=2, stats_out=tstats
-    )
+    chain_msps = measure_msps_acc(step, spp, secs, min_iters=2, stats_out=tstats)
     n_a = (1 << 18) if on_accel else (1 << 14)
     audio_msps = measure_msps_acc(
         _audio_tail_step(ssb, chan.sample_rate, n_a), n_a, secs, min_iters=2
@@ -1053,13 +1091,13 @@ def bench_psk(on_accel: bool) -> dict:
     src = SampleSource.from_file(_demod_capture(b * c * psk.decimate + 8192))
     chan = psk.channel(src)
     rate = chan.sample_rate
-    offs = np.arange(b, dtype=np.int64) * c
-    step = _staged_chain_step(chan, c, offs, None)
+    step, spp = _streaming_chain_step(
+        chan, c, 0,
+        lambda x: jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1),
+    )
     secs = 1.5 if on_accel else 0.3
     tstats: dict = {}
-    chain_msps = measure_msps_acc(
-        step, b * c * psk.decimate, secs, min_iters=2, stats_out=tstats
-    )
+    chain_msps = measure_msps_acc(step, spp, secs, min_iters=2, stats_out=tstats)
 
     npad = (1 << 20) if on_accel else (1 << 15)
     n = npad - 1000

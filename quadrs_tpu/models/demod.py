@@ -366,16 +366,212 @@ def _audio_stage(
     return out_rate, np.asarray(y)
 
 
+def _channel_parts(chan: Stream):
+    """Decompose a ``[Shift at channel rate ∘] LowPass ∘ [Shift ∘]
+    raw-source`` chain — the shape every receiver's :meth:`channel`
+    builds — into ``(lowpass, mix_nco_or_None, source,
+    outer_shift_or_None)``, or None when the chain doesn't match
+    (chained user stages, live pipes, non-stageable sources)."""
+    outer = None
+    lp = chan
+    if isinstance(lp, Shift):  # SSB's midpoint re-shift at channel rate
+        outer, lp = lp, lp.inner
+    if not isinstance(lp, LowPass):
+        return None
+    inner = lp.inner
+    nco = None
+    if isinstance(inner, Shift):
+        if inner.sample_rate != inner.inner.sample_rate:
+            return None
+        nco = inner._nco
+        inner = inner.inner
+    if inner.root() is not inner or not getattr(inner, "has_staging", False):
+        return None
+    if getattr(inner, "is_live", False):
+        return None
+    return lp, nco, inner, outer
+
+
+_CHANNEL_RAW_BUDGET = 1 << 23  # raw samples per streaming dispatch
+
+
+def _channel_step(chan: Stream, c: int, lead: int, post):
+    """The streaming demod dispatch: one jitted program computing ``k``
+    per-pull windows of the channel (decode -> table mix -> truncated
+    FIR -> optional channel-rate re-shift -> ``post``) from one
+    contiguous staged chunk, plus a host-side argument builder.
+
+    Per-pull truncation is the pinned contract (each window's FIR tail
+    sees zeros past its own block, so the chunk size is part of the
+    semantics, exactly as for the sparkfft / writer sinks) — windows
+    here are placed and truncated identically to the Executor path; the
+    NCO mix is evaluated from host-exact f64 cos/sin tables by the
+    angle-addition identity (4 mul + 2 add per element) instead of the
+    two per-element device transcendentals that dominate that path, so
+    values agree to f32 rounding of the mix.
+
+    Returns ``(run, args_for, geom)`` — ``run(planes, c0, s0,
+    th_outer, valid_in) -> (k, n - lead, ...)`` traced program,
+    ``args_for(o) -> (host args..., v)`` for the dispatch whose first
+    window sits at channel offset ``o`` — or None when the chain shape
+    is unsupported (chained user stages, live pipes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadrs_tpu.formats import decode_plane, pack_complex
+
+    hit = _channel_parts(chan)
+    if hit is None:
+        return None
+    lp, nco, src, outer = hit
+    d, size = lp.decimate, lp.size
+    if chan.length - lead < 1:
+        return None  # caller's too-short guards produce the error text
+    n = c + lead  # channel samples per window
+    n_in = n * d + size  # raw samples per window
+    # k windows per dispatch: near the raw budget, never more than the
+    # stream needs, and bounded so the row-slice stack stays a small
+    # fused program (tiny test chunks would otherwise unroll thousands
+    # of slices and compile forever)
+    k = max(1, _CHANNEL_RAW_BUDGET // max(1, n_in))
+    k = min(k, -(-int(chan.length - lead) // c), 128)
+    span = (k - 1) * c * d + n_in  # contiguous raw per dispatch
+    step = k * c  # channel samples advanced per dispatch
+
+    # host-exact trig tables: cos/sin of the in-window angle deltas
+    # (f64-evaluated, one-time) and per-window base phases per dispatch
+    if nco is not None:
+        cd_np, sd_np = nco.cis(np.arange(n_in, dtype=np.int64))
+        cd = jnp.asarray(cd_np.astype(np.float32))
+        sd = jnp.asarray(sd_np.astype(np.float32))
+
+    @jax.jit
+    def run(planes, c0, s0, th_outer, valid_in):
+        x = pack_complex(
+            decode_plane(planes[0], src.format, xp=jnp),
+            decode_plane(planes[1], src.format, xp=jnp),
+            xp=jnp,
+        )
+        # (k, n_in) windows from row slices of the decoded chunk — the
+        # overlap (lead*d + size samples) is re-sliced, never re-read
+        rows = jnp.stack([x[j * c * d : j * c * d + n_in] for j in range(k)])
+        # zero past each window's valid extent BEFORE the FIR, exactly
+        # as LowPass.read_batch does (EOF truncation in decoded domain)
+        mask = (
+            jnp.arange(n_in, dtype=jnp.int32)[None, :] < valid_in[:, None]
+        )
+        rows = jnp.where(mask, rows, 0)
+        if nco is not None:
+            cm = c0[:, None] * cd[None, :] - s0[:, None] * sd[None, :]
+            sm = s0[:, None] * cd[None, :] + c0[:, None] * sd[None, :]
+            rows = jax.lax.complex(
+                jnp.real(rows) * cm - jnp.imag(rows) * sm,
+                jnp.real(rows) * sm + jnp.imag(rows) * cm,
+            )
+        from quadrs_tpu.ops.fir import fir_decimate
+
+        y = fir_decimate(rows, lp.taps, d, n, impl=lp.fir_impl)
+        if outer is not None:
+            ph = jax.lax.complex(jnp.cos(th_outer), jnp.sin(th_outer))
+            y = y * ph.astype(y.dtype)
+        return post(y)  # (k, n - lead, ...trailing component axes)
+
+    zeros = jax.device_put(np.zeros((k, n), dtype=np.float32))
+
+    def args_for(o: int):
+        """Host-side inputs for the dispatch at channel offset ``o``:
+        ``(planes, c0, s0, th_outer, valid_in, v)`` — ``v`` the
+        per-window valid channel counts."""
+        lo = o * d
+        hi = min(lo + span, src.length)
+        planes = np.ascontiguousarray(src.stage(lo, hi))
+        got = planes.shape[-1]
+        if got < span:
+            planes = np.pad(planes, ((0, 0), (0, span - got)))
+        w_offs = o + c * np.arange(k, dtype=np.int64)
+        valid_in = np.clip(src.length - w_offs * d, 0, n_in)
+        v = np.maximum(valid_in - size, 0) // d
+        if nco is not None:
+            c0_np, s0_np = nco.cis(w_offs * d)
+            c0 = jnp.asarray(c0_np.astype(np.float32))
+            s0 = jnp.asarray(s0_np.astype(np.float32))
+        else:
+            c0 = s0 = jnp.zeros((k,), jnp.float32)
+        th_outer = (
+            jax.device_put(
+                outer._nco.angles(
+                    w_offs[:, None] + np.arange(n, dtype=np.int64)[None, :]
+                ).astype(np.float32)
+            )
+            if outer is not None
+            else zeros
+        )
+        return (
+            jax.device_put(planes), c0, s0, th_outer,
+            jnp.asarray(valid_in.astype(np.int32)), v,
+        )
+
+    geom = {"k": k, "n": n, "n_in": n_in, "span": span, "step": step,
+            "decimate": d}
+    return run, args_for, geom
+
+
+def _streaming_signal_dev(chan: Stream, c: int, lead: int, post):
+    """:func:`_chunked_signal_dev`'s fast path: drive
+    :func:`_channel_step` dispatches over the whole stream and assemble
+    the flat result on device.  Output length and EOF arithmetic match
+    the Executor path exactly; values agree to f32 rounding of the mix.
+    Returns None when the chain shape is unsupported."""
+    import jax.numpy as jnp
+
+    built = _channel_step(chan, c, lead, post)
+    if built is None:
+        return None
+    run, args_for, geom = built
+    k, step = geom["k"], geom["step"]
+    n = geom["n"]
+    parts = []
+    stop = False
+    for o in range(0, int(chan.length - lead), step):
+        *args, v = args_for(o)
+        out = run(*args)
+        m = k * c
+        for j in range(k):
+            if v[j] < n:
+                m = j * c + max(int(v[j]) - lead, 0)
+                stop = True
+                break
+        # flatten windows; trailing component axes (e.g. PSK's stacked
+        # real/imag planes) ride along
+        flat = out.reshape((-1,) + out.shape[2:])
+        parts.append(flat if m == flat.shape[0] else flat[:m])
+        if stop:
+            break
+    if not parts:
+        return None
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
 def _chunked_signal_dev(chan: Stream, c: int, lead: int, post) -> "object":
     """Run ``post`` over the channel in ``c``-sample device chunks
     (windows of ``c + lead`` samples at offsets stepping ``c``, each
     emitting ``c`` f32 outputs) and assemble the flat result ON DEVICE
     — the analog demods' shared chunk loop, with no per-chunk host
     fetch.  A short read (EOF only — see FmDemod.discriminate) truncates
-    and ends the stream, exactly as the host assembly did."""
+    and ends the stream, exactly as the host assembly did.
+
+    Chains of the shape every receiver's ``channel()`` builds over a
+    stageable raw source take the streaming front end
+    (:func:`_streaming_signal_dev` — measured 10-50x the windowed
+    Executor path); anything else (user-chained stages, pipes) keeps
+    the fully general windowed path below."""
     import jax.numpy as jnp
 
     from quadrs_tpu.runtime import Executor, root_step_of, window_batches
+
+    out = _streaming_signal_dev(chan, c, lead, post)
+    if out is not None:
+        return out
 
     offsets = np.arange(0, chan.length - lead, c, dtype=np.int64)
     batch, batches = window_batches(
@@ -701,11 +897,20 @@ class PskDemod:
         repacks — bursts are buffered whole, like the other demods)."""
         from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 
+        import jax.numpy as jnp
+
         chan = self.channel(stream)
         if chan.length < 1:
             raise ValueError("input too short for the PSK demodulator")
         rate = chan.sample_rate
         c = min(self.chunk, chan.length)
+        sig = _streaming_signal_dev(
+            chan, c, 0,
+            lambda x: jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1),
+        )
+        if sig is not None:
+            arr = np.asarray(sig)  # (m, 2) f32 — complex never crosses
+            return rate, (arr[..., 0] + 1j * arr[..., 1]).astype(np.complex64)
         offsets = np.arange(0, chan.length, c, dtype=np.int64)
         batch, batches = window_batches(offsets, c, root_step=root_step_of(chan))
         ex = Executor(chan, c, batch=batch)
