@@ -786,18 +786,20 @@ def _staged_chain_step(chain, n: int, offs: np.ndarray, post):
     return lambda i, acc: _acc(jnp.float32(gains[i % 16]), acc)
 
 
-def _streaming_chain_step(chan, c: int, lead: int, post):
-    """Product-true chain step for the analog/PSK receivers: the exact
-    jitted dispatch ``models.demod._channel_step`` builds (decode ->
-    table mix -> per-pull-truncated FIR -> post, k windows from one
-    contiguous staged chunk), re-run over the staged dispatch with a
-    16-value gain cycle on the planes (cf32 decode is linear).  Returns
-    ``(step, raw_samples_per_step)``."""
+def _streaming_chain_step(chan, c: int, lead: int, post, stride=None):
+    """Product-true chain step for the receivers: the exact jitted
+    dispatch ``models.demod._channel_step`` builds (decode -> table mix
+    -> per-pull-truncated FIR -> post, k windows from one contiguous
+    staged chunk), re-run over the staged dispatch with a 16-value gain
+    cycle on the planes (cf32 decode is linear).  ``stride`` selects the
+    strided-window variant (freq_levels / OOK envelope).  Returns
+    ``(step, raw_samples_per_step)`` — raw advance, not the overlapped
+    span, matching the input-rate convention."""
     import jax.numpy as jnp
 
     from quadrs_tpu.models.demod import _channel_step
 
-    built = _channel_step(chan, c, lead, post)
+    built = _channel_step(chan, c, lead, post, stride=stride)
     assert built is not None, "bench chain must match the streaming shape"
     run, args_for, geom = built
     planes, c0, s0, th_outer, valid_in, _v = args_for(0)
@@ -998,7 +1000,7 @@ def bench_fsk(on_accel: bool) -> dict:
     fsk = FskDemod(center=280_000, bandwidth=200_000, decimate=32, taps=400,
                    fft_width=64)
     w = fsk.fft_width
-    b = 2048 if on_accel else 256
+    b = 4096 if on_accel else 256  # windows; sized so k hits the raw budget
     src = SampleSource.from_file(_demod_capture(b * w * fsk.decimate + 8192))
     chan = fsk.channel(src)
 
@@ -1007,13 +1009,11 @@ def bench_fsk(on_accel: bool) -> dict:
         half = w // 2
         return norms[:, :half].sum(axis=1), norms[:, half:].sum(axis=1)
 
-    offs = np.arange(b, dtype=np.int64) * w
-    step = _staged_chain_step(chan, w, offs, post)
+    # the product dispatch: freq_levels' streaming strided front end
+    step, raw_per = _streaming_chain_step(chan, w, 0, post, stride=w)
     secs = 1.5 if on_accel else 0.3
     tstats: dict = {}
-    msps = measure_msps_acc(
-        step, b * w * fsk.decimate, secs, min_iters=2, stats_out=tstats
-    )
+    msps = measure_msps_acc(step, raw_per, secs, min_iters=2, stats_out=tstats)
     entry = {
         "metric": "FSK receiver (shift->fir(32)->64-pt bucket discriminator; input rate)",
         "value": round(msps, 1),
@@ -1051,11 +1051,13 @@ def bench_ook(on_accel: bool) -> dict:
         norms = stft_norms(x)
         return (norms >= np.float32(ook.threshold)).any(axis=1)
 
-    offs = np.arange(b, dtype=np.int64) * ook.stride
-    step = _staged_chain_step(src, ook.width, offs, post)
+    # the product dispatch: pulses' streaming strided front end
+    step, raw_per = _streaming_chain_step(
+        src, ook.width, 0, post, stride=ook.stride
+    )
     secs = 1.5 if on_accel else 0.3
     tstats: dict = {}
-    msps = measure_msps_acc(step, b * ook.stride, secs, min_iters=2,
+    msps = measure_msps_acc(step, raw_per, secs, min_iters=2,
                             stats_out=tstats)
     entry = {
         "metric": "OOK envelope detector (width 4, stride 2; input rate)",

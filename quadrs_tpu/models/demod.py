@@ -67,6 +67,17 @@ class OokDemod:
         offsets = np.arange(0, stream.length - self.width, self.stride, dtype=np.int64)
         if len(offsets) == 0:
             raise ValueError("input shorter than the envelope window")
+
+        th = np.float32(self.threshold)
+
+        def post(x):  # device-side envelope flags, one bool per window
+            return (stft_norms(x) >= th).any(axis=1)
+
+        fast = _strided_windows_dev(
+            stream, self.width, self.stride, len(offsets), post
+        )
+        if fast is not None:
+            return fast
         batch, batches = window_batches(offsets, self.width, root_step=root_step_of(stream))
         ex = Executor(stream, self.width, batch=batch, post=stft_norms)
         flags = []
@@ -74,7 +85,7 @@ class OokDemod:
             norms, valid = ex.run(offs)
             if not np.all(valid == self.width):
                 raise RuntimeError("short read in OOK demod")
-            flags.append((norms >= np.float32(self.threshold)).any(axis=1))
+            flags.append((norms >= th).any(axis=1))
         return np.concatenate(flags)
 
     def demodulate(self, stream: Stream) -> tuple[float, list[bool]]:
@@ -367,18 +378,21 @@ def _audio_stage(
 
 
 def _channel_parts(chan: Stream):
-    """Decompose a ``[Shift at channel rate ∘] LowPass ∘ [Shift ∘]
+    """Decompose a ``[Shift at channel rate ∘] [LowPass ∘] [Shift ∘]
     raw-source`` chain — the shape every receiver's :meth:`channel`
-    builds — into ``(lowpass, mix_nco_or_None, source,
+    builds, plus the bare/shifted raw source the OOK envelope windows —
+    into ``(lowpass_or_None, mix_nco_or_None, source,
     outer_shift_or_None)``, or None when the chain doesn't match
     (chained user stages, live pipes, non-stageable sources)."""
     outer = None
     lp = chan
-    if isinstance(lp, Shift):  # SSB's midpoint re-shift at channel rate
+    if isinstance(lp, Shift) and isinstance(lp.inner, LowPass):
+        # SSB's midpoint re-shift at channel rate
         outer, lp = lp, lp.inner
     if not isinstance(lp, LowPass):
-        return None
-    inner = lp.inner
+        lp, inner = None, lp  # bare source (OOK: strided raw windows)
+    else:
+        inner = lp.inner
     nco = None
     if isinstance(inner, Shift):
         if inner.sample_rate != inner.inner.sample_rate:
@@ -395,7 +409,7 @@ def _channel_parts(chan: Stream):
 _CHANNEL_RAW_BUDGET = 1 << 23  # raw samples per streaming dispatch
 
 
-def _channel_step(chan: Stream, c: int, lead: int, post):
+def _channel_step(chan: Stream, c: int, lead: int, post, stride: int | None = None):
     """The streaming demod dispatch: one jitted program computing ``k``
     per-pull windows of the channel (decode -> table mix -> truncated
     FIR -> optional channel-rate re-shift -> ``post``) from one
@@ -409,6 +423,11 @@ def _channel_step(chan: Stream, c: int, lead: int, post):
     angle-addition identity (4 mul + 2 add per element) instead of the
     two per-element device transcendentals that dominate that path, so
     values agree to f32 rounding of the mix.
+
+    ``stride``: channel samples between window starts (default ``c``:
+    the analog receivers' contiguous assembly, each window overlapping
+    the next by ``lead``).  ``sinks.freq_levels`` passes its own stride
+    for the reference bucket's strided discriminator windows.
 
     Returns ``(run, args_for, geom)`` — ``run(planes, c0, s0,
     th_outer, valid_in) -> (k, n - lead, ...)`` traced program,
@@ -424,19 +443,27 @@ def _channel_step(chan: Stream, c: int, lead: int, post):
     if hit is None:
         return None
     lp, nco, src, outer = hit
-    d, size = lp.decimate, lp.size
+    d, size = (lp.decimate, lp.size) if lp is not None else (1, 0)
     if chan.length - lead < 1:
         return None  # caller's too-short guards produce the error text
+    stride = c if stride is None else int(stride)
+    hop = stride * d  # raw samples between window starts
     n = c + lead  # channel samples per window
     n_in = n * d + size  # raw samples per window
-    # k windows per dispatch: near the raw budget, never more than the
-    # stream needs, and bounded so the row-slice stack stays a small
-    # fused program (tiny test chunks would otherwise unroll thousands
-    # of slices and compile forever)
-    k = max(1, _CHANNEL_RAW_BUDGET // max(1, n_in))
-    k = min(k, -(-int(chan.length - lead) // c), 128)
-    span = (k - 1) * c * d + n_in  # contiguous raw per dispatch
-    step = k * c  # channel samples advanced per dispatch
+    if n_in > 8 * hop:
+        return None  # heavily overlapped windows: the frame duplication
+        # would balloon memory — the strided-bank machinery's domain
+    # k windows per dispatch: bounded by the staged raw span AND by the
+    # lane-padded frame footprint (a width-4 OOK window still occupies a
+    # 128-lane row on device), never more than the stream needs (frames
+    # come from ceil(n_in/hop) row slices of the decoded chunk, so k is
+    # free to be large without unrolling the program)
+    pad_in = -(-n_in // 128) * 128
+    k = max(1, min(_CHANNEL_RAW_BUDGET // max(1, hop),
+                   2 * _CHANNEL_RAW_BUDGET // pad_in))
+    k = min(k, -(-int(chan.length - lead) // stride), 1 << 18)
+    span = (k - 1) * hop + n_in  # contiguous raw per dispatch
+    step = k * stride  # channel samples advanced per dispatch
 
     # host-exact trig tables: cos/sin of the in-window angle deltas
     # (f64-evaluated, one-time) and per-window base phases per dispatch
@@ -447,14 +474,17 @@ def _channel_step(chan: Stream, c: int, lead: int, post):
 
     @jax.jit
     def run(planes, c0, s0, th_outer, valid_in):
+        from quadrs_tpu.ops.fir import _overlapped_frames
+
         x = pack_complex(
             decode_plane(planes[0], src.format, xp=jnp),
             decode_plane(planes[1], src.format, xp=jnp),
             xp=jnp,
         )
-        # (k, n_in) windows from row slices of the decoded chunk — the
-        # overlap (lead*d + size samples) is re-sliced, never re-read
-        rows = jnp.stack([x[j * c * d : j * c * d + n_in] for j in range(k)])
+        # (k, n_in) windows from ceil(n_in/hop) row slices of the
+        # decoded chunk — the overlap is re-sliced, never re-read (and
+        # never gathered: overlapping-window gathers are the 80x cliff)
+        rows = _overlapped_frames(x[None, :], hop, n_in, k)[0]
         # zero past each window's valid extent BEFORE the FIR, exactly
         # as LowPass.read_batch does (EOF truncation in decoded domain)
         mask = (
@@ -468,9 +498,12 @@ def _channel_step(chan: Stream, c: int, lead: int, post):
                 jnp.real(rows) * cm - jnp.imag(rows) * sm,
                 jnp.real(rows) * sm + jnp.imag(rows) * cm,
             )
-        from quadrs_tpu.ops.fir import fir_decimate
+        if lp is not None:
+            from quadrs_tpu.ops.fir import fir_decimate
 
-        y = fir_decimate(rows, lp.taps, d, n, impl=lp.fir_impl)
+            y = fir_decimate(rows, lp.taps, d, n, impl=lp.fir_impl)
+        else:
+            y = rows  # bare source: the window IS the channel
         if outer is not None:
             ph = jax.lax.complex(jnp.cos(th_outer), jnp.sin(th_outer))
             y = y * ph.astype(y.dtype)
@@ -488,7 +521,7 @@ def _channel_step(chan: Stream, c: int, lead: int, post):
         got = planes.shape[-1]
         if got < span:
             planes = np.pad(planes, ((0, 0), (0, span - got)))
-        w_offs = o + c * np.arange(k, dtype=np.int64)
+        w_offs = o + stride * np.arange(k, dtype=np.int64)
         valid_in = np.clip(src.length - w_offs * d, 0, n_in)
         v = np.maximum(valid_in - size, 0) // d
         if nco is not None:
@@ -550,6 +583,40 @@ def _streaming_signal_dev(chan: Stream, c: int, lead: int, post):
     if not parts:
         return None
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
+def _strided_windows_dev(stream: Stream, width: int, stride: int, total: int, post):
+    """``post`` outputs for ``total`` FULL strided ``width``-windows of
+    ``stream`` (the ``freq_levels`` / OOK-envelope shape: every window
+    read-exact, no EOF truncation), computed by streaming
+    :func:`_channel_step` dispatches and assembled on host.  Returns the
+    concatenated tree (leading axis ``total``) or None when the chain
+    shape is unsupported — callers keep the windowed Executor path as
+    the general fallback."""
+    import jax
+
+    if total <= 0:
+        return None
+    built = _channel_step(stream, width, 0, post, stride=stride)
+    if built is None:
+        return None
+    run, args_for, geom = built
+    k = geom["k"]
+    chunks = []
+    for w0 in range(0, total, k):
+        *args, v = args_for(w0 * stride)
+        take = min(k, total - w0)
+        if np.any(np.asarray(v[:take]) < width):
+            # placement disagrees with the read-exact contract; let the
+            # Executor path produce the canonical error
+            return None
+        out = run(*args)
+        chunks.append(
+            jax.tree_util.tree_map(lambda a: np.asarray(a[:take]), out)
+        )
+    if len(chunks) == 1:
+        return chunks[0]
+    return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *chunks)
 
 
 def _chunked_signal_dev(chan: Stream, c: int, lead: int, post) -> "object":

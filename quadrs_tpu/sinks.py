@@ -126,6 +126,17 @@ def freq_levels(
         half = fft_width // 2
         return norms[:, :half].sum(axis=1), norms[:, half:].sum(axis=1)
 
+    # streaming fast path for channel-shaped chains over a staged source
+    # (one fused dispatch per ~raw-budget instead of per-window reads —
+    # the FSK receiver's hot loop); lazy import, the models layer
+    # imports sinks at module scope
+    from quadrs_tpu.models.demod import _strided_windows_dev
+
+    fast = _strided_windows_dev(stream, fft_width, stride, total, post)
+    if fast is not None:
+        first, second = fast
+        return Levels(vals=[int(v) for v in np.where(first < second, 0, 1)])
+
     batch, batches = window_batches(offsets, fft_width, root_step=root_step_of(stream))
     ex = Executor(stream, fft_width, batch=batch, post=post)
     vals: list[int] = []

@@ -76,7 +76,9 @@ def measure_msps_acc(
             # honesty check: a 3x window must take ~3x the time.  A ratio
             # far off means the runtime skipped or deferred work (or the
             # calibration was off) and the difference is meaningless.
-            if (strict or t1 >= 0.05) and not (lo <= ratio <= 5.0):
+            # a non-positive difference is never meaningful (jitter ate
+            # the window) — recalibrate even on waived smoke runs
+            if t2 <= t1 or ((strict or t1 >= 0.05) and not (lo <= ratio <= 5.0)):
                 per = max((t1 + t2) / (n1 + n2), 1e-5)
                 break
             msps = (n2 - n1) * samples_per_step / max(t2 - t1, 1e-9) / 1e6

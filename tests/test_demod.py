@@ -88,3 +88,59 @@ def test_fsk_demod_under_noise():
     # UNSHIFTED spectrum's first half -> bucket symbol 1
     want = [int(b) for b in bits][: len(got)]
     assert got == want
+
+
+def _force_executor(monkeypatch):
+    """Disable the streaming strided front end so the windowed Executor
+    path (the pinned semantics) runs."""
+    from quadrs_tpu.models import demod as dm
+
+    monkeypatch.setattr(dm, "_strided_windows_dev", lambda *a, **k: None)
+
+
+def test_freq_levels_streaming_matches_executor(monkeypatch):
+    """The streaming strided front end must agree with the windowed
+    Executor path on a full shift->lowpass chain (values agree to f32
+    rounding of the mix; comparator flips need a near-tie)."""
+    from quadrs_tpu import sinks
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.sources import SampleSource
+    from quadrs_tpu.stream import LowPass, Shift
+
+    rng = np.random.default_rng(77)
+    data = (rng.normal(size=9000) + 1j * rng.normal(size=9000)).astype(np.complex64)
+    src = SampleSource(
+        np.ascontiguousarray(data).view(np.uint8), FileFormat.COMPLEX_FLOAT32, 48_000
+    )
+    chain = LowPass(Shift(src, 7_000, 48_000), 8_000, 4, 40)
+    fast = sinks.freq_levels(chain, 32, 20).vals
+    _force_executor(monkeypatch)
+    slow = sinks.freq_levels(chain, 32, 20).vals
+    assert len(fast) == len(slow) > 50
+    diffs = sum(a != b for a, b in zip(fast, slow))
+    assert diffs <= max(1, len(slow) // 500)
+
+
+def test_ook_pulses_streaming_matches_executor(monkeypatch):
+    """OOK envelope flags: streaming bare-source windows are bit-exact
+    vs the Executor path (identical decode, no mix), and a shift-only
+    chain agrees within comparator-flip tolerance."""
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.sources import SampleSource
+    from quadrs_tpu.stream import Shift
+
+    rng = np.random.default_rng(78)
+    data = (rng.normal(size=6000) + 1j * rng.normal(size=6000)).astype(
+        np.complex64
+    ) * np.float32(0.02)
+    src = SampleSource(
+        np.ascontiguousarray(data).view(np.uint8), FileFormat.COMPLEX_FLOAT32, 400
+    )
+    demod = OokDemod(width=4, stride=2, threshold=0.05)
+    fast_bare = demod.pulses(src)
+    fast_shift = demod.pulses(Shift(src, 60, 400))
+    _force_executor(monkeypatch)
+    assert np.array_equal(fast_bare, demod.pulses(src))
+    slow_shift = demod.pulses(Shift(src, 60, 400))
+    assert fast_shift.shape == slow_shift.shape
+    assert np.mean(fast_shift != slow_shift) < 0.002
