@@ -840,6 +840,48 @@ def _audio_tail_step(demod, rate: int, n_a: int):
     return step
 
 
+def _audio_tail_step_dev(demod, rate: int, n_a: int):
+    """The audio tail with the burst fetch taken out of the loop: the
+    same fused program, audio summed into a carried device scalar (one
+    fetch at the timing boundary).  Product-vs-this separates the tail
+    program's own rate from the per-burst host-transfer latency — on
+    the tunneled rig the fetch dominates ~35-85x; on a PCIe host it is
+    noise.  Reported as audio_device_msps_at_channel_rate."""
+    import jax.numpy as jnp
+
+    from quadrs_tpu.models.demod import _audio_stage_fused
+
+    fn, _ = _audio_stage_fused(
+        n_a, rate, demod.audio_bandwidth, demod.audio_decimate,
+        demod.audio_taps, demod.audio_rate,
+    )
+    rng = np.random.default_rng(7)
+    bufs = [
+        jax.device_put(
+            (0.5 + 0.1 * k) * rng.standard_normal(n_a).astype(np.float32)
+        )
+        for k in range(4)
+    ]
+
+    @jax.jit
+    def _acc(x, div, acc):
+        return acc + jnp.sum(fn(x, div, jnp.float32(0.0)))
+
+    return lambda i, acc: _acc(
+        bufs[i % 4], jnp.float32(1.0 + 0.01 * (i % 16)), acc
+    )
+
+
+def _audio_both(demod, rate: int, n_a: int, secs: float) -> tuple[float, float]:
+    """(product fetch-per-burst rate, device-accumulated rate) for the
+    audio tail at channel rate."""
+    prod = measure_msps_acc(_audio_tail_step(demod, rate, n_a), n_a, secs,
+                            min_iters=2)
+    dev = measure_msps_acc(_audio_tail_step_dev(demod, rate, n_a), n_a, secs,
+                           min_iters=2)
+    return prod, dev
+
+
 def _combined(chain_msps: float, tail_msps: float, decimate: int) -> float:
     """End-to-end input rate of chain + tail stages run back to back:
     the tail consumes channel-rate samples (1/decimate of the input)."""
@@ -877,9 +919,7 @@ def bench_fm(on_accel: bool) -> dict:
     tstats: dict = {}
     chain_msps = measure_msps_acc(step, spp, secs, min_iters=2, stats_out=tstats)
     n_a = (1 << 20) if on_accel else (1 << 15)
-    audio_msps = measure_msps_acc(
-        _audio_tail_step(fm, rate, n_a), n_a, secs, min_iters=2
-    )
+    audio_msps, audio_dev = _audio_both(fm, rate, n_a, secs)
     msps = _combined(chain_msps, audio_msps, fm.decimate)
     entry = {
         "metric": "FM receiver (shift->fir(10)->discriminator->audio tail; input rate)",
@@ -888,6 +928,8 @@ def bench_fm(on_accel: bool) -> dict:
         "vs_baseline": round(msps / 100.0, 2),
         "chain_msps": round(chain_msps, 1),
         "audio_msps_at_channel_rate": round(audio_msps, 1),
+        "audio_device_msps_at_channel_rate": round(audio_dev, 1),
+        "e2e_device_msps": round(_combined(chain_msps, audio_dev, fm.decimate), 1),
         **tstats,
     }
     entry.update(
@@ -924,9 +966,7 @@ def bench_am(on_accel: bool) -> dict:
     tstats: dict = {}
     chain_msps = measure_msps_acc(step, spp, secs, min_iters=2, stats_out=tstats)
     n_a = (1 << 20) if on_accel else (1 << 15)
-    audio_msps = measure_msps_acc(
-        _audio_tail_step(am, chan.sample_rate, n_a), n_a, secs, min_iters=2
-    )
+    audio_msps, audio_dev = _audio_both(am, chan.sample_rate, n_a, secs)
     msps = _combined(chain_msps, audio_msps, am.decimate)
     entry = {
         "metric": "AM receiver (shift->fir(20)->envelope->audio tail; input rate)",
@@ -935,6 +975,8 @@ def bench_am(on_accel: bool) -> dict:
         "vs_baseline": round(msps / 100.0, 2),
         "chain_msps": round(chain_msps, 1),
         "audio_msps_at_channel_rate": round(audio_msps, 1),
+        "audio_device_msps_at_channel_rate": round(audio_dev, 1),
+        "e2e_device_msps": round(_combined(chain_msps, audio_dev, am.decimate), 1),
         **tstats,
     }
     entry.update(
@@ -968,9 +1010,7 @@ def bench_ssb(on_accel: bool) -> dict:
     tstats: dict = {}
     chain_msps = measure_msps_acc(step, spp, secs, min_iters=2, stats_out=tstats)
     n_a = (1 << 18) if on_accel else (1 << 14)
-    audio_msps = measure_msps_acc(
-        _audio_tail_step(ssb, chan.sample_rate, n_a), n_a, secs, min_iters=2
-    )
+    audio_msps, audio_dev = _audio_both(ssb, chan.sample_rate, n_a, secs)
     msps = _combined(chain_msps, audio_msps, ssb.decimate)
     entry = {
         "metric": "SSB receiver (usb filter method, fir(400)->resample; input rate)",
@@ -979,6 +1019,8 @@ def bench_ssb(on_accel: bool) -> dict:
         "vs_baseline": round(msps / 100.0, 2),
         "chain_msps": round(chain_msps, 1),
         "audio_msps_at_channel_rate": round(audio_msps, 1),
+        "audio_device_msps_at_channel_rate": round(audio_dev, 1),
+        "e2e_device_msps": round(_combined(chain_msps, audio_dev, ssb.decimate), 1),
         **tstats,
     }
     entry.update(
