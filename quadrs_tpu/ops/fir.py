@@ -120,8 +120,16 @@ def fir_decimate(
             impl = "os_poly"
         elif d >= 4:
             # measured on v5e: the polyphase's m shifted adds scale worse
-            # than the banded matmul's FLOP overhead for long outputs
-            impl = "banded" if n_out >= (1 << 18) and d >= 8 else "polyphase"
+            # than the banded matmul's FLOP overhead once the dispatch is
+            # fat enough to fill the MXU — and "fat" is the TOTAL output
+            # count B*n_out, not the per-row length (round-5 sweep,
+            # taps=400: banded 1.6-1.7x at 128-256k totals for d=10,
+            # 3-14x at >=512k for d in 4..32; polyphase ahead only at
+            # <=64k totals, e.g. 8192x8: 469 vs 337 Msps).  The old
+            # per-row rule (n_out >= 2^18 and d >= 8) left 4.1x on the
+            # FM product shape (65537x8: 2770 -> 11443 Msps).
+            total_out = int(x.shape[0]) * n_out
+            impl = "banded" if total_out >= (1 << 17) else "polyphase"
         else:
             impl = "direct"
 

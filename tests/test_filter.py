@@ -160,7 +160,7 @@ def test_fir_overlap_save_long_filter():
 
 @pytest.mark.parametrize("n_out", [1, 64, 128, 200, 300])
 def test_fir_banded_matches_direct(n_out):
-    """`banded` is auto-selected only at benchmark scale (n_out >= 2^18),
+    """`banded` is auto-selected only at fat dispatches (B*n_out >= 2^17),
     so pin it against `direct` explicitly at small sizes, including
     non-multiples of its 128-output group."""
     rng = np.random.default_rng(10)
@@ -204,15 +204,16 @@ def test_fir_all_impls_agree_random():
 def test_fir_auto_crossover_boundaries():
     """`auto` routing is an internal perf decision; whatever it picks at
     each crossover boundary must agree with the reference impl.
-    Boundaries from ops/fir.py: m>64 -> overlap_save; n_out>=2^18 and
-    d>=8 -> banded; d>=4 -> polyphase; else direct."""
+    Boundaries from ops/fir.py: m>64 -> overlap_save; d>=4 and
+    B*n_out>=2^17 (TOTAL outputs across the batch) -> banded;
+    d>=4 -> polyphase; else direct."""
     rng = np.random.default_rng(12)
 
-    def check(d, size, n_out, ref_impl, atol=3e-5):
+    def check(d, size, n_out, ref_impl, atol=3e-5, batch=1):
         n_in = n_out * d + size
-        x = (rng.normal(size=(1, n_in)) + 1j * rng.normal(size=(1, n_in))).astype(
-            np.complex64
-        )
+        x = (
+            rng.normal(size=(batch, n_in)) + 1j * rng.normal(size=(batch, n_in))
+        ).astype(np.complex64)
         taps = lowpass_taps(0.02, size)
         xd = to_device_complex(x)
         a = _run_fir(xd, taps, d, n_out, "auto")
@@ -225,10 +226,13 @@ def test_fir_auto_crossover_boundaries():
     # 65*8 goes spectral (polyphase overlap-save) — check both sides
     check(8, 512, 64, "polyphase")
     check(8, 528, 64, "os_poly")
-    # banded kicks in at n_out = 2^18 with d >= 8 (benchmark scale);
-    # compare against polyphase (direct would blow memory here)
-    check(8, 32, 1 << 18, "banded")
-    check(8, 32, (1 << 18) - 1, "polyphase")
+    # banded kicks in at B*n_out = 2^17 total outputs with d >= 4
+    # (fat-dispatch rule; compare against polyphase — direct would blow
+    # memory here), including when only the BATCH crosses the line
+    check(8, 32, 1 << 17, "banded")
+    check(8, 32, (1 << 17) - 1, "polyphase")
+    check(4, 32, 1 << 13, "banded", batch=16)
+    check(4, 32, 1 << 13, "polyphase", batch=15)
     # short-decimation path stays direct
     check(2, 40, 128, "direct")
 
