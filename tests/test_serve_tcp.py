@@ -880,6 +880,117 @@ def test_serve_scan_mode(capsys):
     assert 0.0 < occ.mean() < 1.0
 
 
+def _fuzz_bursts(fmt_bytes: int, seed: int) -> list[bytes]:
+    """Adversarial burst corpus: empty, sub-sample, partial-pair tails,
+    NaN/inf/all-zero f32 payloads, and random garbage at odd lengths."""
+    rng = np.random.default_rng(seed)
+    bursts = [
+        b"",
+        b"\x01",
+        bytes(fmt_bytes - 1),  # under one sample
+        rng.integers(0, 256, 4097, dtype=np.int64).astype(np.uint8).tobytes(),
+        np.full(512, np.nan, dtype=np.float32).tobytes(),
+        np.full(512, np.inf, dtype=np.float32).tobytes(),
+        bytes(8192),  # all zero (psk: no power; am: zero carrier)
+    ]
+    for _ in range(3):
+        n = int(rng.integers(1, 20_000))
+        bursts.append(
+            rng.integers(0, 256, n, dtype=np.int64).astype(np.uint8).tobytes()
+        )
+    return bursts
+
+
+@pytest.mark.parametrize(
+    "mode_kw, good_payload",
+    [
+        (dict(mode="psk", format="cf32", symbol_rate=1_500.0, decimate=4,
+              size=40, lowpass=8_000, chunk=None), None),
+        (dict(mode="fm", format="cf32", decimate=4, size=40, lowpass=8_000,
+              chunk=None), None),
+        (dict(mode="ook", format="cu8", fft_width=4, stride=2,
+              threshold=0.05, chunk=None), None),
+        (dict(mode="stream", format="cs8"), None),
+    ],
+)
+def test_serve_fuzz_garbage_bursts_survive(capsys, mode_kw, good_payload):
+    """Fuzz the wire: malformed bursts (empty, partial pairs, NaN/inf
+    cf32, all-zero, random garbage, and one abrupt RST) must never kill
+    the daemon — every session is answered with result text or an
+    ``# error:`` line, or closed cleanly — and a well-formed burst
+    AFTER the garbage is still served.  Closes the STATUS.md roadmap
+    item (decode-time errors were answered but never fuzzed)."""
+    fmt = FileFormat(mode_kw["format"])
+    bursts = _fuzz_bursts(fmt.pair_bytes, seed=hash(mode_kw["mode"]) % 1000)
+    cmd = _serve_cmd(once=False, **mode_kw)
+    # every fuzz burst + one RST + one good burst
+    th, port = _start_server(cmd, max_connections=len(bursts) + 2)
+
+    for payload in bursts:
+        got = _session(port, payload)
+        # demod modes answer errors in-band; stream mode may close with
+        # no rows for degenerate input — either way the socket closed
+        assert b"Traceback" not in got
+
+    # abrupt RST mid-send: SO_LINGER 0 + close without half-close
+    import struct
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    s.setsockopt(
+        socket.SOL_SOCKET, socket.SO_LINGER, struct.pack("ii", 1, 0)
+    )
+    s.sendall(bytes(1024))
+    s.close()
+
+    # the daemon still serves a well-formed burst correctly
+    if good_payload is None:
+        if mode_kw["mode"] == "psk":
+            good_payload = _psk_burst_cf32()
+        elif mode_kw["mode"] == "fm":
+            rng = np.random.default_rng(5)
+            x = (0.5 * np.exp(2j * np.pi * 900.0 *
+                              np.arange(12_000) / 48_000)).astype(np.complex64)
+            good_payload = x.tobytes()
+        elif mode_kw["mode"] == "ook":
+            n = 4_000
+            env = np.zeros(n, dtype=np.float32)
+            env[: n // 2] = 0.4
+            x = (env + 1j * env).astype(np.complex64)
+            u = np.empty(2 * n, dtype=np.float32)
+            u[0::2], u[1::2] = x.real, x.imag
+            good_payload = (
+                np.round(u * 255.0 + 127.5).clip(0, 255).astype(np.uint8).tobytes()
+            )
+        else:
+            good_payload = _capture(30_000)
+    got = _session(port, good_payload)
+    th.join(timeout=60)
+    assert not th.is_alive()
+    if mode_kw["mode"] == "stream":
+        want = np.concatenate([n for _, n in _direct_rows(good_payload, cmd)])
+        np.testing.assert_array_equal(
+            np.frombuffer(got, dtype=np.float32).reshape(-1, cmd.fft_width),
+            want,
+        )
+    else:
+        assert b"# error:" not in got and got  # a real answer
+    out = capsys.readouterr().out
+    assert "Traceback" not in out
+
+
+def _psk_burst_cf32() -> bytes:
+    """A clean differential-BPSK burst at 48 kHz, 1.5 kbaud, cf32."""
+    rng = np.random.default_rng(3)
+    rate, sps = 48_000, 8  # after decimate 4: 12 kHz, 8 sps at 1.5 kbaud
+    bits = rng.integers(0, 2, 200)
+    phases = np.cumsum(np.where(bits, np.pi, 0.0))
+    sym = np.exp(1j * phases)
+    bb = np.repeat(sym, sps * 4)  # raw-rate rectangular pulses
+    t = np.arange(len(bb)) / rate
+    x = (0.5 * bb * np.exp(2j * np.pi * 0.0 * t)).astype(np.complex64)
+    return x.tobytes()
+
+
 def test_serve_scan_mode_gating(capsys):
     with pytest.raises(ValueError, match="does not apply to -mode scan"):
         argmod.parse(
