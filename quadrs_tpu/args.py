@@ -218,6 +218,8 @@ class OokCmd(Command):
     sample_rate: str | None = None
     format: str | None = None
     stdin: bool = False  # buffer the capture from a pipe
+    # -mesh T: time-shard the envelope windows across the device mesh
+    mesh: tuple[int, int] | None = None
 
 
 @dataclass
@@ -240,6 +242,8 @@ class FskCmd(Command):
     sample_rate: str | None = None
     format: str | None = None
     stdin: bool = False  # buffer the capture from a pipe
+    # -mesh T: time-shard the discriminator windows across the mesh
+    mesh: tuple[int, int] | None = None
 
 
 @dataclass
@@ -268,6 +272,8 @@ class PskCmd(Command):
     sample_rate: str | None = None
     format: str | None = None
     stdin: bool = False  # buffer the capture from a pipe
+    # -mesh T: time-shard the baseband chain across the device mesh
+    mesh: tuple[int, int] | None = None
 
 
 @dataclass
@@ -293,6 +299,8 @@ class FmCmd(Command):
     sample_rate: str | None = None
     format: str | None = None
     stdin: bool = False  # buffer the capture from a pipe
+    # -mesh T: time-shard the channel chain across the device mesh
+    mesh: tuple[int, int] | None = None
 
 
 @dataclass
@@ -317,6 +325,8 @@ class AmCmd(Command):
     sample_rate: str | None = None
     format: str | None = None
     stdin: bool = False  # buffer the capture from a pipe
+    # -mesh T: time-shard the channel chain across the device mesh
+    mesh: tuple[int, int] | None = None
 
 
 @dataclass
@@ -342,6 +352,8 @@ class SsbCmd(Command):
     sample_rate: str | None = None
     format: str | None = None
     stdin: bool = False
+    # -mesh T: time-shard the channel chain across the device mesh
+    mesh: tuple[int, int] | None = None
 
 
 @dataclass
@@ -1050,10 +1062,17 @@ def _parse_ook(args: _Args, raw_map) -> Command:
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     filename, stdin = _take_capture_arg(args, map_, "ook", sr, fmt)
+    mesh = map_.pop("mesh", None)
+    mesh = None if mesh is None else _parse_mesh(mesh)
+    if mesh is not None and mesh[1] != 1:
+        raise ValueError("ook -mesh shards one capture: use T or Tx1")
+    if mesh is not None and stdin:
+        raise ValueError("ook -mesh needs a capture file, not -stdin")
     _ensure_empty(map_, "ook")
     return OokCmd(
         filename=filename, width=width, stride=stride, threshold=threshold,
         bit=bit, raw=raw, sample_rate=sr, format=fmt, stdin=stdin,
+        mesh=mesh,
     )
 
 
@@ -1072,11 +1091,17 @@ def _parse_fsk(args: _Args, raw_map) -> Command:
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     filename, stdin = _take_capture_arg(args, map_, "fsk", sr, fmt)
+    mesh = map_.pop("mesh", None)
+    mesh = None if mesh is None else _parse_mesh(mesh)
+    if mesh is not None and mesh[1] != 1:
+        raise ValueError("fsk -mesh shards one capture: use T or Tx1")
+    if mesh is not None and stdin:
+        raise ValueError("fsk -mesh needs a capture file, not -stdin")
     _ensure_empty(map_, "fsk")
     return FskCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, fft_width=fft_width, stride=stride, bit=bit,
-        sample_rate=sr, format=fmt, stdin=stdin,
+        sample_rate=sr, format=fmt, stdin=stdin, mesh=mesh,
     )
 
 
@@ -1096,6 +1121,12 @@ def _parse_psk(args: _Args, raw_map) -> Command:
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     filename, stdin = _take_capture_arg(args, map_, "psk", sr, fmt)
+    mesh = map_.pop("mesh", None)
+    mesh = None if mesh is None else _parse_mesh(mesh)
+    if mesh is not None and mesh[1] != 1:
+        raise ValueError("psk -mesh shards one capture: use T or Tx1")
+    if mesh is not None and stdin:
+        raise ValueError("psk -mesh needs a capture file, not -stdin")
     _ensure_empty(map_, "psk")
     if symbol_rate is None:
         raise ValueError("psk requires -symbol-rate (symbols per second)")
@@ -1109,6 +1140,7 @@ def _parse_psk(args: _Args, raw_map) -> Command:
         decimate=decimate, symbol_rate=symbol_rate, order=order,
         differential=differential, block=block, plot=plot,
         overwrite=overwrite, sample_rate=sr, format=fmt, stdin=stdin,
+        mesh=mesh,
     )
 
 
@@ -1137,13 +1169,19 @@ def _parse_fm(args: _Args, raw_map) -> Command:
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     filename, stdin = _take_capture_arg(args, map_, "fm", sr, fmt)
+    mesh = map_.pop("mesh", None)
+    mesh = None if mesh is None else _parse_mesh(mesh)
+    if mesh is not None and mesh[1] != 1:
+        raise ValueError("fm -mesh shards one capture: use T or Tx1")
+    if mesh is not None and stdin:
+        raise ValueError("fm -mesh needs a capture file, not -stdin")
     _ensure_empty(map_, "fm")
     return FmCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, deviation=deviation, audio_lowpass=audio_lowpass,
         audio_decimate=audio_decimate, audio_size=audio_size,
         audio_rate=audio_rate, out=out, overwrite=overwrite, wav=wav,
-        sample_rate=sr, format=fmt, stdin=stdin,
+        sample_rate=sr, format=fmt, stdin=stdin, mesh=mesh,
     )
 
 
@@ -1169,13 +1207,19 @@ def _parse_am(args: _Args, raw_map) -> Command:
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     filename, stdin = _take_capture_arg(args, map_, "am", sr, fmt)
+    mesh = map_.pop("mesh", None)
+    mesh = None if mesh is None else _parse_mesh(mesh)
+    if mesh is not None and mesh[1] != 1:
+        raise ValueError("am -mesh shards one capture: use T or Tx1")
+    if mesh is not None and stdin:
+        raise ValueError("am -mesh needs a capture file, not -stdin")
     _ensure_empty(map_, "am")
     return AmCmd(
         filename=filename, shift=shift, lowpass=lowpass, size=size,
         decimate=decimate, audio_lowpass=audio_lowpass,
         audio_decimate=audio_decimate, audio_size=audio_size,
         audio_rate=audio_rate, out=out, overwrite=overwrite, wav=wav,
-        sample_rate=sr, format=fmt, stdin=stdin,
+        sample_rate=sr, format=fmt, stdin=stdin, mesh=mesh,
     )
 
 
@@ -1204,6 +1248,12 @@ def _parse_ssb(args: _Args, raw_map) -> Command:
     sr = map_.pop("sr", None)
     fmt = map_.pop("format", None)
     filename, stdin = _take_capture_arg(args, map_, "ssb", sr, fmt)
+    mesh = map_.pop("mesh", None)
+    mesh = None if mesh is None else _parse_mesh(mesh)
+    if mesh is not None and mesh[1] != 1:
+        raise ValueError("ssb -mesh shards one capture: use T or Tx1")
+    if mesh is not None and stdin:
+        raise ValueError("ssb -mesh needs a capture file, not -stdin")
     _ensure_empty(map_, "ssb")
     return SsbCmd(
         filename=filename, shift=shift, sideband=sideband,
@@ -1211,7 +1261,7 @@ def _parse_ssb(args: _Args, raw_map) -> Command:
         audio_lowpass=audio_lowpass, audio_decimate=audio_decimate,
         audio_size=audio_size, audio_rate=audio_rate, out=out,
         overwrite=overwrite, wav=wav, sample_rate=sr, format=fmt,
-        stdin=stdin,
+        stdin=stdin, mesh=mesh,
     )
 
 

@@ -80,25 +80,26 @@ waterfall [-width 1024] [-stride =width] [-window rectangular] [-chunk 2k] \\
           that long — stalled peers can't hold a slot)] [mesh: shard each connection \\
           across chips; parallel: serve N connections concurrently on the shared chain] \\
          [TCP service: compile once, then each connection streams IQ in, results out] \\
-     ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] [-stdin no] FILENAME \\
-     fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] FILENAME \\
+     ook [-width 4] [-stride 2] [-threshold 0.001] [-bit 8] [-raw no] [-stdin no] [-mesh T] FILENAME \\
+     fsk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] [-width 64] [-stride S] [-bit N] [-stdin no] [-mesh T] FILENAME \\
      psk [-shift 0] [-lowpass 200k] [-power 200] [-decimate 32] -symbol-rate HZ \\
          [-order 2 (BPSK; 4 = QPSK, Gray 00 01 11 10)] [-differential yes] \\
          [-block 0 (re-estimate the carrier every N baseband samples: \\
           tracks drifting crystals; 0 = one whole-burst estimate)] \\
          [-plot FILE.png (render the synchronized constellation)] [-overwrite no] \\
-         [-stdin no] FILENAME [block-coherent: per-burst carrier + timing, no PLL] \\
+         [-stdin no] [-mesh T] FILENAME [block-coherent: per-burst carrier + timing, no PLL] \\
       fm [-shift 0] [-lowpass 100k] [-power 200] [-decimate 8] [-deviation 75k] \\
          [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\
          [-out PREFIX (writes PREFIX.srR.f32 mono audio; '-': stream to stdout, e.g. | aplay)] \\
          [-wav no (write PREFIX.wav instead)] \\
-         [-overwrite no] [-stdin no] FILENAME \\
+         [-overwrite no] [-stdin no] [-mesh T (time-shard the channel chain over the \\
+          device mesh; all demods take it)] FILENAME \\
       am [-shift 0] [-lowpass 10k] [-power 200] [-decimate 8] \\
          [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\
-         [-out PREFIX] [-wav no] [-overwrite no] [-stdin no] FILENAME [audio = envelope/carrier - 1] \\
+         [-out PREFIX] [-wav no] [-overwrite no] [-stdin no] [-mesh T] FILENAME [audio = envelope/carrier - 1] \\
      ssb [-shift 0] [-sideband usb|lsb] [-bandwidth 3k] [-power 200] [-decimate 8] \\
          [-audio-lowpass HZ] [-audio-decimate 1] [-audio-power 32] [-audio-rate HZ] \\
-         [-out PREFIX|-] [-wav no] [-overwrite no] [-stdin no] FILENAME \\
+         [-out PREFIX|-] [-wav no] [-overwrite no] [-stdin no] [-mesh T] FILENAME \\
          [single-sideband to audio; -shift -CARRIER_OFFSET brings the carrier to DC] \\
 channelize [-channels 8] [-power 20] [-freq =sr/2K] [-chunk 256k] [-select 0,3,..] \\
          [-out PREFIX (writes PREFIX.chK.srR.cf32 per channel)] [-overwrite no] \\

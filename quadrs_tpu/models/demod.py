@@ -60,7 +60,7 @@ class OokDemod:
     threshold: float = 0.001
     samples_per_bit: float = 8.0
 
-    def pulses(self, stream: Stream) -> np.ndarray:
+    def pulses(self, stream: Stream, mesh=None) -> np.ndarray:
         from quadrs_tpu.ops.stft import stft_norms
         from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 
@@ -74,10 +74,16 @@ class OokDemod:
             return (stft_norms(x) >= th).any(axis=1)
 
         fast = _strided_windows_dev(
-            stream, self.width, self.stride, len(offsets), post
+            stream, self.width, self.stride, len(offsets), post, mesh=mesh
         )
         if fast is not None:
             return fast
+        if mesh is not None:
+            raise ValueError(
+                "-mesh shards the streaming demod front end, which needs "
+                "the receiver's own chain over a raw capture file; drop "
+                "the chained stages / live pipe or drop -mesh"
+            )
         batch, batches = window_batches(offsets, self.width, root_step=root_step_of(stream))
         ex = Executor(stream, self.width, batch=batch, post=stft_norms)
         flags = []
@@ -88,12 +94,14 @@ class OokDemod:
             flags.append((norms >= th).any(axis=1))
         return np.concatenate(flags)
 
-    def demodulate(self, stream: Stream) -> tuple[float, list[bool]]:
+    def demodulate(self, stream: Stream, mesh=None) -> tuple[float, list[bool]]:
         """Returns (clock_error, raw pulse bits)."""
-        return bits_mod.scan(self.pulses(stream), self.samples_per_bit)
+        return bits_mod.scan(
+            self.pulses(stream, mesh=mesh), self.samples_per_bit
+        )
 
-    def decode_manchester(self, stream: Stream) -> list[int]:
-        _, raw = self.demodulate(stream)
+    def decode_manchester(self, stream: Stream, mesh=None) -> list[int]:
+        _, raw = self.demodulate(stream, mesh=mesh)
         return manchester_decode(raw)
 
 
@@ -122,15 +130,16 @@ class FskDemod:
             chain = Shift(chain, self.center, chain.sample_rate)
         return LowPass(chain, self.bandwidth, self.decimate, self.taps)
 
-    def symbols(self, stream: Stream) -> list[int]:
+    def symbols(self, stream: Stream, mesh=None) -> list[int]:
         levels = sinks.freq_levels(
-            self.channel(stream), self.fft_width, self.stride, levels=2
+            self.channel(stream), self.fft_width, self.stride, levels=2,
+            mesh=mesh,
         )
         return levels.vals
 
-    def demodulate(self, stream: Stream) -> tuple[float, list[bool]]:
+    def demodulate(self, stream: Stream, mesh=None) -> tuple[float, list[bool]]:
         """Run-length clock recovery over the symbol stream."""
-        syms = [bool(v) for v in self.symbols(stream)]
+        syms = [bool(v) for v in self.symbols(stream, mesh=mesh)]
         return bits_mod.scan(syms, self.samples_per_symbol)
 
 
@@ -177,7 +186,7 @@ class FmDemod:
             chain = Shift(chain, self.center, chain.sample_rate)
         return LowPass(chain, self.bandwidth, self.decimate, self.taps)
 
-    def _discriminate_dev(self, stream: Stream):
+    def _discriminate_dev(self, stream: Stream, mesh=None):
         """``(channel_rate_hz, device f32[channel_len - 1])`` in Hz —
         the discriminator output assembled on device (window at offset
         o reads chan[o .. o+c] and emits d for samples o+1 .. o+c, so
@@ -195,17 +204,17 @@ class FmDemod:
             d = x[:, 1:] * jnp.conj(x[:, :-1])
             return jnp.arctan2(jnp.imag(d), jnp.real(d)) * scale
 
-        return rate, _chunked_signal_dev(chan, c, 1, post)
+        return rate, _chunked_signal_dev(chan, c, 1, post, mesh=mesh)
 
-    def discriminate(self, stream: Stream) -> tuple[int, np.ndarray]:
+    def discriminate(self, stream: Stream, mesh=None) -> tuple[int, np.ndarray]:
         """Instantaneous frequency of the filtered channel.
 
         Returns ``(channel_rate_hz, f32[channel_len - 1])`` in Hz.
         """
-        rate, freq = self._discriminate_dev(stream)
+        rate, freq = self._discriminate_dev(stream, mesh=mesh)
         return rate, np.asarray(freq)
 
-    def demodulate(self, stream: Stream) -> tuple[int, np.ndarray]:
+    def demodulate(self, stream: Stream, mesh=None) -> tuple[int, np.ndarray]:
         """Full receive chain to normalized audio.
 
         Returns ``(audio_rate_hz, f32 audio)`` with ``inst_freq /
@@ -213,7 +222,7 @@ class FmDemod:
         configured).  The discriminator output stays on device through
         the fused audio tail — only the final audio is fetched.
         """
-        rate, freq = self._discriminate_dev(stream)
+        rate, freq = self._discriminate_dev(stream, mesh=mesh)
         return _audio_stage(self, rate, freq, div=float(self.deviation))
 
 
@@ -409,7 +418,10 @@ def _channel_parts(chan: Stream):
 _CHANNEL_RAW_BUDGET = 1 << 23  # raw samples per streaming dispatch
 
 
-def _channel_step(chan: Stream, c: int, lead: int, post, stride: int | None = None):
+def _channel_step(
+    chan: Stream, c: int, lead: int, post, stride: int | None = None,
+    mesh=None,
+):
     """The streaming demod dispatch: one jitted program computing ``k``
     per-pull windows of the channel (decode -> table mix -> truncated
     FIR -> optional channel-rate re-shift -> ``post``) from one
@@ -429,11 +441,26 @@ def _channel_step(chan: Stream, c: int, lead: int, post, stride: int | None = No
     the next by ``lead``).  ``sinks.freq_levels`` passes its own stride
     for the reference bucket's strided discriminator windows.
 
-    Returns ``(run, args_for, geom)`` — ``run(planes, c0, s0,
-    th_outer, valid_in) -> (k, n - lead, ...)`` traced program,
-    ``args_for(o) -> (host args..., v)`` for the dispatch whose first
-    window sits at channel offset ``o`` — or None when the chain shape
-    is unsupported (chained user stages, live pipes)."""
+    ``mesh``: a Tx1 :func:`quadrs_tpu.parallel.sharding.make_mesh` —
+    the dispatch's window axis time-shards over the chips.  Each chip
+    holds a contiguous ``k/T`` windows' worth of NATIVE capture planes
+    and pulls the ``n_in - hop`` window-overlap halo from its right
+    neighbor over ICI (``ppermute``; the last shard takes the fed tail
+    — the true stream continuation), decodes on device, and runs the
+    SAME per-window program on its local windows, so sharded windows
+    match the single-device dispatch to f32 accumulation order (XLA
+    tiles the FIR matmuls differently per batch shape; placement and
+    truncation are exact).  Mesh dispatches cover FULL windows only
+    (``geom['n_full']`` of them) — the EOF tail stitches through a
+    single-device builder, exactly like the sharded matched filter
+    (:func:`quadrs_tpu.parallel.sharding.make_sharded_find_step`).
+
+    Returns ``(run, args_for, geom)`` — ``run(*args) -> (k, n - lead,
+    ...)`` traced program, ``args_for(o) -> (*args, v)`` for the
+    dispatch whose first window sits at channel offset ``o`` — or None
+    when the chain shape is unsupported (chained user stages, live
+    pipes) or, with ``mesh``, when the capture is too short to give
+    every chip a window."""
     import jax
     import jax.numpy as jnp
 
@@ -462,6 +489,29 @@ def _channel_step(chan: Stream, c: int, lead: int, post, stride: int | None = No
     k = max(1, min(_CHANNEL_RAW_BUDGET // max(1, hop),
                    2 * _CHANNEL_RAW_BUDGET // pad_in))
     k = min(k, -(-int(chan.length - lead) // stride), 1 << 18)
+    n_time = 1
+    # window-overlap halo a shard pulls from its right neighbor; gapped
+    # strided windows (stride > width: n_in <= hop) need none — every
+    # window lies inside its own shard's k_loc*hop slice
+    halo_n = max(0, n_in - hop)
+    if mesh is not None:
+        if mesh.shape.get("stream", 1) != 1:
+            raise ValueError(
+                "demod -mesh shards one capture over 'time'; use a Tx1 mesh"
+            )
+        n_time = int(mesh.shape["time"])
+        # full windows only: window j (raw offset j*hop) is full iff
+        # j*hop + n_in <= src.length; partial windows stitch through the
+        # single-device builder
+        n_full = 0 if src.length < n_in else (src.length - n_in) // hop + 1
+        # per-chip budget; k divisible by the mesh so every chip gets
+        # the same window count, clamped so short captures still shard
+        k = min(k * n_time, n_full // n_time * n_time, 1 << 18)
+        if k < n_time:
+            return None  # too short to give every chip a window
+        k_loc = k // n_time
+        if halo_n > k_loc * hop:
+            return None  # halo would reach past the immediate neighbor
     span = (k - 1) * hop + n_in  # contiguous raw per dispatch
     step = k * stride  # channel samples advanced per dispatch
 
@@ -472,19 +522,16 @@ def _channel_step(chan: Stream, c: int, lead: int, post, stride: int | None = No
         cd = jnp.asarray(cd_np.astype(np.float32))
         sd = jnp.asarray(sd_np.astype(np.float32))
 
-    @jax.jit
-    def run(planes, c0, s0, th_outer, valid_in):
+    def core(x, c0, s0, th_outer, valid_in, kk):
+        """Per-window compute shared by the single-device jit and the
+        shard_map local: ``x`` the decoded complex chunk covering ``kk``
+        windows (length >= (kk-1)*hop + n_in)."""
         from quadrs_tpu.ops.fir import _overlapped_frames
 
-        x = pack_complex(
-            decode_plane(planes[0], src.format, xp=jnp),
-            decode_plane(planes[1], src.format, xp=jnp),
-            xp=jnp,
-        )
-        # (k, n_in) windows from ceil(n_in/hop) row slices of the
+        # (kk, n_in) windows from ceil(n_in/hop) row slices of the
         # decoded chunk — the overlap is re-sliced, never re-read (and
         # never gathered: overlapping-window gathers are the 80x cliff)
-        rows = _overlapped_frames(x[None, :], hop, n_in, k)[0]
+        rows = _overlapped_frames(x[None, :], hop, n_in, kk)[0]
         # zero past each window's valid extent BEFORE the FIR, exactly
         # as LowPass.read_batch does (EOF truncation in decoded domain)
         mask = (
@@ -507,54 +554,140 @@ def _channel_step(chan: Stream, c: int, lead: int, post, stride: int | None = No
         if outer is not None:
             ph = jax.lax.complex(jnp.cos(th_outer), jnp.sin(th_outer))
             y = y * ph.astype(y.dtype)
-        return post(y)  # (k, n - lead, ...trailing component axes)
+        return post(y)  # (kk, n - lead, ...trailing component axes)
 
-    zeros = jax.device_put(np.zeros((k, n), dtype=np.float32))
+    def _decode(block):
+        return pack_complex(
+            decode_plane(block[0], src.format, xp=jnp),
+            decode_plane(block[1], src.format, xp=jnp),
+            xp=jnp,
+        )
+
+    if mesh is None:
+        @jax.jit
+        def run(planes, c0, s0, th_outer, valid_in):
+            return core(_decode(planes), c0, s0, th_outer, valid_in, k)
+    else:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        def local(planes_l, tail_l, c0_l, s0_l, th_l, valid_l):
+            if halo_n:
+                perm = [(i, (i - 1) % n_time) for i in range(n_time)]
+                halo = jax.lax.ppermute(planes_l[:, :halo_n], "time", perm)
+                tail_l = jax.lax.pcast(tail_l, ("time",), to="varying")
+                is_last = jax.lax.axis_index("time") == n_time - 1
+                halo = jnp.where(is_last, tail_l, halo)
+                block = jnp.concatenate([planes_l, halo], axis=1)
+            else:
+                block = planes_l
+            return core(_decode(block), c0_l, s0_l, th_l, valid_l, k_loc)
+
+        # out_specs: the window axis shards, trailing axes replicate —
+        # probed from the post's output tree (e.g. PSK's stacked planes)
+        probe = jax.eval_shape(
+            lambda x, c0, s0, th, v: core(x, c0, s0, th, v, k_loc),
+            jax.ShapeDtypeStruct(((k_loc - 1) * hop + n_in,), jnp.complex64),
+            jax.ShapeDtypeStruct((k_loc,), jnp.float32),
+            jax.ShapeDtypeStruct((k_loc,), jnp.float32),
+            jax.ShapeDtypeStruct((k_loc, n), jnp.float32),
+            jax.ShapeDtypeStruct((k_loc,), jnp.int32),
+        )
+        out_specs = jax.tree_util.tree_map(
+            lambda s: P("time", *([None] * (len(s.shape) - 1))), probe
+        )
+        run = jax.jit(jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, "time"), P(None, None), P("time"),
+                      P("time"), P("time", None), P("time")),
+            out_specs=out_specs,
+            # fir_decimate's overlap-save path scans with unvarying
+            # inits (shared single-chip code), like the find step
+            check_vma=False,
+        ))
+        plane_sh = NamedSharding(mesh, P(None, "time"))
+        rep_sh = NamedSharding(mesh, P(None, None))
+        vec_sh = NamedSharding(mesh, P("time"))
+        th_sh = NamedSharding(mesh, P("time", None))
+
+    if mesh is None:
+        zeros = jax.device_put(np.zeros((k, n), dtype=np.float32))
+    else:
+        zeros = jax.device_put(np.zeros((k, n), dtype=np.float32), th_sh)
 
     def args_for(o: int):
         """Host-side inputs for the dispatch at channel offset ``o``:
-        ``(planes, c0, s0, th_outer, valid_in, v)`` — ``v`` the
-        per-window valid channel counts."""
+        ``(*run args, v)`` — ``v`` the per-window valid channel
+        counts.  Mesh dispatches must cover full windows only (the
+        caller steps through ``geom['n_full']``)."""
         lo = o * d
-        hi = min(lo + span, src.length)
-        planes = np.ascontiguousarray(src.stage(lo, hi))
-        got = planes.shape[-1]
-        if got < span:
-            planes = np.pad(planes, ((0, 0), (0, span - got)))
         w_offs = o + stride * np.arange(k, dtype=np.int64)
-        valid_in = np.clip(src.length - w_offs * d, 0, n_in)
+        if mesh is None:
+            hi = min(lo + span, src.length)
+            planes = np.ascontiguousarray(src.stage(lo, hi))
+            got = planes.shape[-1]
+            if got < span:
+                planes = np.pad(planes, ((0, 0), (0, span - got)))
+            planes_dev = jax.device_put(planes)
+            valid_in = np.clip(src.length - w_offs * d, 0, n_in)
+        else:
+            body = np.ascontiguousarray(src.stage(lo, lo + k * hop))
+            tail = np.ascontiguousarray(
+                src.stage(lo + k * hop, lo + k * hop + halo_n)
+            ) if halo_n else np.zeros((2, 0), dtype=body.dtype)
+            planes_dev = jax.device_put(body, plane_sh)
+            tail_dev = jax.device_put(tail, rep_sh)
+            valid_in = np.full((k,), n_in, dtype=np.int64)
         v = np.maximum(valid_in - size, 0) // d
         if nco is not None:
             c0_np, s0_np = nco.cis(w_offs * d)
-            c0 = jnp.asarray(c0_np.astype(np.float32))
-            s0 = jnp.asarray(s0_np.astype(np.float32))
+            c0 = c0_np.astype(np.float32)
+            s0 = s0_np.astype(np.float32)
         else:
-            c0 = s0 = jnp.zeros((k,), jnp.float32)
-        th_outer = (
-            jax.device_put(
-                outer._nco.angles(
-                    w_offs[:, None] + np.arange(n, dtype=np.int64)[None, :]
-                ).astype(np.float32)
-            )
+            c0 = s0 = np.zeros((k,), np.float32)
+        th_np = (
+            outer._nco.angles(
+                w_offs[:, None] + np.arange(n, dtype=np.int64)[None, :]
+            ).astype(np.float32)
             if outer is not None
-            else zeros
+            else None
+        )
+        if mesh is None:
+            th_outer = jax.device_put(th_np) if th_np is not None else zeros
+            return (
+                planes_dev, jnp.asarray(c0), jnp.asarray(s0), th_outer,
+                jnp.asarray(valid_in.astype(np.int32)), v,
+            )
+        th_outer = (
+            jax.device_put(th_np, th_sh) if th_np is not None else zeros
         )
         return (
-            jax.device_put(planes), c0, s0, th_outer,
-            jnp.asarray(valid_in.astype(np.int32)), v,
+            planes_dev, tail_dev,
+            jax.device_put(c0, vec_sh), jax.device_put(s0, vec_sh),
+            th_outer,
+            jax.device_put(valid_in.astype(np.int32), vec_sh), v,
         )
 
     geom = {"k": k, "n": n, "n_in": n_in, "span": span, "step": step,
             "decimate": d}
+    if mesh is not None:
+        geom["n_full"] = n_full
     return run, args_for, geom
 
 
-def _streaming_signal_dev(chan: Stream, c: int, lead: int, post):
+def _streaming_signal_dev(chan: Stream, c: int, lead: int, post, mesh=None):
     """:func:`_chunked_signal_dev`'s fast path: drive
     :func:`_channel_step` dispatches over the whole stream and assemble
     the flat result on device.  Output length and EOF arithmetic match
     the Executor path exactly; values agree to f32 rounding of the mix.
-    Returns None when the chain shape is unsupported."""
+    Returns None when the chain shape is unsupported.
+
+    ``mesh``: time-shard the full-window aligned prefix across the
+    chips (see :func:`_channel_step`); the EOF tail stitches through
+    the single-device dispatches below, so output length and placement
+    are unchanged.  Mesh parts are assembled on host (f32 only — the
+    audio tail re-uploads once)."""
     import jax.numpy as jnp
 
     built = _channel_step(chan, c, lead, post)
@@ -564,8 +697,25 @@ def _streaming_signal_dev(chan: Stream, c: int, lead: int, post):
     k, step = geom["k"], geom["step"]
     n = geom["n"]
     parts = []
+    o0 = 0
+    if mesh is not None:
+        m_built = _channel_step(chan, c, lead, post, mesh=mesh)
+        if m_built is not None:
+            run_m, args_m, geom_m = m_built
+            k_m, n_full = geom_m["k"], geom_m["n_full"]
+            # windows step c here, so window j sits at channel offset
+            # j*c; dispatch while every window in it is full
+            w0 = 0
+            while w0 + k_m <= n_full:
+                *margs, _v = args_m(w0 * c)
+                out = run_m(*margs)
+                parts.append(
+                    np.asarray(out).reshape((-1,) + out.shape[2:])
+                )
+                w0 += k_m
+            o0 = w0 * c
     stop = False
-    for o in range(0, int(chan.length - lead), step):
+    for o in range(o0, int(chan.length - lead), step):
         *args, v = args_for(o)
         out = run(*args)
         m = k * c
@@ -585,14 +735,20 @@ def _streaming_signal_dev(chan: Stream, c: int, lead: int, post):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
-def _strided_windows_dev(stream: Stream, width: int, stride: int, total: int, post):
+def _strided_windows_dev(
+    stream: Stream, width: int, stride: int, total: int, post, mesh=None
+):
     """``post`` outputs for ``total`` FULL strided ``width``-windows of
     ``stream`` (the ``freq_levels`` / OOK-envelope shape: every window
     read-exact, no EOF truncation), computed by streaming
     :func:`_channel_step` dispatches and assembled on host.  Returns the
     concatenated tree (leading axis ``total``) or None when the chain
     shape is unsupported — callers keep the windowed Executor path as
-    the general fallback."""
+    the general fallback.
+
+    ``mesh``: time-shard an aligned prefix of the windows across the
+    chips (see :func:`_channel_step`); the remainder runs through the
+    single-device dispatches below."""
     import jax
 
     if total <= 0:
@@ -603,7 +759,22 @@ def _strided_windows_dev(stream: Stream, width: int, stride: int, total: int, po
     run, args_for, geom = built
     k = geom["k"]
     chunks = []
-    for w0 in range(0, total, k):
+    start = 0
+    if mesh is not None:
+        m_built = _channel_step(stream, width, 0, post, stride=stride,
+                                mesh=mesh)
+        if m_built is not None:
+            run_m, args_m, geom_m = m_built
+            k_m = geom_m["k"]
+            lim = min(total, geom_m["n_full"])
+            while start + k_m <= lim:
+                *margs, _v = args_m(start * stride)
+                out = run_m(*margs)
+                chunks.append(
+                    jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+                )
+                start += k_m
+    for w0 in range(start, total, k):
         *args, v = args_for(w0 * stride)
         take = min(k, total - w0)
         if np.any(np.asarray(v[:take]) < width):
@@ -619,7 +790,9 @@ def _strided_windows_dev(stream: Stream, width: int, stride: int, total: int, po
     return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *chunks)
 
 
-def _chunked_signal_dev(chan: Stream, c: int, lead: int, post) -> "object":
+def _chunked_signal_dev(
+    chan: Stream, c: int, lead: int, post, mesh=None
+) -> "object":
     """Run ``post`` over the channel in ``c``-sample device chunks
     (windows of ``c + lead`` samples at offsets stepping ``c``, each
     emitting ``c`` f32 outputs) and assemble the flat result ON DEVICE
@@ -636,9 +809,15 @@ def _chunked_signal_dev(chan: Stream, c: int, lead: int, post) -> "object":
 
     from quadrs_tpu.runtime import Executor, root_step_of, window_batches
 
-    out = _streaming_signal_dev(chan, c, lead, post)
+    out = _streaming_signal_dev(chan, c, lead, post, mesh=mesh)
     if out is not None:
         return out
+    if mesh is not None:
+        raise ValueError(
+            "-mesh shards the streaming demod front end, which needs "
+            "the receiver's own chain over a raw capture file; drop "
+            "the chained stages / live pipe or drop -mesh"
+        )
 
     offsets = np.arange(0, chan.length - lead, c, dtype=np.int64)
     batch, batches = window_batches(
@@ -694,7 +873,7 @@ class AmDemod:
             chain = Shift(chain, self.center, chain.sample_rate)
         return LowPass(chain, self.bandwidth, self.decimate, self.taps)
 
-    def _envelope_dev(self, stream: Stream):
+    def _envelope_dev(self, stream: Stream, mesh=None):
         """``(channel_rate_hz, device |x| f32[channel_len])`` of the
         filtered channel (chunked on device; no window overlap)."""
         import jax.numpy as jnp
@@ -703,15 +882,15 @@ class AmDemod:
         if chan.length < 1:
             raise ValueError("input too short for the AM envelope")
         c = min(self.chunk, chan.length)
-        return chan.sample_rate, _chunked_signal_dev(chan, c, 0, jnp.abs)
+        return chan.sample_rate, _chunked_signal_dev(chan, c, 0, jnp.abs, mesh=mesh)
 
-    def envelope(self, stream: Stream) -> tuple[int, np.ndarray]:
+    def envelope(self, stream: Stream, mesh=None) -> tuple[int, np.ndarray]:
         """``(channel_rate_hz, |x| f32[channel_len])`` of the filtered
         channel (chunked on device; no window overlap needed)."""
-        rate, env = self._envelope_dev(stream)
+        rate, env = self._envelope_dev(stream, mesh=mesh)
         return rate, np.asarray(env)
 
-    def demodulate(self, stream: Stream) -> tuple[int, np.ndarray]:
+    def demodulate(self, stream: Stream, mesh=None) -> tuple[int, np.ndarray]:
         """Full receive chain to audio in modulation-depth units
         (``envelope / carrier - 1``).  The envelope stays on device
         through the fused audio tail; only the carrier estimate (one
@@ -720,8 +899,8 @@ class AmDemod:
         import jax
         import jax.numpy as jnp
 
-        rate, env = self._envelope_dev(stream)
-        carrier = float(jax.jit(jnp.mean)(env))
+        rate, env = self._envelope_dev(stream, mesh=mesh)
+        carrier = float(jax.jit(jnp.mean)(jnp.asarray(env)))
         if carrier <= 0.0:
             raise ValueError("no carrier: the channel envelope is all zero")
         return _audio_stage(self, rate, env, div=carrier, bias=-1.0)
@@ -787,7 +966,7 @@ class SsbDemod:
             chain = Shift(chain, sign * half, chain.sample_rate)
         return chain
 
-    def _baseband_dev(self, stream: Stream):
+    def _baseband_dev(self, stream: Stream, mesh=None):
         """``(channel_rate_hz, device real(x) f32[channel_len])`` of the
         re-centered sideband (chunked on device, no overlap needed)."""
         import jax.numpy as jnp
@@ -796,19 +975,19 @@ class SsbDemod:
         if chan.length < 1:
             raise ValueError("input too short for the SSB demodulator")
         c = min(self.chunk, chan.length)
-        return chan.sample_rate, _chunked_signal_dev(chan, c, 0, jnp.real)
+        return chan.sample_rate, _chunked_signal_dev(chan, c, 0, jnp.real, mesh=mesh)
 
-    def baseband(self, stream: Stream) -> tuple[int, np.ndarray]:
+    def baseband(self, stream: Stream, mesh=None) -> tuple[int, np.ndarray]:
         """``(channel_rate_hz, real(x) f32[channel_len])`` of the
         re-centered sideband (chunked on device, no overlap needed)."""
-        rate, bb = self._baseband_dev(stream)
+        rate, bb = self._baseband_dev(stream, mesh=mesh)
         return rate, np.asarray(bb)
 
-    def demodulate(self, stream: Stream) -> tuple[int, np.ndarray]:
+    def demodulate(self, stream: Stream, mesh=None) -> tuple[int, np.ndarray]:
         """Full receive chain to audio (``real`` of the re-centered
         sideband, optional audio FIR / rational resample) — device-
         resident end to end; only the final audio is fetched."""
-        rate, bb = self._baseband_dev(stream)
+        rate, bb = self._baseband_dev(stream, mesh=mesh)
         return _audio_stage(self, rate, bb)
 
 
@@ -958,7 +1137,7 @@ class PskDemod:
             chain = Shift(chain, self.center, chain.sample_rate)
         return LowPass(chain, self.bandwidth, self.decimate, self.taps)
 
-    def baseband(self, stream: Stream) -> tuple[int, np.ndarray]:
+    def baseband(self, stream: Stream, mesh=None) -> tuple[int, np.ndarray]:
         """``(channel_rate_hz, complex64[channel_len])`` of the filtered
         channel (chunked on device; the executor returns f32 planes and
         repacks — bursts are buffered whole, like the other demods)."""
@@ -974,6 +1153,7 @@ class PskDemod:
         sig = _streaming_signal_dev(
             chan, c, 0,
             lambda x: jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1),
+            mesh=mesh,
         )
         if sig is not None:
             arr = np.asarray(sig)  # (m, 2) f32 — complex never crosses
@@ -1119,8 +1299,8 @@ class PskDemod:
         sym = sym * np.complex64(complex(math.cos(-phase), math.sin(-phase)))
         return est, sym.astype(np.complex64)
 
-    def symbols(self, stream: Stream) -> tuple[PskEstimate, np.ndarray]:
-        rate, x = self.baseband(stream)
+    def symbols(self, stream: Stream, mesh=None) -> tuple[PskEstimate, np.ndarray]:
+        rate, x = self.baseband(stream, mesh=mesh)
         return self.analyze(rate, x)
 
     def slice(self, sym: np.ndarray) -> list[int]:
@@ -1144,7 +1324,9 @@ class PskDemod:
             out.extend(_QPSK_GRAY[int(v)])
         return out
 
-    def demodulate(self, stream: Stream) -> tuple[PskEstimate, list[int]]:
+    def demodulate(
+        self, stream: Stream, mesh=None
+    ) -> tuple[PskEstimate, list[int]]:
         """Full receive chain: capture -> synchronized bits."""
-        est, sym = self.symbols(stream)
+        est, sym = self.symbols(stream, mesh=mesh)
         return est, self.slice(sym)

@@ -470,7 +470,7 @@ def run_ook(cmd: argmod.OokCmd) -> int:
         threshold=cmd.threshold,
         samples_per_bit=cmd.bit,
     )
-    err, raw_bits = demod.demodulate(src)
+    err, raw_bits = demod.demodulate(src, mesh=_make_mesh(cmd.mesh))
     if cmd.raw:
         print("".join("1" if b else "0" for b in raw_bits))
     else:
@@ -496,11 +496,11 @@ def run_fsk(cmd: argmod.FskCmd) -> int:
     if cmd.bit is None:
         # raw discriminator symbols (one per window, like `bucket` but
         # through the composed channel model)
-        syms = demod.symbols(src)
+        syms = demod.symbols(src, mesh=_make_mesh(cmd.mesh))
         print("".join(str(int(s)) for s in syms))
         print(f"fsk: {len(syms)} symbols")
     else:
-        err, bits = demod.demodulate(src)
+        err, bits = demod.demodulate(src, mesh=_make_mesh(cmd.mesh))
         print("".join("1" if b else "0" for b in bits))
         print(f"fsk: {len(bits)} bits, clock error {err:.3f}")
     return 0
@@ -521,7 +521,7 @@ def run_psk(cmd: argmod.PskCmd) -> int:
         differential=cmd.differential,
         block=cmd.block,
     )
-    est, sym = demod.symbols(src)
+    est, sym = demod.symbols(src, mesh=_make_mesh(cmd.mesh))
     bits = demod.slice(sym)
     print("".join(map(str, bits)))
     print(
@@ -603,7 +603,7 @@ def run_fm(cmd: argmod.FmCmd) -> int:
         audio_rate=cmd.audio_rate,
     )
     t0 = time.perf_counter()
-    rate, audio = demod.demodulate(src)
+    rate, audio = demod.demodulate(src, mesh=_make_mesh(cmd.mesh))
     secs = time.perf_counter() - t0
     meter_out = _emit_audio(cmd, rate, audio)
     dev = np.float32(cmd.deviation)
@@ -637,7 +637,7 @@ def run_am(cmd: argmod.AmCmd) -> int:
         audio_rate=cmd.audio_rate,
     )
     t0 = time.perf_counter()
-    rate, audio = demod.demodulate(src)
+    rate, audio = demod.demodulate(src, mesh=_make_mesh(cmd.mesh))
     secs = time.perf_counter() - t0
     meter_out = _emit_audio(cmd, rate, audio)
     peak = float(np.max(np.abs(audio))) if len(audio) else 0.0
@@ -832,7 +832,7 @@ def run_ssb(cmd: argmod.SsbCmd) -> int:
         audio_rate=cmd.audio_rate,
     )
     t0 = time.perf_counter()
-    rate, audio = demod.demodulate(src)
+    rate, audio = demod.demodulate(src, mesh=_make_mesh(cmd.mesh))
     secs = time.perf_counter() - t0
     meter_out = _emit_audio(cmd, rate, audio)
     peak = float(np.max(np.abs(audio))) if len(audio) else 0.0
@@ -927,7 +927,7 @@ def _make_serve_demod(cmd: argmod.ServeCmd):
 
 
 def _demod_connection(
-    conn, demod, cmd: argmod.ServeCmd, fmt, sample_rate: int
+    conn, demod, cmd: argmod.ServeCmd, fmt, sample_rate: int, mesh=None
 ) -> RunStats:
     """One demod session: the client sends its whole burst and
     half-closes; the server buffers it (same 1 GiB cap as
@@ -958,7 +958,7 @@ def _demod_connection(
         src = SampleSource(np.frombuffer(data, dtype=np.uint8), fmt, sample_rate)
         t0 = time.perf_counter()
         try:
-            return _demod_reply(wf, demod, cmd, src, t0)
+            return _demod_reply(wf, demod, cmd, src, t0, mesh=mesh)
         except ValueError as e:
             # a bad burst (empty, shorter than the filter/window) is a
             # client mistake, not a daemon fault: answer with the error
@@ -981,7 +981,9 @@ def _demod_connection(
             rf.close()
 
 
-def _demod_reply(wf, demod, cmd: argmod.ServeCmd, src, t0) -> RunStats:
+def _demod_reply(
+    wf, demod, cmd: argmod.ServeCmd, src, t0, mesh=None
+) -> RunStats:
     """Demodulate one buffered burst and write the bits text; split
     from :func:`_demod_connection` so burst-validation errors can be
     answered over the socket."""
@@ -991,7 +993,7 @@ def _demod_reply(wf, demod, cmd: argmod.ServeCmd, src, t0) -> RunStats:
         # audio is binary: a self-describing header line gives the
         # client the exact byte count before the f32 payload, then the
         # stats trailer closes the session like the other demod modes
-        rate, audio = demod.demodulate(src)
+        rate, audio = demod.demodulate(src, mesh=mesh)
         wf.write(f"# {cmd.mode} {len(audio)} {rate}\n".encode())
         wf.write(audio.astype("<f4").tobytes())
         wf.write(
@@ -1004,7 +1006,7 @@ def _demod_reply(wf, demod, cmd: argmod.ServeCmd, src, t0) -> RunStats:
             seconds=time.perf_counter() - t0,
         )
     if cmd.mode == "psk":
-        est, bits = demod.demodulate(src)
+        est, bits = demod.demodulate(src, mesh=mesh)
         line = "".join(map(str, bits))
         n_out = len(bits)
         trailer = (
@@ -1014,7 +1016,7 @@ def _demod_reply(wf, demod, cmd: argmod.ServeCmd, src, t0) -> RunStats:
     elif cmd.mode == "ook":
         from quadrs_tpu.models.demod import manchester_decode
 
-        err, raw_bits = demod.demodulate(src)
+        err, raw_bits = demod.demodulate(src, mesh=mesh)
         if cmd.raw:
             line = "".join("1" if b else "0" for b in raw_bits)
         else:
@@ -1022,12 +1024,12 @@ def _demod_reply(wf, demod, cmd: argmod.ServeCmd, src, t0) -> RunStats:
         n_out = len(raw_bits)
         trailer = f"ook: {len(raw_bits)} raw bits, clock error {err:.3f}"
     elif cmd.bit is None:
-        syms = demod.symbols(src)
+        syms = demod.symbols(src, mesh=mesh)
         line = "".join(str(int(s)) for s in syms)
         n_out = len(syms)
         trailer = f"fsk: {len(syms)} symbols"
     else:
-        err, bits = demod.demodulate(src)
+        err, bits = demod.demodulate(src, mesh=mesh)
         line = "".join("1" if b else "0" for b in bits)
         n_out = len(bits)
         trailer = f"fsk: {len(bits)} bits, clock error {err:.3f}"
@@ -1324,7 +1326,8 @@ def run_serve(cmd: argmod.ServeCmd, ready=None, max_connections=None) -> int:
                 conn.settimeout(cmd.timeout)
             if demod:
                 stats = _demod_connection(
-                    conn, model, cmd, details.format, details.sample_rate
+                    conn, model, cmd, details.format, details.sample_rate,
+                    mesh,
                 )
             elif cmd.mode == "find":
                 stats = _find_connection(

@@ -108,10 +108,17 @@ def freq_levels(
     fft_width: int = 128,
     stride: int | None = None,
     levels: int = 2,
+    mesh=None,
 ) -> Levels:
     """Two-level frequency discriminator (reference ``src/fft.rs:77-101``):
     per strided window, compare total magnitude in the lower vs upper
-    half of the (unshifted) spectrum and emit 1 if lower >= upper."""
+    half of the (unshifted) spectrum and emit 1 if lower >= upper.
+
+    ``mesh``: a Tx1 :func:`quadrs_tpu.parallel.sharding.make_mesh` —
+    the discriminator windows time-shard across the chips through the
+    streaming front end (see
+    :func:`quadrs_tpu.models.demod._channel_step`); requires a
+    channel-shaped chain over a staged capture."""
     if levels != 2:
         raise ValueError("only supporting two levels for now")
     stride = fft_width if stride is None else stride
@@ -132,10 +139,18 @@ def freq_levels(
     # imports sinks at module scope
     from quadrs_tpu.models.demod import _strided_windows_dev
 
-    fast = _strided_windows_dev(stream, fft_width, stride, total, post)
+    fast = _strided_windows_dev(
+        stream, fft_width, stride, total, post, mesh=mesh
+    )
     if fast is not None:
         first, second = fast
         return Levels(vals=[int(v) for v in np.where(first < second, 0, 1)])
+    if mesh is not None:
+        raise ValueError(
+            "-mesh shards the streaming demod front end, which needs "
+            "the receiver's own chain over a raw capture file; drop "
+            "the chained stages / live pipe or drop -mesh"
+        )
 
     batch, batches = window_batches(offsets, fft_width, root_step=root_step_of(stream))
     ex = Executor(stream, fft_width, batch=batch, post=post)

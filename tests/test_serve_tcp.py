@@ -472,6 +472,29 @@ def test_serve_fsk_demod_mode(capsys):
     assert got[1] == f"# {want_stats}"
 
 
+def test_serve_fsk_demod_mode_mesh(capsys):
+    """``serve -mode fsk -mesh 4`` time-shards each burst's streaming
+    front end across the device mesh; the reply must be byte-equal to
+    the unmeshed daemon's."""
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "examples" / "fsk-sim.sr48k.cf32"
+    kw = dict(
+        mode="fsk", shift=0, lowpass=8_000, size=20, decimate=4,
+        fft_width=64, stride=600, bit=None, sample_rate="48k",
+        format="cf32",
+    )
+    th, port = _start_server(_serve_cmd(**kw))
+    want = _session(port, path.read_bytes())
+    th.join(timeout=60)
+    th, port = _start_server(_serve_cmd(mesh=(4, 1), **kw))
+    got = _session(port, path.read_bytes())
+    th.join(timeout=60)
+    assert not th.is_alive()
+    assert "mesh 4x1" in capsys.readouterr().out
+    assert got == want
+
+
 def test_serve_psk_demod_mode(capsys, tmp_path):
     """``serve -mode psk`` answers with exactly the lines ``quadjax
     psk`` prints for the same bytes (differential BPSK burst with a
