@@ -786,7 +786,8 @@ def _staged_chain_step(chain, n: int, offs: np.ndarray, post):
     return lambda i, acc: _acc(jnp.float32(gains[i % 16]), acc)
 
 
-def _streaming_chain_step(chan, c: int, lead: int, post, stride=None):
+def _streaming_chain_step(chan, c: int, lead: int, post, stride=None,
+                          chunk_post=None):
     """Product-true chain step for the receivers: the exact jitted
     dispatch ``models.demod._channel_step`` builds (decode -> table mix
     -> per-pull-truncated FIR -> post, k windows from one contiguous
@@ -799,7 +800,8 @@ def _streaming_chain_step(chan, c: int, lead: int, post, stride=None):
 
     from quadrs_tpu.models.demod import _channel_step
 
-    built = _channel_step(chan, c, lead, post, stride=stride)
+    built = _channel_step(chan, c, lead, post, stride=stride,
+                          chunk_post=chunk_post)
     assert built is not None, "bench chain must match the streaming shape"
     run, args_for, geom = built
     planes, c0, s0, th_outer, valid_in, _v = args_for(0)
@@ -1084,7 +1086,10 @@ def bench_ook(on_accel: bool) -> dict:
     from quadrs_tpu.sources import SampleSource
 
     ook = OokDemod()
-    b = (1 << 18) if on_accel else (1 << 14)
+    # 2M windows/dispatch: the banded chunk program has no (k, width)
+    # frame footprint, and tiny-hop dispatches must be fat to clear the
+    # dispatch floor (v5e: 1417 Msps at 256k windows -> 2461 at 2M)
+    b = (1 << 21) if on_accel else (1 << 14)
     src = SampleSource.from_file(
         _demod_capture(b * ook.stride + ook.width + 4096)
     )
@@ -1093,9 +1098,13 @@ def bench_ook(on_accel: bool) -> dict:
         norms = stft_norms(x)
         return (norms >= np.float32(ook.threshold)).any(axis=1)
 
-    # the product dispatch: pulses' streaming strided front end
+    # the product dispatch: pulses' streaming strided front end with
+    # its banded chunk-level program (no (k, width) frame lane padding)
+    from quadrs_tpu.models.demod import _envelope_chunk_post
+
     step, raw_per = _streaming_chain_step(
-        src, ook.width, 0, post, stride=ook.stride
+        src, ook.width, 0, post, stride=ook.stride,
+        chunk_post=_envelope_chunk_post(ook.width, ook.stride, ook.threshold),
     )
     secs = 1.5 if on_accel else 0.3
     tstats: dict = {}

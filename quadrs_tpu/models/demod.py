@@ -73,8 +73,16 @@ class OokDemod:
         def post(x):  # device-side envelope flags, one bool per window
             return (stft_norms(x) >= th).any(axis=1)
 
+        # chunk-level banded program for small windows (bare chains):
+        # skips the (k, width) frame lane padding, 8.7x measured on v5e
+        chunk_post = (
+            _envelope_chunk_post(self.width, self.stride, self.threshold)
+            if self.width <= 16 and self.stride <= 16
+            else None
+        )
         fast = _strided_windows_dev(
-            stream, self.width, self.stride, len(offsets), post, mesh=mesh
+            stream, self.width, self.stride, len(offsets), post, mesh=mesh,
+            chunk_post=chunk_post,
         )
         if fast is not None:
             return fast
@@ -418,9 +426,63 @@ def _channel_parts(chan: Stream):
 _CHANNEL_RAW_BUDGET = 1 << 23  # raw samples per streaming dispatch
 
 
+@functools.lru_cache(maxsize=16)
+def _envelope_weights(width: int, stride: int) -> tuple[np.ndarray, np.ndarray]:
+    """Banded DFT-bin weights for the small-width strided envelope:
+    ``W[l*stride + j, m*128 + l] = F[j, m]`` — 128 strided windows x
+    ``width`` bins per matmul block, so the envelope never materializes
+    ``(k, width)`` frames (device rows lane-pad ``width`` to 128: at
+    width 4 that is 32x wasted HBM traffic, measured 8.7x end-to-end on
+    v5e — 162 -> 1417 Msps).  Returns f32 ``(span_p, width*128)``
+    real/imag planes."""
+    from quadrs_tpu.ops.stft import _dft_matrix_np
+
+    f = _dft_matrix_np(width)
+    span = 127 * stride + width
+    span_p = -(-span // 128) * 128
+    wr = np.zeros((span_p, width * 128), dtype=np.float32)
+    wi = np.zeros((span_p, width * 128), dtype=np.float32)
+    for m in range(width):
+        for l in range(128):
+            wr[l * stride : l * stride + width, m * 128 + l] = f[:, m].real
+            wi[l * stride : l * stride + width, m * 128 + l] = f[:, m].imag
+    return wr, wi
+
+
+def _envelope_chunk_post(width: int, stride: int, threshold: float):
+    """Chunk-level OOK envelope: flags ``any_bin(|DFT bin| >= th)`` for
+    ``kk`` stride-spaced windows straight from the decoded chunk (see
+    :func:`_envelope_weights`).  Boolean output matches the per-frame
+    ``stft_norms`` path (same DFT, f32 matmul accumulation may differ
+    at the last ulp of the magnitude — a flag flips only when a
+    window's peak bin sits within rounding of the threshold)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadrs_tpu.ops.fir import _overlapped_frames
+
+    wr_np, wi_np = _envelope_weights(width, stride)
+    span_p = wr_np.shape[0]
+    th = np.float32(threshold)
+
+    def chunk_post(x, kk):
+        wr = jnp.asarray(wr_np)
+        wi = jnp.asarray(wi_np)
+        g = -(-kk // 128)
+        lr = _overlapped_frames(jnp.real(x)[None, :], 128 * stride, span_p, g)[0]
+        li = _overlapped_frames(jnp.imag(x)[None, :], 128 * stride, span_p, g)[0]
+        p = jax.lax.Precision.HIGHEST
+        br = jnp.matmul(lr, wr, precision=p) - jnp.matmul(li, wi, precision=p)
+        bi = jnp.matmul(lr, wi, precision=p) + jnp.matmul(li, wr, precision=p)
+        v = (br * br + bi * bi).reshape(g, width, 128).max(axis=1)
+        return jnp.sqrt(v.reshape(-1)[:kk]) >= th
+
+    return chunk_post
+
+
 def _channel_step(
     chan: Stream, c: int, lead: int, post, stride: int | None = None,
-    mesh=None,
+    mesh=None, chunk_post=None,
 ):
     """The streaming demod dispatch: one jitted program computing ``k``
     per-pull windows of the channel (decode -> table mix -> truncated
@@ -440,6 +502,16 @@ def _channel_step(
     the analog receivers' contiguous assembly, each window overlapping
     the next by ``lead``).  ``sinks.freq_levels`` passes its own stride
     for the reference bucket's strided discriminator windows.
+
+    ``chunk_post``: optional chunk-level replacement for ``post`` on
+    BARE chains (no mix, no FIR, no re-shift — the raw-capture OOK
+    shape): ``chunk_post(x, kk) -> (kk, ...)`` receives the decoded
+    complex chunk covering ``kk`` windows instead of materialized
+    ``(kk, n_in)`` frames, so tiny widths skip the 128-lane frame
+    padding (:func:`_envelope_chunk_post`); it must produce the same
+    values as ``post`` over the frames.  Ignored on channel-shaped
+    chains.  It also lifts the heavily-overlapped-window guard (the
+    banded weights duplicate ~width/(128*stride), not width/stride).
 
     ``mesh``: a Tx1 :func:`quadrs_tpu.parallel.sharding.make_mesh` —
     the dispatch's window axis time-shards over the chips.  Each chip
@@ -471,24 +543,36 @@ def _channel_step(
         return None
     lp, nco, src, outer = hit
     d, size = (lp.decimate, lp.size) if lp is not None else (1, 0)
+    use_chunk = chunk_post is not None and lp is None and nco is None \
+        and outer is None
     if chan.length - lead < 1:
         return None  # caller's too-short guards produce the error text
     stride = c if stride is None else int(stride)
     hop = stride * d  # raw samples between window starts
     n = c + lead  # channel samples per window
     n_in = n * d + size  # raw samples per window
-    if n_in > 8 * hop:
+    if n_in > 8 * hop and not use_chunk:
         return None  # heavily overlapped windows: the frame duplication
         # would balloon memory — the strided-bank machinery's domain
+        # (chunk_post never builds the frames, so it is exempt)
     # k windows per dispatch: bounded by the staged raw span AND by the
     # lane-padded frame footprint (a width-4 OOK window still occupies a
     # 128-lane row on device), never more than the stream needs (frames
     # come from ceil(n_in/hop) row slices of the decoded chunk, so k is
     # free to be large without unrolling the program)
     pad_in = -(-n_in // 128) * 128
-    k = max(1, min(_CHANNEL_RAW_BUDGET // max(1, hop),
-                   2 * _CHANNEL_RAW_BUDGET // pad_in))
-    k = min(k, -(-int(chan.length - lead) // stride), 1 << 18)
+    if use_chunk:
+        # no (k, n_in) frames: the footprint is the staged planes plus
+        # the ~(width/(128*stride))-duplicated banded lhs, so only the
+        # raw budget bounds k — and tiny-hop dispatches need to be FAT
+        # to clear the dispatch floor (v5e width-4/stride-2: 1417 Msps
+        # at 256k windows -> 2461 at 2M)
+        k = max(1, _CHANNEL_RAW_BUDGET // max(1, hop))
+        k = min(k, -(-int(chan.length - lead) // stride), 1 << 21)
+    else:
+        k = max(1, min(_CHANNEL_RAW_BUDGET // max(1, hop),
+                       2 * _CHANNEL_RAW_BUDGET // pad_in))
+        k = min(k, -(-int(chan.length - lead) // stride), 1 << 18)
     n_time = 1
     # window-overlap halo a shard pulls from its right neighbor; gapped
     # strided windows (stride > width: n_in <= hop) need none — every
@@ -527,6 +611,13 @@ def _channel_step(
         shard_map local: ``x`` the decoded complex chunk covering ``kk``
         windows (length >= (kk-1)*hop + n_in)."""
         from quadrs_tpu.ops.fir import _overlapped_frames
+
+        if use_chunk:
+            # bare chain: windows are raw slices — hand the chunk to the
+            # caller's chunk-level program (per-window EOF masking is
+            # moot: strided callers drop partial windows on the host,
+            # and staged pads are zeros)
+            return chunk_post(x[: (kk - 1) * hop + n_in], kk)
 
         # (kk, n_in) windows from ceil(n_in/hop) row slices of the
         # decoded chunk — the overlap is re-sliced, never re-read (and
@@ -736,7 +827,8 @@ def _streaming_signal_dev(chan: Stream, c: int, lead: int, post, mesh=None):
 
 
 def _strided_windows_dev(
-    stream: Stream, width: int, stride: int, total: int, post, mesh=None
+    stream: Stream, width: int, stride: int, total: int, post, mesh=None,
+    chunk_post=None,
 ):
     """``post`` outputs for ``total`` FULL strided ``width``-windows of
     ``stream`` (the ``freq_levels`` / OOK-envelope shape: every window
@@ -753,7 +845,8 @@ def _strided_windows_dev(
 
     if total <= 0:
         return None
-    built = _channel_step(stream, width, 0, post, stride=stride)
+    built = _channel_step(stream, width, 0, post, stride=stride,
+                          chunk_post=chunk_post)
     if built is None:
         return None
     run, args_for, geom = built
@@ -762,7 +855,7 @@ def _strided_windows_dev(
     start = 0
     if mesh is not None:
         m_built = _channel_step(stream, width, 0, post, stride=stride,
-                                mesh=mesh)
+                                mesh=mesh, chunk_post=chunk_post)
         if m_built is not None:
             run_m, args_m, geom_m = m_built
             k_m = geom_m["k"]

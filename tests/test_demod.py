@@ -144,3 +144,27 @@ def test_ook_pulses_streaming_matches_executor(monkeypatch):
     slow_shift = demod.pulses(Shift(src, 60, 400))
     assert fast_shift.shape == slow_shift.shape
     assert np.mean(fast_shift != slow_shift) < 0.002
+
+
+def test_ook_pulses_overlapped_stride_streams(monkeypatch):
+    """stride-1 width-16 windows (heavily overlapped) used to be
+    Executor-only — the frame duplication guard rejected the streaming
+    path; the banded chunk-level envelope never builds the frames, so
+    it streams now and must match the Executor flags (same DFT;
+    matmul-accumulation flag flips need a near-tie)."""
+    from quadrs_tpu.formats import FileFormat
+    from quadrs_tpu.sources import SampleSource
+
+    rng = np.random.default_rng(79)
+    data = (rng.normal(size=5000) + 1j * rng.normal(size=5000)).astype(
+        np.complex64
+    ) * np.float32(0.02)
+    src = SampleSource(
+        np.ascontiguousarray(data).view(np.uint8), FileFormat.COMPLEX_FLOAT32, 400
+    )
+    demod = OokDemod(width=16, stride=1, threshold=0.15)
+    fast = demod.pulses(src)
+    _force_executor(monkeypatch)
+    slow = demod.pulses(src)
+    assert fast.shape == slow.shape
+    assert np.mean(np.asarray(fast) != np.asarray(slow)) < 0.002
