@@ -34,6 +34,16 @@ from quadrs_tpu.sources import SampleSource
 from quadrs_tpu.stream import DcBlock
 
 
+@pytest.fixture(autouse=True)
+def _needs_mesh_devices():
+    """The module meshes up to 8 ways; on the single attached chip
+    (QUADRS_TEST_TPU=1) every sharding test skips, like test_find's."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs >= 8 devices")
+
+
 @pytest.fixture(scope="module")
 def capture(tmp_path_factory):
     """FM-ish tone at +280 kHz in 21 Msps noise, long enough that the

@@ -478,6 +478,11 @@ def test_serve_fsk_demod_mode_mesh(capsys):
     the unmeshed daemon's."""
     import pathlib
 
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+
     path = pathlib.Path(__file__).parent.parent / "examples" / "fsk-sim.sr48k.cf32"
     kw = dict(
         mode="fsk", shift=0, lowpass=8_000, size=20, decimate=4,
